@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("all queries run and are non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01 aggregates are exact-decimal stable") {
+    val df = fnRun("q01_pricing_summary")
+    val row = df.filter(df("l_returnflag") === "A").collect()
+    assert(row.nonEmpty)
+    // decimal-exact sums come back as clean 2-dp doubles
+    val sumQty = row.head.getAs[Double]("sum_qty")
+    assert((sumQty * 100).round / 100.0 == sumQty)
+  }
+
+  test("q06 topk returns exactly 10 descending") {
+    val rows = fnRun("q06_topk").collect().map(_.getAs[Double]("o_totalprice"))
+    assert(rows.length == 10)
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q10 window rank bounded at 3 per customer") {
+    val df = fnRun("q10_window_rank")
+    val maxRn = df.agg(org.apache.spark.sql.functions.max("rn")).head.getInt(0)
+    assert(maxRn <= 3)
+  }
+
+  private def fnRun(name: String) = SparkEntry.queries(name)(spark, sf)
+}
