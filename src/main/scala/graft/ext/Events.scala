@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream operators over `events` (batch forms; the streaming
+  * twins live in graft.streaming and share the same column algebra).
+  *
+  * `props` is a JSON-string column — the "typed metadata for an opaque
+  * payload" pattern (SURVEY.md §2.8b multimodal columns).
+  * Window starts align to the epoch in both engines (Spark `window()`
+  * and DuckDB `time_bucket`), so bucket boundaries hash-match.
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Exact decimal sum of `value`, as double (see Relational). */
+  private def dsumVal = sum(col("value").cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON-typed metadata extraction + aggregation.
+    "e01_json_props" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+    }),
+
+    // Tumbling 1-hour event-time windows (batch form of the
+    // Structured Streaming windowed agg).
+    "e02_tumbling_window" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumVal.as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_value"))
+    }),
+
+    // Sliding 1-hour windows, 30-minute hop (each event in 2 windows).
+    "e03_sliding_window" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsumVal.as("sum_value"))
+        .select(col("w.start").as("wstart"), col("n"), col("sum_value"))
+    }),
+
+    // Gap-based sessionization: a new session starts after >30 min of
+    // user inactivity. lag + running sum over a per-user window — the
+    // batch twin of flatMapGroupsWithState session tracking.
+    "e04_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("sess",
+          sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+        .select(col("user_id"), col("sess").cast("long").as("sess"),
+          col("n_events"), col("t_start"), col("t_end"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e01_json_props" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e02_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY wstart, event_type""".stripMargin,
+    "e03_sliding_window" ->
+      """WITH hopped AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |           - k * INTERVAL '30 minutes' AS wstart, value
+        |  FROM events, unnest(generate_series(0, 1)) u(k))
+        |SELECT wstart, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hopped GROUP BY wstart""".stripMargin,
+    "e04_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts > prev_ts + INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sessed AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM flagged)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM sessed GROUP BY user_id, sess""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode / feature-extract as per-partition batch
+  * transforms.
+  *
+  * The container has no image/audio codecs, so [[StubDecoders]] is a
+  * deterministic fake standing in for the real decode kernel — the
+  * Spark-side contract (schema, partitioning, batch shape) is real and
+  * tested. The payloads here are utf-8 bytes of `documents.text`
+  * (derived from driver data, not synthesized).
+  *
+  * At 100 TB: payload columns ride in the same parquet row groups as
+  * their metadata; decode stages are `mapPartitions` (one kernel init
+  * per partition, vectorized inner loop), never per-row UDFs.
+  */
+object Multimodal {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features for one payload. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      mean_byte: Double, head: Array[Byte])
+
+  /** Deterministic stand-ins for codec kernels (no image/audio libs in
+    * this container). Each has the batch-oriented signature a real
+    * decoder would: Iterator[MediaRow] => Iterator[...], one init per
+    * partition.
+    */
+  object StubDecoders {
+    /** "Decode" = byte stats + an 8-byte header sample. */
+    def features(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val n = r.payload.length
+        val mean = if (n == 0) 0.0
+          else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+        MediaFeatures(r.media_id, r.kind, n, mean, r.payload.take(8))
+      }
+
+    /** "Frame-sample" = every strideth byte (video frame-sampling shape). */
+    def frameSample(stride: Int)(rows: Iterator[MediaRow]): Iterator[(Long, Array[Byte])] =
+      rows.map { r =>
+        (r.media_id, r.payload.indices.by(stride).map(r.payload).toArray)
+      }
+  }
+
+  /** documents.text as an opaque binary payload column. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("source").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** The real decode path: typed mapPartitions over the payload column. */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(StubDecoders.features)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary-column metadata surface, oracle-checkable: byte length,
+    // content hash, head byte, strided byte sample (all-ASCII corpus so
+    // char positions == byte positions in both engines).
+    "m01_binary_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"),
+        ascii(substring(col("text"), 1, 1)).as("head_byte"),
+        expr("transform(sequence(1, length(text), 16), i -> ascii(substring(text, i, 1)))")
+          .as("sampled"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS head_byte,
+        |  [ascii(substring(text, i, 1))
+        |    for i in generate_series(1, length(text)::INT, 16)] AS sampled
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over `embeddings.embedding` (Array[Float], d=64).
+  *
+  * Cosine is computed as an ordered left-fold over the zipped arrays in
+  * double precision — `aggregate(zip_with(...))` — which matches
+  * DuckDB's sequential `list_dot_product` bit-for-bit, so top-k ranks
+  * are identical across engines (ties broken by id).
+  *
+  * Scale path: s01 is the brute-force baseline (broadcast the query
+  * set, stream the corpus — O(Q·N) but embarrassingly parallel, no
+  * shuffle on the corpus side). s02 is the IVF pattern: a coarse
+  * quantizer (here the `label` column as cell id) restricts each probe
+  * to one cell, turning the scan into a co-partitioned equi-join —
+  * the same topology an IVF index gives you at 100 TB.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Ordered-fold dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k: 10 query vectors × full corpus.
+    // Query side broadcast; rank via per-query window.
+    "s01_ann_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nn_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nn_id"), col("cos_sim"), col("rk"))
+    }),
+
+    // IVF-style probe: coarse cell = label; each query vector searches
+    // only its own cell (co-partitioned equi-join on the cell id).
+    "s02_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+      val scored = e.join(q, Seq("label"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nn_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("nn_id"), col("cos_sim"), col("rk"))
+    }),
+
+    // Embedding near-dup: each vector's single nearest neighbor — the
+    // building block of cosine-threshold dedup (threshold applied
+    // downstream; this corpus is random so a fixed 0.95 cut is empty).
+    "s03_embedding_nn1" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val b = e.select(col("vec_id").as("nn_id"), col("v").as("bv"))
+      val scored = e.join(b, col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          cosine(col("v"), col("bv")).as("cos_sim"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nn_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("nn_id"), col("cos_sim"))
+    })
+  )
+
+  private val cosSql =
+    """list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+      .stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+         |    $cosSql AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 5""".stripMargin,
+    "s02_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+         |    $cosSql AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label
+         |    AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+         |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 3""".stripMargin,
+    "s03_embedding_nn1" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    $cosSql AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT vec_id, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT vec_id, nn_id, cos_sim FROM rk WHERE rk = 1""".stripMargin
+  )
+}

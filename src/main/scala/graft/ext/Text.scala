@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID heuristic, quality
+  * scoring, token counting, n-grams, fingerprinting).
+  *
+  * Everything here is pure `functions._` column algebra: codegen'd,
+  * shuffle-free except the grouped n-gram count, and expressible 1:1 in
+  * DuckDB SQL for the hash-match oracle. At 100 TB these are
+  * embarrassingly parallel map stages over the document scan.
+  */
+object Text {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Whitespace tokens of `text`, after trim. */
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + non-space char stats.
+    "t01_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(toks)).as("avg_tok_len"))
+    }),
+
+    // Quality scoring: stopword ratio, punctuation ratio, length band.
+    "t02_quality" -> ((s, dir) => {
+      val nTok = size(toks)
+      val stop = size(filter(toks,
+        t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+      val punct = length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      docs(s, dir).select(
+        col("doc_id"),
+        (stop.cast("double") / nTok).as("stopword_ratio"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        when(length(col("text")) < 100, lit("short"))
+          .when(length(col("text")) < 400, lit("medium"))
+          .otherwise(lit("long")).as("len_band"))
+    }),
+
+    // Language-ID heuristic: marker-token densities → predicted label.
+    // (The synthetic corpus shares one vocabulary across langs, so this
+    // checks the machinery, not linguistic accuracy.)
+    "t03_lang_id" -> ((s, dir) => {
+      val nTok = size(toks)
+      val theRatio = size(filter(toks, t => t === "the")).cast("double") / nTok
+      val sparkRatio = size(filter(toks, t => t === "spark")).cast("double") / nTok
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        when(theRatio > 0.08, lit("en"))
+          .when(sparkRatio > 0.05, lit("tech"))
+          .otherwise(lit("other")).as("pred_lang"))
+    }),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    "t04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    }),
+
+    // Word-bigram counts across the corpus (n-gram surface); the HAVING
+    // bound keeps the result set stable and skips the long tail.
+    "t05_ngrams" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(size(toks) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(split(trim(text), '\\s+')) - 1),
+            |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
+            |              element_at(split(trim(text), '\\s+'), i + 1)))"""
+            .stripMargin)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS len_chars,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len
+        |FROM documents""".stripMargin,
+    "t02_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) < 100 THEN 'short'
+        |       WHEN length(text) < 400 THEN 'medium'
+        |       ELSE 'long' END AS len_band
+        |FROM documents""".stripMargin,
+    "t03_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t = 'the')) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(text), '\s+')) > 0.08 THEN 'en'
+        |       WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t = 'spark')) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(text), '\s+')) > 0.05 THEN 'tech'
+        |       ELSE 'other' END AS pred_lang
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "t05_ngrams" ->
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT unnest([t[i] || ' ' || t[i+1]
+        |    for i in generate_series(1, len(t) - 1)]) AS bigram FROM tk)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |HAVING COUNT(*) >= 20""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("d03 minhash-lsh candidates are a superset-verified subset of d02 exact jaccard") {
+    val exact = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must never emit a false positive")
+    assert(lsh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("d01 exact dedup collapses the self-unioned corpus 2→1") {
+    val df = SparkEntry.queries("d01_exact_dedup")(spark, sf)
+    assert(df.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("s01 ann ranks are 1..5 per query and cosine in [-1,1]") {
+    val rows = SparkEntry.queries("s01_ann_bruteforce")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5))
+    }
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+  }
+
+  test("multimodal mapPartitions feature extraction round-trips") {
+    val feats = ext.Multimodal.extractFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0 && f.mean_byte > 0 && f.head.length <= 8)
+    }
+    val sampled = ext.Multimodal.mediaTable(spark, sf)
+      .mapPartitions(ext.Multimodal.StubDecoders.frameSample(16))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .collect()
+    assert(sampled.forall(_._2.nonEmpty))
+  }
+
+  test("e04 sessions never overlap and gaps exceed 30min between sessions") {
+    val df = SparkEntry.queries("e04_sessionize")(spark, sf)
+      .orderBy(col("user_id"), col("sess")).collect()
+    df.groupBy(_.getAs[Long]("user_id")).values.foreach { sessions =>
+      val sorted = sessions.sortBy(_.getAs[Long]("sess"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getAs[java.sql.Timestamp]("t_start").getTime -
+            a.getAs[java.sql.Timestamp]("t_end").getTime
+          assert(gap > 30 * 60 * 1000L, s"inter-session gap only ${gap}ms")
+        case _ =>
+      }
+    }
+  }
+}
