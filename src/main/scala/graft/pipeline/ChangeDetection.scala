@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ccd.CcdOps
+import graft.grid.Grid
+import graft.sources.Sink
+import graft.types.{ArdRow, Segment}
+
+/** The `changedetection` product pipeline (reference entry
+  * ccdc/cli.py:25-48 → ccdc/core.py:78-124), as ONE Spark plan.
+  *
+  * The reference chunked the tile into driver-loop batches
+  * (partition_all at ccdc/core.py:98-108) because each task fetched
+  * over HTTP; with a Parquet source the whole tile is a single
+  * declarative plan — Catalyst handles partitioning, AQE balances it
+  * (SURVEY.md §3.1 "new-engine shape" + §7.4.5).
+  */
+object ChangeDetection {
+
+  /** Restrict an ARD dataset to the chips of the tile containing
+    * (x, y) — geometry-driven partition pruning (the reference's
+    * tile→chip enumeration, ccdc/grid.py:23-53). */
+  def tileScope(ard: Dataset[ArdRow], x: Double, y: Double): Dataset[ArdRow] = {
+    val spark = ard.sparkSession
+    import spark.implicits._
+    val chipIds = Grid.tileOf(x, y).chips.toDF("cx", "cy")
+    ard.join(broadcast(chipIds), Seq("cx", "cy"), "left_semi").as[ArdRow]
+  }
+
+  /** Detect changes and land the three product tables.
+    * Returns (chips, pixels, segments) row counts. */
+  def run(ard: Dataset[ArdRow], outDir: String): (Long, Long, Long) = {
+    val segments: Dataset[Segment] = CcdOps.detect(ard)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by 3 sinks (ccdc/core.py:68-72)
+    try {
+      val chips = CcdOps.chipRecords(segments)
+      val pixels = CcdOps.pixelRecords(segments)
+      val segs = CcdOps.segmentRecords(segments)
+      Sink.write(chips.toDF(), s"$outDir/chip", Seq("cx", "cy"))
+      Sink.write(pixels.toDF(), s"$outDir/pixel", Seq("cx", "cy", "px", "py"))
+      Sink.write(segs, s"$outDir/segment",
+        Seq("cx", "cy", "px", "py", "sday", "eday"))
+      val spark = ard.sparkSession
+      (spark.read.parquet(s"$outDir/chip").count(),
+        spark.read.parquet(s"$outDir/pixel").count(),
+        spark.read.parquet(s"$outDir/segment").count())
+    } finally segments.unpersist()
+  }
+
+  /** Full entry: ARD parquet path + a point selecting the tile. */
+  def forTile(spark: SparkSession, ardPath: String, x: Double, y: Double,
+      outDir: String): (Long, Long, Long) = {
+    import spark.implicits._
+    run(tileScope(spark.read.parquet(ardPath).as[ArdRow], x, y), outDir)
+  }
+}

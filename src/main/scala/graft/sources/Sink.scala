@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Parquet storage layer — the swap for the reference's Cassandra
+  * tables (reference ccdc/cassandra.py:30-63; SURVEY.md S4-S7).
+  *
+  * The reference relied on CQL primary keys for last-write-wins upsert
+  * (resources/schema.cql:142); Parquet has no PK, so writes
+  * `dropDuplicates` on the product key before landing (SURVEY.md
+  * §7.4.4). Reads restricted to an id set are expressed as joins the
+  * optimizer turns into broadcast semi-joins — the same shape the
+  * reference built by hand (ccdc/chip.py:39-51).
+  */
+object Sink {
+
+  /** Schema-conforming upsert-style write (reference S5/S6). */
+  def write(df: DataFrame, path: String, pk: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
+    val deduped = if (pk.nonEmpty) df.dropDuplicates(pk) else df
+    val w = deduped.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Keyed read: scan restricted to the requested ids (reference S7 —
+    * `ids.join(table, keys, "inner")`). `ids` is small (chip worklist),
+    * so it broadcasts; left_semi when only restriction is wanted. */
+  def readKeyed(spark: SparkSession, path: String, ids: DataFrame,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(path).join(broadcast(ids), keys, "left_semi")
+}
