@@ -27,12 +27,18 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
-  /** Ordered-fold dot product of two array<double> columns. */
-  private def dot(a: Column, b: Column): Column =
+  /** Ordered-fold dot product of two array<double> columns — the
+    * composable baseline kept for reference/tests. */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  private[graft] def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  /** Hot path: the fused native expression (bit-identical to the fold
+    * form — same left-to-right accumulation). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: 10 query vectors × full corpus.

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.ext.Events): the same column algebra lifted onto an unbounded
+  * source with watermarks and state.
+  *
+  * The reference had no streaming surface (SURVEY.md §2.7) — its
+  * nearest analogue was incremental append-mode writes. This module is
+  * part of the §2.8(b) extension surface.
+  *
+  * At scale: watermarks bound state; the windowed agg is a streaming
+  * partial-aggregation (no global shuffle beyond the keyed exchange);
+  * session state is per-user and evicted on processing-time timeout.
+  */
+object EventStreams {
+
+  /** The events schema as a streaming source expects it (ts arrives as
+    * a proper timestamp from upstream ingestion). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** readStream over a parquet directory of event files. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
+    * the streaming twin of e02_tumbling_window. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ------------------------------------------------------------------ //
+
+  case class EventIn(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Timestamp, lastTs: Timestamp, nEvents: Int)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Exact microseconds since epoch (Timestamp keeps sub-ms in nanos). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** Gap-based session tracking with mapGroupsWithState — the
+    * streaming twin of e04_sessionize. A session closes when no event
+    * arrives for `gapMinutes` (state timeout), emitting its summary.
+    * Gap compares in exact microseconds to agree with the batch twin's
+    * interval arithmetic. */
+  def sessionize(events: Dataset[EventIn], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+
+    def update(userId: Long, batch: Iterator[EventIn],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents))
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if micros(e.ts) - micros(s.lastTs) <= gapUs =>
+              cur = Some(s.copy(lastTs = e.ts, nEvents = s.nEvents + 1))
+            case Some(s) =>
+              closed ::= SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents)
+              cur = Some(SessionState(e.ts, e.ts, 1))
+            case None =>
+              cur = Some(SessionState(e.ts, e.ts, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutDuration(gapUs / 1000L)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.{CosineSimilarity, GraftExtensions}
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("fused cosine_sim is bit-identical to the composed fold form") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val both = pairs.select(
+      CosineSimilarity.cosineSim(col("va"), col("vb")).as("fused"),
+      Similarity.cosineFold(col("va"), col("vb")).as("folded"))
+    val diff = both.filter(col("fused") =!= col("folded")).count()
+    assert(diff == 0, s"$diff rows differ between fused and fold cosine")
+  }
+
+  test("cosine_sim registers into SQL via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").head()
+    assert(math.abs(orth.getDouble(0)) < 1e-12)
+  }
+
+  test("cosine_sim null propagation") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(cast(null as array<double>), array(1.0d)) AS c").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("cosine_sim survives whole-stage codegen on a real plan") {
+    val df = Tables(spark, sf, "embeddings")
+      .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))
+    // self-similarity is exactly 1.0 up to fp rounding
+    val bad = df.filter(abs(col("self") - 1.0) > 1e-9).count()
+    assert(bad == 0)
+    // `*(n)` prefixes mark WholeStageCodegen stages in the plan string;
+    // the Project carrying cosinesimilarity must be inside one.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.trim.startsWith("*(")),
+      s"expected the cosine Project inside a codegen stage:\n$plan")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Drives the streaming operators synchronously: a batch of parquet
+  * feeds a streaming query via the memory sink (processAllAvailable),
+  * and streaming results are checked against the batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val eventsDir: String = {
+    // Re-land the events table as a streaming-friendly parquet dir
+    // (micro-ts converted; ts column as a real timestamp).
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    Tables(spark, sf, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling windows match the batch aggregation") {
+    val stream = EventStreams.tumblingCounts(
+      EventStreams.source(spark, eventsDir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val want = SparkEntry.queries("e02_tumbling_window")(spark, sf)
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, "streaming and batch tumbling windows disagree")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions on timeout") {
+    import spark.implicits._
+    val events = Tables(spark, sf, "events")
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.EventIn]
+    // Batch-mode flatMapGroupsWithState: all events in one batch, so
+    // sessions close only via the in-batch gap rule; the final open
+    // session per user stays in state. Compare closed-session counts
+    // with the batch sessionizer (every batch session except the last
+    // per user must be emitted).
+    val streamed = EventStreams.sessionize(events).collect()
+    val batch = SparkEntry.queries("e04_sessionize")(spark, sf)
+      .filter(col("user_id") < 20).collect()
+    val batchPerUser = batch.groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length)
+    val streamPerUser = streamed.groupBy(_.user_id).view.mapValues(_.length)
+    batchPerUser.foreach { case (u, nBatch) =>
+      assert(streamPerUser.getOrElse(u, 0) == nBatch - 1,
+        s"user $u: ${streamPerUser.getOrElse(u, 0)} closed vs $nBatch batch sessions")
+    }
+    // session boundaries agree with the batch result for one user
+    val u0 = batch.filter(_.getAs[Long]("user_id") == batch.head.getAs[Long]("user_id"))
+      .sortBy(_.getAs[Long]("sess"))
+    val s0 = streamed.filter(_.user_id == u0.head.getAs[Long]("user_id"))
+      .sortBy(_.session_start.getTime)
+    s0.zip(u0).foreach { case (s, b) =>
+      assert(s.session_start == b.getAs[java.sql.Timestamp]("t_start"))
+      assert(s.n_events == b.getAs[Long]("n_events"))
+    }
+  }
+}
