@@ -30,23 +30,33 @@ object Dedup {
 
   private def toks: Column = split(trim(col("text")), "\\s+")
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, sh). */
+  /** Distinct word-3-gram shingles per doc, as 36-bit md5-derived ints:
+    * (doc_id, x). Joining/minhashing on a long instead of the shingle
+    * string keeps shuffles narrow; the hash is md5-hex-prefix in BOTH
+    * engines, so any (vanishingly rare) collision is identical on both
+    * sides and parity holds. `toks` is materialized as a column first
+    * so the split runs once per row, not once per lambda element. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .filter(size(toks) >= 3)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(split(trim(text), '\\s+')) - 2),
-          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
-          |              element_at(split(trim(text), '\\s+'), i + 1), ' ',
-          |              element_at(split(trim(text), '\\s+'), i + 2)))"""
-          .stripMargin))).as("sh"))
+        """transform(sequence(1, size(tk) - 2),
+          |  i -> cast(conv(substring(md5(concat(
+          |         element_at(tk, i), ' ',
+          |         element_at(tk, i + 1), ' ',
+          |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
+          .stripMargin))).as("x"))
 
-  /** Exact Jaccard over shingle sets for pairs sharing ≥1 shingle. */
+  /** Exact Jaccard over shingle-id sets for pairs sharing ≥1 shingle.
+    * Blocking on the shingle id — never all-pairs; the only quadratic
+    * term is per-shingle document frequency (the LSH variant d03 is
+    * the scale path that removes even that). */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -78,20 +88,23 @@ object Dedup {
     // MinHash + LSH: 32 hashes, 8 bands × 4 rows; candidates = band
     // signature collisions; exact-Jaccard verification keeps semantics
     // identical to d02 while comparing ~0.02% of the pairs at scale.
+    // All 32 minhashes are computed in ONE partial-aggregating groupBy
+    // (32 min() columns) — no row explosion, map-side combine reduces
+    // the shuffle to one row per doc. Bands then explode 8:1 from that.
     "d03_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(s, dir)
-      val x = conv(substring(md5(col("sh")), 1, 9), 16, 10).cast("long")
-      val hashed = sh.select(col("doc_id"), x.as("x"))
-        .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
-      val mh = hashed.groupBy(col("doc_id"), col("i"))
-        .agg(min(((lit(67108879L) + lit(65537L) * col("i")) * col("x")
-          + lit(1000003L) * col("i") + lit(12345L)) % lit(P)).as("mh"))
-      val bands = mh
-        .withColumn("band", (col("i") / lit(BandRows)).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat_ws("_",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            t => t.getField("mh").cast("string"))).as("sig"))
+      val minCols = (0 until NumHashes).map { i =>
+        min((lit(67108879L + 65537L * i) * col("x")
+          + lit(1000003L * i + 12345L)) % lit(P)).as(s"mh$i")
+      }
+      val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = array((0 until NumHashes / BandRows).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until BandRows).map(r =>
+            col(s"mh${b * BandRows + r}").cast("string")): _*).as("sig"))
+      }: _*)
+      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -126,15 +139,16 @@ object Dedup {
     """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents
       |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, s FROM (
-      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |sh AS (SELECT DISTINCT doc_id, x FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 9))::BIGINT AS x
       |  FROM tk, unnest(generate_series(1, len(t) - 2)) u(i))),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |jac AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(COUNT(*) AS DOUBLE)
       |      / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS jaccard
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
       |  JOIN sz sa ON sa.doc_id = a.doc_id
       |  JOIN sz sb ON sb.doc_id = b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
@@ -150,11 +164,10 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
     "d03_minhash_lsh" ->
       s"""WITH $shingleCte,
-         |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 9))::BIGINT AS x FROM sh),
          |mh AS (SELECT doc_id, i,
          |    MIN(((67108879 + 65537 * i) * x + 1000003 * i + 12345)
          |        % 2305843009213693951) AS mh
-         |  FROM hx, unnest(generate_series(0, 31)) u(i)
+         |  FROM sh, unnest(generate_series(0, 31)) u(i)
          |  GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 4 AS band,
          |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS sig

@@ -77,17 +77,22 @@ object Similarity {
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
+    // Top-1 is a partial-aggregating max over an ordered struct —
+    // map-side combine collapses the N² scored rows to one row per
+    // vector per partition before any shuffle, where a window would
+    // shuffle and sort all N² rows. Tie-break matches the window form:
+    // highest cosine, then lowest nn_id (via negated id in the struct).
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
       val b = e.select(col("vec_id").as("nn_id"), col("v").as("bv"))
       val scored = e.join(b, col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           cosine(col("v"), col("bv")).as("cos_sim"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_sim").desc, col("nn_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("nn_id"), col("cos_sim"))
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"),
+          col("nn_id"))).as("best"))
+        .select(col("vec_id"), col("best.nn_id").as("nn_id"),
+          col("best.cos_sim").as("cos_sim"))
     })
   )
 

@@ -75,11 +75,11 @@ object Text {
     // bound keeps the result set stable and skips the long tail.
     "t05_ngrams" -> ((s, dir) => {
       docs(s, dir)
-        .filter(size(toks) >= 2)
+        .select(toks.as("tk")) // hoisted: split once per row, not per lambda element
+        .filter(size(col("tk")) >= 2)
         .select(explode(expr(
-          """transform(sequence(1, size(split(trim(text), '\\s+')) - 1),
-            |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
-            |              element_at(split(trim(text), '\\s+'), i + 1)))"""
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
             .stripMargin)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
