@@ -171,6 +171,58 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_cust"))
     }),
 
+    // Full-outer join: customers vs their large-order aggregates, both
+    // unmatched sides surviving with nulls.
+    "q15_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_nationkey") < 5)
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("big_total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_big"), col("big_total"))
+    }),
+
+    // Array-column scalar surface (P4 generalized): subscript, size,
+    // slice over a real array column.
+    "q16_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .filter(col("label").isin(1, 2, 3))
+        .select(
+          col("vec_id"),
+          col("label"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), -1).cast("double").as("last_val"))
+    }),
+
+    // HAVING: post-aggregation filter.
+    "q17_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .filter(col("n") >= 8)
+    }),
+
+    // TPC-H Q3-shaped headline: 3-way join + grouped revenue + top-k.
+    // Dims filter before the join; the orders⋈lineitem join is the
+    // only wide shuffle; top-k is TakeOrderedAndProject (no global sort).
+    "q18_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // Multi-key grouped aggregation with exact decimal AVG
     // (avg = exact decimal sum / count, both engines IEEE-identical).
     "q14_avg_by_key" -> ((s, dir) => {
@@ -261,6 +313,36 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY l_returnflag""".stripMargin,
+    "q15_outer_join" ->
+      """WITH big AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |  FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_big, big_total
+        |FROM (SELECT * FROM customer WHERE c_nationkey < 5) c
+        |FULL OUTER JOIN big ON c_custkey = o_custkey""".stripMargin,
+    "q16_array_funcs" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_val
+        |FROM embeddings WHERE label IN (1, 2, 3)""".stripMargin,
+    "q17_having" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8""".stripMargin,
+    "q18_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q14_avg_by_key" ->
       """SELECT l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans that make these operators viable
+  * at 100 TB, guarded against regression. (SURVEY.md §4: pushdown and
+  * broadcast were implicit/manual in the reference; here they must be
+  * provably present.)
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicates push down to the parquet scan") {
+    val p = plan("q02_filter_predicates")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(o_orderstatus") || p.contains("IsNotNull(o_orderstatus)"), p)
+  }
+
+  test("q01: scan prunes to the referenced columns only") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"projection pruning failed, scan reads unrelated columns: $readSchema")
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q03: dimension joins broadcast, no shuffle of the fact side for join") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dims should broadcast, not sort-merge:\n$p")
+  }
+
+  test("q06: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"expected partial aggregate:\n$p")
+  }
+
+  test("s03: top-1 neighbor is a partial aggregate, not a window sort") {
+    val p = plan("s03_embedding_nn1")
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), s"window would shuffle+sort all N^2 rows:\n$p")
+  }
+
+  test("d03: minhash aggregates into one groupBy (no 32x explode before shuffle)") {
+    val p = plan("d03_minhash_lsh")
+    assert(p.contains("partial_min"), s"expected map-side min combine:\n$p")
+  }
+
+  test("q18: both dims broadcast, all scans filtered+pruned, topk no global sort") {
+    // (AQE leaves isFinalPlan=false before execution, so codegen `*(n)`
+    // markers aren't visible here — assert the structural properties.)
+    val p = plan("q18_shipping_priority")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert("PushedFilters: \\[Is".r.findAllIn(p).size == 3,
+      s"every scan should push its filters:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+}
