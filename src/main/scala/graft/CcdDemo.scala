@@ -47,7 +47,11 @@ object CcdDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val ard = syntheticArd(spark, 16)
+    // Round the synthetic series through the long-format assembly path
+    // (the merlin-transpose twin) so the demo drives the full source →
+    // assemble → detect pipeline.
+    val ard = graft.sources.Timeseries.assemble(
+      graft.sources.Timeseries.explodeRows(syntheticArd(spark, 16)).toDF())
     val (chips, pixels, segs) = ChangeDetection.run(ard, outDir)
     println(s"changedetection: chips=$chips pixels=$pixels segments=$segs -> $outDir")
 

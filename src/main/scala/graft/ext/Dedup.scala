@@ -135,6 +135,31 @@ object Dedup {
     })
   )
 
+  /** Hamming-near pairs over simhash signatures (the d04 output),
+    * banded: the 32-bit signature splits into 4 bytes; any pair with
+    * hamming ≤ 3 differs in at most 3 bytes, so (pigeonhole) it
+    * collides on at least one band — candidates come from 4 narrow
+    * equi-joins instead of all pairs, then the exact bit_count filter
+    * runs only on collisions. The scale path for simhash dedup.
+    */
+  def simhashPairs(signatures: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
+    val banded = signatures.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+        .as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private val shingleCte =
     """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.types.ArdRow
+
+/** Pixel time-series assembly — the Spark-native form of the merlin
+  * transpose the reference did inside executor HTTP tasks (reference:
+  * chip rasters → per-pixel parallel arrays, observable contract at
+  * ccdc/timeseries.py:104-115; call site :120-123; SURVEY.md A3).
+  *
+  * Long-format observations (one row per pixel per acquisition) become
+  * one row per pixel with date-descending parallel arrays. ONE shuffle
+  * on the pixel key with map-side partial `collect_list`; the
+  * struct-sort + per-band unzip stay codegen'd projections. At 100 TB
+  * this is the engine's widest shuffle — keeping it single-pass (one
+  * collect of the full struct, not one per band) is the point.
+  */
+object Timeseries {
+
+  /** One observation of one pixel. */
+  case class Obs(cx: Int, cy: Int, px: Int, py: Int, date: Int,
+      blue: Int, green: Int, red: Int, nir: Int,
+      swir1: Int, swir2: Int, thermal: Int, qa: Int)
+
+  private val bandFields = Seq(
+    "date" -> "dates", "blue" -> "blues", "green" -> "greens",
+    "red" -> "reds", "nir" -> "nirs", "swir1" -> "swir1s",
+    "swir2" -> "swir2s", "thermal" -> "thermals", "qa" -> "qas")
+
+  /** Long observations → ArdRow per pixel, arrays date-descending.
+    * Duplicate dates keep the lexicographically-largest observation
+    * struct (deterministic under any partitioning). */
+  def assemble(obs: DataFrame): Dataset[ArdRow] = {
+    import obs.sparkSession.implicits._
+    val obsStruct = struct(col("date"), col("blue"), col("green"),
+      col("red"), col("nir"), col("swir1"), col("swir2"),
+      col("thermal"), col("qa"))
+    val gathered = obs
+      .groupBy(col("cx"), col("cy"), col("px"), col("py"))
+      .agg(reverse(array_sort(collect_list(obsStruct))).as("o"))
+    bandFields.foldLeft(gathered) { case (df, (field, out)) =>
+        df.withColumn(out, col("o").getField(field))
+      }
+      .drop("o")
+      .as[ArdRow]
+  }
+
+  /** ArdRow per pixel → long observations (the inverse expansion —
+    * the reference's chip→pixels flatMap shape, SURVEY.md S3). */
+  def explodeRows(ard: Dataset[ArdRow]): Dataset[Obs] = {
+    import ard.sparkSession.implicits._
+    ard.flatMap { r =>
+      r.dates.indices.map { i =>
+        Obs(r.cx, r.cy, r.px, r.py, r.dates(i), r.blues(i), r.greens(i),
+          r.reds(i), r.nirs(i), r.swir1s(i), r.swir2s(i), r.thermals(i),
+          r.qas(i))
+      }
+    }
+  }
+}

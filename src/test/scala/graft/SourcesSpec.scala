@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ccd.CcdOps
+import graft.ext.Dedup
+import graft.sources.{Sink, Timeseries}
+
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("timeseries assemble/explode round-trip, arrays date-descending") {
+    import spark.implicits._
+    val ard = CcdDemo.syntheticArd(spark, 4)
+    val long = Timeseries.explodeRows(ard)
+    assert(long.count() == 4 * 80)
+    val back = Timeseries.assemble(long.toDF())
+    // dates come back descending (reference order, ccdc/timeseries.py:115)
+    val row = back.filter(col("px") === 2565585).head()
+    val dates = row.dates
+    assert(dates == dates.sorted.reverse, "dates must be descending")
+    // content round-trips (original was ascending)
+    val orig = ard.filter(col("px") === 2565585).head()
+    assert(dates.sorted == orig.dates.sorted)
+    assert(row.blues.reverse == orig.blues,
+      "band arrays must stay aligned to dates")
+    assert(back.count() == 4)
+  }
+
+  test("banded simhash pairs == brute-force pairs at hamming<=3") {
+    val sig = SparkEntry.queries("d04_simhash")(spark, sf)
+    val banded = Dedup.simhashPairs(sig, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, "banding must lose no pairs at hamming<=3")
+  }
+
+  test("keyed read restricts the scan to requested ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val segs = CcdOps.segmentRecords(CcdOps.detect(CcdDemo.syntheticArd(spark, 4)))
+    Sink.write(segs, s"$dir/segment", Seq("cx", "cy", "px", "py", "sday", "eday"))
+    val ids = Seq((2565585, 3314805, 2565585, 3314805)).toDF("cx", "cy", "px", "py")
+    val got = Sink.readKeyed(spark, s"$dir/segment", ids, Seq("cx", "cy", "px", "py"))
+    assert(got.count() >= 1)
+    assert(got.select("px").distinct().head().getInt(0) == 2565585)
+  }
+
+  test("segment schema parity: field names and types match the reference") {
+    import spark.implicits._
+    val seg = CcdOps.detect(CcdDemo.syntheticArd(spark, 1)).toDF()
+    // reference ccdc/pyccd.py:39-81 field order
+    val expected = Seq(
+      "cx" -> "int", "cy" -> "int", "px" -> "int", "py" -> "int",
+      "sday" -> "string", "eday" -> "string", "bday" -> "string",
+      "chprob" -> "float", "curqa" -> "int",
+      "blmag" -> "float", "grmag" -> "float", "remag" -> "float",
+      "nimag" -> "float", "s1mag" -> "float", "s2mag" -> "float",
+      "thmag" -> "float",
+      "blrmse" -> "float", "grrmse" -> "float", "rermse" -> "float",
+      "nirmse" -> "float", "s1rmse" -> "float", "s2rmse" -> "float",
+      "thrmse" -> "float",
+      "blcoef" -> "array<float>", "grcoef" -> "array<float>",
+      "recoef" -> "array<float>", "nicoef" -> "array<float>",
+      "s1coef" -> "array<float>", "s2coef" -> "array<float>",
+      "thcoef" -> "array<float>",
+      "blint" -> "float", "grint" -> "float", "reint" -> "float",
+      "niint" -> "float", "s1int" -> "float", "s2int" -> "float",
+      "thint" -> "float",
+      "dates" -> "array<string>", "mask" -> "array<tinyint>",
+      "rfrawp" -> "array<float>")
+    val actual = seg.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    assert(actual == expected, s"schema drift:\n${actual.mkString("\n")}")
+  }
+}
