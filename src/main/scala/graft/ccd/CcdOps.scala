@@ -23,6 +23,13 @@ object CcdOps {
   def isoToOrdinal(iso: String): Int =
     (LocalDate.parse(iso).toEpochDay + 719163L).toInt
 
+  /** Parse an ISO8601 acquired range "start/end" into ordinal bounds
+    * (reference F5: acquired() default at ccdc/core.py:41-50). */
+  def acquiredRange(acquired: String): (Int, Int) = {
+    val Array(a, b) = acquired.split("/", 2)
+    (isoToOrdinal(a), isoToOrdinal(b))
+  }
+
   /** Format one detection result as persisted segment rows. Mirrors
     * ccdc/pyccd.py:106-148 field-for-field, including the ≥1-row
     * empty default (ccdc/pyccd.py:99-103: sday=eday=bday=ordinal 1). */

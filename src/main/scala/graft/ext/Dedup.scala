@@ -135,6 +135,37 @@ object Dedup {
     })
   )
 
+  /** spark.ml MinHashLSH variant of near-dedup (the stock-ML
+    * alternative to the hand-rolled d03; SURVEY.md §2.8b names
+    * `org.apache.spark.ml.feature.MinHashLSH` as the built-in path).
+    * Shingle sets become sparse binary vectors; approxSimilarityJoin
+    * blocks on the hash buckets. Seeded, so locally deterministic —
+    * but its hash family is JVM-internal, hence no cross-engine oracle
+    * (d03 is the oracle-checked twin). Returns (doc_a, doc_b,
+    * jaccard_distance ≤ maxDistance) pairs. */
+  def minhashLshMl(s: SparkSession, dir: String, maxDistance: Double = 0.5,
+      numTables: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.MinHashLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val dim = 1 << 20
+    val vecs = shingles(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_set((col("x") % dim).cast("int")).as("idx"))
+      .map { r =>
+        val idx = r.getAs[Seq[Int]]("idx").sorted.distinct.toArray
+        (r.getAs[Long]("doc_id"),
+          Vectors.sparse(dim, idx, Array.fill(idx.length)(1.0)))
+      }.toDF("doc_id", "features")
+    val model = new MinHashLSH().setNumHashTables(numTables).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxDistance, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"), col("jaccard_dist"))
+  }
+
   /** Hamming-near pairs over simhash signatures (the d04 output),
     * banded: the 32-bit signature splits into 4 bytes; any pair with
     * hamming ≤ 3 differs in at most 3 bytes, so (pigeonhole) it

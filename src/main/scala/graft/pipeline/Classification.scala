@@ -1,12 +1,13 @@
 package graft.pipeline
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ccd.CcdOps
 import graft.ml.{Features, Rf}
-import graft.types.AuxRow
+import graft.sources.Sink
+import graft.types.{AuxRow, TileRec}
 
 /** The `classification` product pipeline (reference entry
   * ccdc/cli.py:51-74 → ccdc/core.py:156-251): train a land-cover RF on
@@ -37,6 +38,31 @@ object Classification {
     val windowed = windowFilter(segments, msday, meday)
     val fdf = Features.dataframe(usable, windowed)
     Rf.train(fdf, numTrees)
+  }
+
+  /** Persist per-tile trained-model metadata (reference: tile records,
+    * ccdc/tile.py:16-43 + the driver-side write at ccdc/core.py:222-230
+    * — S8's single-row literal source + S6 typed sink). The model
+    * itself lands via spark.ml's writer; the tile row carries its
+    * path where the reference carried a serialized blob. */
+  def saveTile(spark: SparkSession, model: PipelineModel, tx: Int, ty: Int,
+      name: String, updated: String, outDir: String): Unit = {
+    import spark.implicits._
+    val modelPath = s"$outDir/model/$name"
+    model.write.overwrite().save(modelPath)
+    val tile = Seq(TileRec(tx, ty, name, modelPath, updated)).toDF()
+    Sink.write(tile, s"$outDir/tile", Seq("tx", "ty", "name"))
+  }
+
+  /** Load a tile's model back (round-trip of saveTile). */
+  def loadTile(spark: SparkSession, outDir: String, tx: Int, ty: Int,
+      name: String): Option[PipelineModel] = {
+    import spark.implicits._
+    val ids = Seq((tx, ty)).toDF("tx", "ty")
+    Sink.readKeyed(spark, s"$outDir/tile", ids, Seq("tx", "ty"))
+      .filter(col("name") === name)
+      .collect().headOption
+      .map(r => PipelineModel.load(r.getAs[String]("model")))
   }
 
   /** Classify: segments (sday/eday ≥ epoch guard, reference

@@ -47,6 +47,14 @@ object Timeseries {
       .as[ArdRow]
   }
 
+  /** Restrict long observations to an acquired range (reference:
+    * the `acquired` ISO8601 window applied at fetch; here an ordinary
+    * pushed-down predicate on the observation date). */
+  def filterAcquired(obs: DataFrame, acquired: String): DataFrame = {
+    val (lo, hi) = graft.ccd.CcdOps.acquiredRange(acquired)
+    obs.filter(col("date") >= lo && col("date") <= hi)
+  }
+
   /** ArdRow per pixel → long observations (the inverse expansion —
     * the reference's chip→pixels flatMap shape, SURVEY.md S3). */
   def explodeRows(ard: Dataset[ArdRow]): Dataset[Obs] = {
