@@ -65,8 +65,14 @@ object CcdDemo {
     })
     Classification.train(aux, segments, 1, 800000, numTrees = 20) match {
       case Some(model) =>
-        val classified = Classification.classify(model, aux, segments)
-        println(s"classification: ${classified.count()} classified segments")
+        Classification.saveTile(spark, model, 2565585, 3314805,
+          "rf-demo", java.time.Instant.now().toString, outDir)
+        val reloaded = Classification
+          .loadTile(spark, outDir, 2565585, 3314805, "rf-demo")
+          .getOrElse(sys.error("tile model failed to round-trip"))
+        val classified = Classification.classify(reloaded, aux, segments)
+        println(s"classification: ${classified.count()} classified segments" +
+          " (model persisted + reloaded via tile record)")
         classified.show(5, truncate = false)
       case None => println("classification: no training data")
     }
