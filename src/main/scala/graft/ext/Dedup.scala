@@ -88,22 +88,31 @@ object Dedup {
     // MinHash + LSH: 32 hashes, 8 bands × 4 rows; candidates = band
     // signature collisions; exact-Jaccard verification keeps semantics
     // identical to d02 while comparing ~0.02% of the pairs at scale.
-    // All 32 minhashes are computed in ONE partial-aggregating groupBy
-    // (32 min() columns) — no row explosion, map-side combine reduces
-    // the shuffle to one row per doc. Bands then explode 8:1 from that.
+    // The shingle pipeline is evaluated ONCE: a single collect_set
+    // groupBy gathers each doc's shingle-id set, all 32 minhashes are
+    // row-local array folds over that set (no re-scan, no row
+    // explosion), and candidate pairs verify with array_intersect on
+    // the gathered sets rather than re-joining exploded shingles.
     "d03_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val minCols = (0 until NumHashes).map { i =>
-        min((lit(67108879L + 65537L * i) * col("x")
-          + lit(1000003L * i + 12345L)) % lit(P)).as(s"mh$i")
+      // Tiny frame (one row per doc, ~50 longs each) feeding both the
+      // signature path and the verify path — cache beats re-evaluating
+      // the scan+md5+collect_set pipeline twice.
+      val sets = shingles(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("x")).as("xs"))
+        .withColumn("n", size(col("xs")))
+        .cache()
+      val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
+        df.withColumn(s"mh$i", array_min(transform(col("xs"),
+          x => (lit(67108879L + 65537L * i) * x
+            + lit(1000003L * i + 12345L)) % lit(P))))
       }
-      val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bandStructs = array((0 until NumHashes / BandRows).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until BandRows).map(r =>
             col(s"mh${b * BandRows + r}").cast("string")): _*).as("sig"))
       }: _*)
-      val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      val bands = withMh.select(col("doc_id"), explode(bandStructs).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -111,8 +120,15 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardPairs(sh)
-        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      val slim = sets.select(col("doc_id"), col("xs"), col("n"))
+      cand
+        .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(slim.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
+            (col("sa.n") + col("sb.n")
+              - size(array_intersect(col("sa.xs"), col("sb.xs")))))
+            .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
 

@@ -49,9 +49,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window would shuffle+sort all N^2 rows:\n$p")
   }
 
-  test("d03: minhash aggregates into one groupBy (no 32x explode before shuffle)") {
+  test("d03: verify path joins gathered sets (array_intersect), no shingle re-join") {
     val p = plan("d03_minhash_lsh")
-    assert(p.contains("partial_min"), s"expected map-side min combine:\n$p")
+    assert(p.contains("array_intersect"),
+      s"candidate verification should use gathered shingle sets:\n$p")
+    assert(!p.contains("Window"), p)
   }
 
   test("q18: both dims broadcast, all scans filtered+pruned, topk no global sort") {
