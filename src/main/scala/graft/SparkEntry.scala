@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ext.Text.queries ++ ext.Dedup.queries ++
+    ops.Relational.queries ++ ops.CcdQueries.queries ++
+      ext.Text.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Events.queries ++ ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
