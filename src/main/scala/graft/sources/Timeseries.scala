@@ -47,6 +47,26 @@ object Timeseries {
       .as[ArdRow]
   }
 
+  /** Long AUX observations → AuxRow per pixel (the AUX twin of
+    * assemble — reference timeseries.aux, ccdc/timeseries.py:46-55;
+    * aux rasters are static so each pixel has a single-date series). */
+  def assembleAux(obs: DataFrame): Dataset[graft.types.AuxRow] = {
+    import obs.sparkSession.implicits._
+    val obsStruct = struct(col("date"), col("dem"), col("trends"),
+      col("aspect"), col("posidex"), col("slope"), col("mpw"))
+    obs.groupBy(col("cx"), col("cy"), col("px"), col("py"))
+      .agg(reverse(array_sort(collect_list(obsStruct))).as("o"))
+      .select(col("cx"), col("cy"), col("px"), col("py"),
+        col("o.date").as("dates"),
+        col("o.dem").as("dem"),
+        col("o.trends").as("trends"),
+        col("o.aspect").as("aspect"),
+        col("o.posidex").as("posidex"),
+        col("o.slope").as("slope"),
+        col("o.mpw").as("mpw"))
+      .as[graft.types.AuxRow]
+  }
+
   /** Restrict long observations to an acquired range (reference:
     * the `acquired` ISO8601 window applied at fetch; here an ordinary
     * pushed-down predicate on the observation date). */
