@@ -96,6 +96,33 @@ object Similarity {
     })
   )
 
+  /** BucketedRandomProjectionLSH ANN (the spark.ml scale path SURVEY.md
+    * §2.8b names): random hyperplane buckets prune the candidate set,
+    * approxNearestNeighbors searches only colliding buckets. Seeded —
+    * deterministic locally, but hash family is JVM-internal so no
+    * cross-engine oracle (s01 brute force is the oracle-checked
+    * baseline; s02 is the oracle-checked IVF topology). Returns top-k
+    * by euclidean distance for one query vector id. */
+  def annLsh(s: SparkSession, dir: String, queryVecId: Long, k: Int = 5,
+      bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val vecs = emb(s, dir)
+      .map(r => (r.getAs[Long]("vec_id"),
+        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
+      .toDF("vec_id", "features")
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setSeed(42L).setInputCol("features").setOutputCol("hashes")
+      .fit(vecs)
+    val q = vecs.filter(col("vec_id") === queryVecId)
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    model.approxNearestNeighbors(
+        vecs.filter(col("vec_id") =!= queryVecId), q, k)
+      .select(col("vec_id").as("nn_id"), col("distCol").as("dist"))
+  }
+
   private val cosSql =
     """list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""

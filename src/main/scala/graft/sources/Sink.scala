@@ -24,6 +24,31 @@ object Sink {
       .parquet(path)
   }
 
+  /** Bucketed managed-table write (SURVEY.md §7.4.5: product tables
+    * bucketed by chip key). A join between two tables bucketed the
+    * same way on the same keys runs with NO exchange on either side —
+    * the co-location the reference's Cassandra partition keys gave it,
+    * but visible to Catalyst. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], pk: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A previous session may have left the warehouse directory behind
+    // without catalog metadata; managed-table creation refuses to reuse
+    // it, so clear the orphan.
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val deduped = if (pk.nonEmpty) df.dropDuplicates(pk) else df
+    deduped.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Keyed read: scan restricted to the requested ids (reference S7 —
     * `ids.join(table, keys, "inner")`). `ids` is small (chip worklist),
     * so it broadcasts; left_semi when only restriction is wanted. */
