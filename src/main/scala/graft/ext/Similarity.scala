@@ -40,6 +40,20 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Per-query top-k via the bounded-heap aggregate: partial
+    * aggregation keeps ≤ k scored rows per query per task, where the
+    * window formulation would shuffle-and-sort every scored row.
+    * Ordering (cos desc, nn_id asc) matches row_number's via the
+    * negated-id tie-break field. */
+  private def topK(scored: DataFrame, key: Column, k: Int): DataFrame =
+    scored.groupBy(key)
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("cos_sim"), (-col("nn_id")).as("neg_id"), col("nn_id")), k)
+        .as("top"))
+      .select(key, posexplode(col("top")))
+      .select(key, col("col.nn_id").as("nn_id"),
+        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).cast("int").as("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: 10 query vectors × full corpus.
     // Query side broadcast; rank via per-query window.
@@ -50,11 +64,7 @@ object Similarity {
       val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn_id"),
           cosine(col("qv"), col("v")).as("cos_sim"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("nn_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("nn_id"), col("cos_sim"), col("rk"))
+      topK(scored, col("qid"), 5)
     }),
 
     // IVF-style probe: coarse cell = label; each query vector searches
@@ -67,11 +77,7 @@ object Similarity {
         .filter(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn_id"),
           cosine(col("qv"), col("v")).as("cos_sim"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("nn_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("nn_id"), col("cos_sim"), col("rk"))
+      topK(scored, col("qid"), 3)
     }),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
