@@ -151,6 +151,41 @@ object Dedup {
     })
   )
 
+  /** Scale-safe exact-Jaccard variant: candidate generation blocks
+    * only on shingles with document frequency ≤ maxDocFreq (stop
+    * shingles are useless discriminators but quadratic in cost — one
+    * shingle shared by 1M docs would emit 10^12 candidate rows), while
+    * verification still computes EXACT Jaccard over the full shingle
+    * sets via array_intersect. Only pairs whose every shared shingle
+    * is ultra-common are missed — pairs that share even one
+    * sub-threshold shingle are found with their exact score.
+    */
+  def jaccardPairsScalable(s: SparkSession, dir: String,
+      minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("x"))
+    val blocked = sh.join(rare, Seq("x"), "left_semi")
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("x")).as("xs"))
+      .withColumn("n", size(col("xs")))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
+          (col("sa.n") + col("sb.n")
+            - size(array_intersect(col("sa.xs"), col("sb.xs")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** spark.ml MinHashLSH variant of near-dedup (the stock-ML
     * alternative to the hand-rolled d03; SURVEY.md §2.8b names
     * `org.apache.spark.ml.feature.MinHashLSH` as the built-in path).

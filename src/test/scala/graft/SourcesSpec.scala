@@ -42,6 +42,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(banded == brute, "banding must lose no pairs at hamming<=3")
   }
 
+  test("scalable capped-blocking jaccard finds all planted pairs exactly") {
+    val full = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardPairsScalable(spark, sf, 0.5, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == full,
+      s"capped blocking should still find all ${full.size} pairs with exact scores")
+  }
+
   test("keyed read restricts the scan to requested ids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
