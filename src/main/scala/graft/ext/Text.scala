@@ -71,6 +71,20 @@ object Text {
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
     }),
 
+    // Term statistics: corpus-wide term frequency + document frequency
+    // (the integer-exact core of TF-IDF; the float idf weighting lives
+    // in tfidf() below via spark.ml), plus a regexp_extract feature.
+    "t06_term_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as(Seq("tok")))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"),
+          count(when(regexp_extract(col("tok"), "^(.*ing)$", 1) =!= "", 1))
+            .as("n_ing"))
+    }),
+
     // Word-bigram counts across the corpus (n-gram surface); the HAVING
     // bound keeps the result set stable and skips the long tail.
     "t05_ngrams" -> ((s, dir) => {
@@ -86,6 +100,21 @@ object Text {
         .filter(col("n") >= 20)
     })
   )
+
+  /** TF-IDF document vectors via the spark.ml path SURVEY.md §2.8b
+    * names (Tokenizer → HashingTF → IDF). Float idf weights are
+    * JVM-side (no cross-engine oracle); the integer core (tf/df) is
+    * oracle-checked by t06_term_stats. Returns (doc_id, tfidf vector). */
+  def tfidf(s: SparkSession, dir: String,
+      numFeatures: Int = 1 << 12): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    val toksDf = new Tokenizer().setInputCol("text").setOutputCol("words")
+      .transform(docs(s, dir).select(col("doc_id"), col("text")))
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+      .setNumFeatures(numFeatures).transform(toksDf)
+    new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
+      .transform(tf).select(col("doc_id"), col("tfidf"))
+  }
 
   val oracle: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -120,6 +149,14 @@ object Text {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "t06_term_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+        |  COUNT(CASE WHEN regexp_extract(tok, '^(.*ing)$', 1) <> ''
+        |        THEN 1 END) AS n_ing
+        |FROM tok GROUP BY tok""".stripMargin,
     "t05_ngrams" ->
       """WITH tk AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents

@@ -44,6 +44,13 @@ class ExtSpec extends AnyFunSuite {
     assert(sampled.forall(_._2.nonEmpty))
   }
 
+  test("tfidf vectors: one per doc, idf downweights ubiquitous terms") {
+    val df = ext.Text.tfidf(spark, sf)
+    assert(df.count() == Tables(spark, sf, "documents").count())
+    val v = df.head().getAs[org.apache.spark.ml.linalg.Vector]("tfidf")
+    assert(v.numNonzeros > 0)
+  }
+
   test("e04 sessions never overlap and gaps exceed 30min between sessions") {
     val df = SparkEntry.queries("e04_sessionize")(spark, sf)
       .orderBy(col("user_id"), col("sess")).collect()
