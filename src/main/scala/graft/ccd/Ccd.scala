@@ -84,16 +84,23 @@ object Ccd {
   /** Ordinary least squares via normal equations + tiny ridge for
     * numerical stability; deterministic Gaussian elimination. */
   private[graft] def olsFit(ts: Array[Double], ys: Array[Double],
-      nHarm: Int = Harmonics): Array[Double] = {
-    val p = 2 + 2 * nHarm
+      nHarm: Int = Harmonics): Array[Double] =
+    olsFitRows(ts.map(designRow(_, Harmonics)), ys, 0, ts.length, 2 + 2 * nHarm)
+
+  /** OLS over precomputed full-width design rows, using the first `p`
+    * columns (smaller harmonic models are prefixes of the full row).
+    * Accumulation order matches the from-scratch form exactly. */
+  private def olsFitRows(rows: Array[Array[Double]], ys: Array[Double],
+      from: Int, until: Int, p: Int): Array[Double] = {
     val ata = Array.ofDim[Double](p, p)
     val aty = new Array[Double](p)
-    var i = 0
-    while (i < ts.length) {
-      val row = designRow(ts(i), nHarm)
+    var i = from
+    while (i < until) {
+      val row = rows(i)
+      val y = ys(i)
       var a = 0
       while (a < p) {
-        aty(a) += row(a) * ys(i)
+        aty(a) += row(a) * y
         var b = 0
         while (b < p) { ata(a)(b) += row(a) * row(b); b += 1 }
         a += 1
@@ -138,11 +145,12 @@ object Ccd {
     x
   }
 
-  private def predict(coefs: Array[Double], t: Double): Double = {
-    val row = designRow(t, (coefs.length - 2) / 2)
+  /** Dot of fitted coefs with the first coefs.length columns of a
+    * precomputed full-width design row. */
+  private def predictRow(coefs: Array[Double], row: Array[Double]): Double = {
     var s = 0.0
     var i = 0
-    while (i < row.length) { s += coefs(i) * row(i); i += 1 }
+    while (i < coefs.length) { s += coefs(i) * row(i); i += 1 }
     s
   }
 
@@ -154,22 +162,21 @@ object Ccd {
     if (diffs.isEmpty) 0.0 else diffs(diffs.length / 2)
   }
 
-  /** Fit all bands over observation index range [from, until). */
-  private def fitBands(ts: Array[Double], bands: Array[Array[Double]],
+  /** Fit all bands over observation index range [from, until), using
+    * precomputed design rows (trig evaluated once per series). */
+  private def fitBands(rows: Array[Array[Double]], bands: Array[Array[Double]],
       from: Int, until: Int): Array[(Array[Double], Double)] = {
-    val tSlice = ts.slice(from, until)
-    val nHarm = harmonicsFor(until - from)
+    val p = 2 + 2 * harmonicsFor(until - from)
     bands.map { ys =>
-      val ySlice = ys.slice(from, until)
-      val coefs = olsFit(tSlice, ySlice, nHarm)
+      val coefs = olsFitRows(rows, ys, from, until, p)
       var sse = 0.0
-      var i = 0
-      while (i < tSlice.length) {
-        val r = ySlice(i) - predict(coefs, tSlice(i))
+      var i = from
+      while (i < until) {
+        val r = ys(i) - predictRow(coefs, rows(i))
         sse += r * r
         i += 1
       }
-      val olsRmse = math.sqrt(sse / math.max(1, tSlice.length - coefs.length))
+      val olsRmse = math.sqrt(sse / math.max(1, (until - from) - coefs.length))
       (coefs, math.max(math.max(olsRmse, variogram(ys, from, until)), MinRmse))
     }
   }
@@ -177,12 +184,12 @@ object Ccd {
   /** Normalized residual score of observation i under the fits:
     * sum over bands of (residual / rmse)^2. */
   private def score(fits: Array[(Array[Double], Double)],
-      ts: Array[Double], bands: Array[Array[Double]], i: Int): Double = {
+      rows: Array[Array[Double]], bands: Array[Array[Double]], i: Int): Double = {
     var s = 0.0
     var b = 0
     while (b < NumBands) {
       val (coefs, rmse) = fits(b)
-      val r = (bands(b)(i) - predict(coefs, ts(i))) / rmse
+      val r = (bands(b)(i) - predictRow(coefs, rows(i))) / rmse
       s += r * r
       b += 1
     }
@@ -229,6 +236,11 @@ object Ccd {
     val ts = keptIdx.map(dates(_).toDouble)
     val obs = bands.map(series => keptIdx.map(series(_).toDouble))
     val n = ts.length
+    // Full-width design rows, computed once per series: every fit,
+    // score, and residual below reuses these (smaller harmonic models
+    // read a prefix), eliminating repeated trig — the hot cost of the
+    // refit cadence.
+    val rows = ts.map(designRow(_, Harmonics))
 
     val models = scala.collection.mutable.ArrayBuffer.empty[ChangeModel]
     var segStart = 0
@@ -239,13 +251,13 @@ object Ccd {
         segStart = n
       } else {
         var fitEnd = segStart + MinObs // exclusive
-        var fits = fitBands(ts, obs, segStart, fitEnd)
+        var fits = fitBands(rows, obs, segStart, fitEnd)
         var broke = false
         var i = fitEnd
         var anomalyRun = 0
         var firstAnomaly = -1
         while (i < n && !broke) {
-          if (score(fits, ts, obs, i) > ChangeThreshold) {
+          if (score(fits, rows, obs, i) > ChangeThreshold) {
             if (anomalyRun == 0) firstAnomaly = i
             anomalyRun += 1
             if (anomalyRun >= Peek) {
@@ -254,7 +266,7 @@ object Ccd {
               val mags = Array.tabulate(NumBands) { b =>
                 val (coefs, _) = fits(b)
                 val rs = (firstAnomaly until firstAnomaly + Peek)
-                  .map(j => obs(b)(j) - predict(coefs, ts(j)))
+                  .map(j => obs(b)(j) - predictRow(coefs, rows(j)))
                 rs.sorted.apply(rs.length / 2) // median residual
               }
               models += toModel(fits, mags, ts, segStart, lastGood,
@@ -269,13 +281,13 @@ object Ccd {
             // Grow the stable window; refit on a deterministic cadence.
             i += 1
             if ((i - fitEnd) % 4 == 0) {
-              fits = fitBands(ts, obs, segStart, i)
+              fits = fitBands(rows, obs, segStart, i)
             }
           }
         }
         if (!broke) {
           // Open final segment to the last observation.
-          fits = fitBands(ts, obs, segStart, n)
+          fits = fitBands(rows, obs, segStart, n)
           val mags = Array.fill(NumBands)(0.0)
           models += toModel(fits, mags, ts, segStart, n - 1,
             ts(n - 1).toInt, 0.0, n - segStart)
