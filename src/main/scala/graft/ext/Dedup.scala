@@ -94,14 +94,15 @@ object Dedup {
     // explosion), and candidate pairs verify with array_intersect on
     // the gathered sets rather than re-joining exploded shingles.
     "d03_minhash_lsh" -> ((s, dir) => {
-      // Tiny frame (one row per doc, ~50 longs each) feeding both the
-      // signature path and the verify path — cache beats re-evaluating
-      // the scan+md5+collect_set pipeline twice.
+      // One row per doc (~50 longs each), feeding the signature path
+      // and the verify path. Deliberately NOT cached: a lazily-returned
+      // plan can never unpersist, so a cache here would pin executor
+      // storage for the rest of the session and make repeated runs
+      // measure the cache instead of the query.
       val sets = shingles(s, dir)
         .groupBy(col("doc_id"))
         .agg(collect_set(col("x")).as("xs"))
         .withColumn("n", size(col("xs")))
-        .cache()
       val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
         df.withColumn(s"mh$i", array_min(transform(col("xs"),
           x => (lit(67108879L + 65537L * i) * x

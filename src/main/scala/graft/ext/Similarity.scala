@@ -122,8 +122,12 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setSeed(42L).setInputCol("features").setOutputCol("hashes")
       .fit(vecs)
-    val q = vecs.filter(col("vec_id") === queryVecId)
-      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    // Query vector via a pushed-down single-row read of the raw table —
+    // not a second evaluation of the whole vectorizing pipeline.
+    val q = Vectors.dense(
+      Tables(s, dir, "embeddings").filter(col("vec_id") === queryVecId)
+        .head().getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray)
     model.approxNearestNeighbors(
         vecs.filter(col("vec_id") =!= queryVecId), q, k)
       .select(col("vec_id").as("nn_id"), col("distCol").as("dist"))

@@ -26,10 +26,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
     require(factor > 0)
-    // Deterministic salt: hash of the whole left row's key columns plus
-    // a cheap per-row discriminator (monotonically varying column set).
+    // Per-row salt, independent of the row's values: duplicate rows of
+    // a hot key must NOT share a salt (a value-derived hash would send
+    // the whole hot key to one partition again). Row position is fine —
+    // the salt only routes rows, it never affects the join result.
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(factor)))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")

@@ -48,10 +48,17 @@ object Classification {
   def saveTile(spark: SparkSession, model: PipelineModel, tx: Int, ty: Int,
       name: String, updated: String, outDir: String): Unit = {
     import spark.implicits._
-    val modelPath = s"$outDir/model/$name"
+    // Model directory and tile-record partition are keyed by the full
+    // (tx, ty, name) identity; dynamic partition overwrite gives the
+    // per-key last-write-wins upsert the reference's CQL PK provided —
+    // saving tile B must not erase tile A's record.
+    val modelPath = s"$outDir/model/${tx}_${ty}_$name"
     model.write.overwrite().save(modelPath)
-    val tile = Seq(TileRec(tx, ty, name, modelPath, updated)).toDF()
-    Sink.write(tile, s"$outDir/tile", Seq("tx", "ty", "name"))
+    Seq(TileRec(tx, ty, name, modelPath, updated)).toDF()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tx", "ty", "name")
+      .parquet(s"$outDir/tile")
   }
 
   /** Load a tile's model back (round-trip of saveTile). */

@@ -31,16 +31,25 @@ object Sink {
     * but visible to Catalyst. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String], pk: Seq[String] = Nil): Unit = {
+    // Unqualified current-database names only: the orphan cleanup below
+    // derives the managed location from the table name, which is wrong
+    // for `db.table` qualified names (location $warehouse/db.db/table).
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // A previous session may have left the warehouse directory behind
     // without catalog metadata; managed-table creation refuses to reuse
     // it, so clear the orphan.
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(
-      s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // Only remove the directory when the catalog has no table claiming
+    // it — never delete a live (possibly external) table's data.
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val deduped = if (pk.nonEmpty) df.dropDuplicates(pk) else df
     deduped.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

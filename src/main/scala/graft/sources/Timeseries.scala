@@ -30,8 +30,10 @@ object Timeseries {
     "swir2" -> "swir2s", "thermal" -> "thermals", "qa" -> "qas")
 
   /** Long observations → ArdRow per pixel, arrays date-descending.
-    * Duplicate dates keep the lexicographically-largest observation
-    * struct (deterministic under any partitioning). */
+    * Duplicate-date observations are all retained (ordered among
+    * themselves by the full observation struct, so output is
+    * deterministic under any partitioning); same-day dedup policy
+    * belongs to the consumer (Ccd.detect keeps the first per day). */
   def assemble(obs: DataFrame): Dataset[ArdRow] = {
     import obs.sparkSession.implicits._
     val obsStruct = struct(col("date"), col("blue"), col("green"),

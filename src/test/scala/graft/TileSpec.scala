@@ -26,9 +26,14 @@ class TileSpec extends AnyFunSuite {
     val model = Classification.train(aux, segments, 1, 800000, numTrees = 3).get
     Classification.saveTile(spark, model, 2565585, 3314805,
       "rf-test", "2026-08-12T00:00:00", out)
+    // A second tile's save must NOT erase the first (per-key upsert,
+    // like the reference's CQL primary key).
+    Classification.saveTile(spark, model, 100, 200,
+      "rf-test", "2026-08-12T01:00:00", out)
     val loaded = Classification.loadTile(spark, out, 2565585, 3314805, "rf-test")
-    assert(loaded.nonEmpty, "tile model must round-trip")
+    assert(loaded.nonEmpty, "tile model must survive another tile's save")
     assert(loaded.get.stages.length == model.stages.length)
+    assert(Classification.loadTile(spark, out, 100, 200, "rf-test").nonEmpty)
     assert(Classification.loadTile(spark, out, 0, 0, "rf-test").isEmpty,
       "keyed read must not match other tiles")
   }
