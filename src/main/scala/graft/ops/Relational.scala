@@ -223,6 +223,43 @@ object Relational {
         .limit(10)
     }),
 
+    // ROLLUP subtotals (grouping-set surface; beyond the reference's
+    // own operators, declared for the engine).
+    "q19_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Exact median via interpolated percentile — identical linear
+    // interpolation definition in both engines, over raw (not
+    // accumulated) doubles, so results hash-match.
+    "q20_median" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+    }),
+
+    // String-function battery: case mapping, trim/pad, replace,
+    // reverse, locate, repeat + null-handling scalars.
+    "q21_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          regexp_replace(col("p_name"), "a", "@").as("name_sub"),
+          reverse(col("p_brand")).as("brand_rev"),
+          instr(col("p_type"), "BRUSHED").as("pos_brushed"),
+          repeat(col("p_brand"), 2).as("brand_x2"),
+          greatest(col("p_size"), lit(25)).as("size_hi"),
+          least(col("p_size"), lit(25)).as("size_lo"),
+          nullif(col("p_size"), lit(25)).as("size_nn"))
+    }),
+
     // Multi-key grouped aggregation with exact decimal AVG
     // (avg = exact decimal sum / count, both engines IEEE-identical).
     "q14_avg_by_key" -> ((s, dir) => {
@@ -343,6 +380,30 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q20_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q21_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_sub,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(instr(p_type, 'BRUSHED') AS INTEGER) AS pos_brushed,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  CAST(greatest(p_size, 25) AS INTEGER) AS size_hi,
+        |  CAST(least(p_size, 25) AS INTEGER) AS size_lo,
+        |  CAST(nullif(p_size, 25) AS INTEGER) AS size_nn
+        |FROM part""".stripMargin,
     "q14_avg_by_key" ->
       """SELECT l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
