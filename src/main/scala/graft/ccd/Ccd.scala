@@ -246,8 +246,8 @@ object Ccd {
     var segStart = 0
     while (segStart < n) {
       if (n - segStart < MinObs) {
-        // Tail too short for a model: absorb into previous segment's
-        // span if one exists, else drop (mask already records usage).
+        // Tail too short for a model: dropped (the processing mask
+        // still records that the observations were used).
         segStart = n
       } else {
         var fitEnd = segStart + MinObs // exclusive

@@ -82,8 +82,12 @@ object CcdOps {
     * chip with its acquisition dates. */
   def chipRecords(segments: Dataset[Segment]): Dataset[ChipRec] = {
     import segments.sparkSession.implicits._
+    // max over the array column (lexicographic) — a deterministic pick
+    // where dropDuplicates would keep whichever pixel's row a partition
+    // surfaced first (pixels of a chip can have differing date sets).
     segments.select(col("cx"), col("cy"), col("dates"))
-      .dropDuplicates("cx", "cy")
+      .groupBy(col("cx"), col("cy"))
+      .agg(max(col("dates")).as("dates"))
       .as[ChipRec]
   }
 

@@ -75,7 +75,12 @@ object Multimodal {
         octet_length(col("text")).as("n_bytes"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha"),
         ascii(substring(col("text"), 1, 1)).as("head_byte"),
-        expr("transform(sequence(1, length(text), 16), i -> ascii(substring(text, i, 1)))")
+        // Guard the empty payload: Spark's sequence(1, 0, 16) throws
+        // where DuckDB's generate_series yields [] — match DuckDB.
+        expr("""case when length(text) > 0
+               |  then transform(sequence(1, length(text), 16),
+               |                 i -> ascii(substring(text, i, 1)))
+               |  else cast(array() as array<int>) end""".stripMargin)
           .as("sampled"))
     })
   )

@@ -76,8 +76,7 @@ object Text {
     // in tfidf() below via spark.ml), plus a regexp_extract feature.
     "t06_term_stats" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as(Seq("tok")))
+        .select(col("doc_id"), explode(toks).as(Seq("tok")))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("tf"),
           countDistinct(col("doc_id")).as("df"),

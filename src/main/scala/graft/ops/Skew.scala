@@ -26,12 +26,15 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
     require(factor > 0)
-    // Per-row salt, independent of the row's values: duplicate rows of
-    // a hot key must NOT share a salt (a value-derived hash would send
-    // the whole hot key to one partition again). Row position is fine —
-    // the salt only routes rows, it never affects the join result.
+    // Salt = hash of the FULL left row: deterministic under task retry
+    // (a position-based salt could change on recomputation, silently
+    // dropping/duplicating rows fetched by already-finished reducers)
+    // and spreads a hot key as long as its rows differ in any non-key
+    // column. Fully identical duplicate rows do share a salt — callers
+    // with such data should carry a unique id column into `left`.
     val salted = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(factor.toLong))
+        .cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")

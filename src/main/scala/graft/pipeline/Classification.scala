@@ -77,8 +77,11 @@ object Classification {
     * their segments (J4, ccdc/segment.py:103-116) and dedensified. */
   def classify(model: PipelineModel, aux: Dataset[AuxRow],
       segments: DataFrame): DataFrame = {
+    // Strict: excludes the empty-default placeholder segments
+    // (sday=eday=0001-01-01, all model fields null — ccdc/pyccd.py:99-103),
+    // which would otherwise classify on all-zero features.
     val eligible = segments.filter(
-      col("sday") >= CcdOps.ordinalToIso(1) && col("eday") >= CcdOps.ordinalToIso(1))
+      col("sday") > CcdOps.ordinalToIso(1) && col("eday") > CcdOps.ordinalToIso(1))
     val fdf = Features.dataframe(aux.toDF(), eligible)
     val preds = Rf.classify(model, fdf)
     val joined = segments

@@ -37,13 +37,14 @@ object Sink {
     require(!table.contains("."),
       s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
+    // Check BEFORE dropping: if the catalog tracked the table, DROP
+    // handles its data per managed/external semantics and we must not
+    // touch the directory ourselves. Only when the catalog never knew
+    // the table is a leftover warehouse directory an orphan (previous
+    // session died between write and metadata) that we may clear.
+    val existed = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // A previous session may have left the warehouse directory behind
-    // without catalog metadata; managed-table creation refuses to reuse
-    // it, so clear the orphan.
-    // Only remove the directory when the catalog has no table claiming
-    // it — never delete a live (possibly external) table's data.
-    if (!spark.catalog.tableExists(table)) {
+    if (!existed) {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(
         s"$warehouse/${table.toLowerCase(java.util.Locale.ROOT)}")
