@@ -33,6 +33,20 @@ object Events {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
     }),
 
+    // Typed JSON decoding: from_json with a declared schema (the
+    // struct-typed sibling of e01's get_json_object path).
+    "e05_props_struct" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // Tumbling 1-hour event-time windows (batch form of the
     // Structured Streaming windowed agg).
     "e02_tumbling_window" -> ((s, dir) => {
@@ -80,6 +94,13 @@ object Events {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "e05_props_struct" ->
+      """WITH p AS (SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+        |  CAST(MIN(k) AS INTEGER) AS min_k, CAST(MAX(k) AS INTEGER) AS max_k
+        |FROM p WHERE k IS NOT NULL GROUP BY k % 10""".stripMargin,
     "e02_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |  COUNT(*) AS n,
