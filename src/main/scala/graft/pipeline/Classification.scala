@@ -40,6 +40,35 @@ object Classification {
     Rf.train(fdf, numTrees)
   }
 
+  /** Tile-level training entry (reference ccdc/core.py:156-189 via
+    * grid.training, ccdc/grid.py:69-89): training data = the 3×3 tile
+    * neighborhood's chips. Both inputs are scoped with a broadcast
+    * semi-join on the chip ids — geometry-driven partition pruning. */
+  def trainForTile(spark: SparkSession, aux: Dataset[AuxRow],
+      segments: DataFrame, x: Double, y: Double, msday: Int, meday: Int,
+      numTrees: Int = 500): Option[PipelineModel] = {
+    import spark.implicits._
+    val chipIds = broadcast(
+      graft.grid.Grid.trainingChips(x, y).toDF("cx", "cy"))
+    val auxScoped = aux.join(chipIds, Seq("cx", "cy"), "left_semi")
+      .as[AuxRow]
+    val segScoped = segments.join(chipIds, Seq("cx", "cy"), "left_semi")
+    train(auxScoped, segScoped, msday, meday, numTrees)
+  }
+
+  /** Tile-level classification entry (reference ccdc/core.py:190-240,
+    * completed): classify exactly the containing tile's chips. */
+  def classifyTile(model: PipelineModel, aux: Dataset[AuxRow],
+      segments: DataFrame, x: Double, y: Double): DataFrame = {
+    val spark = aux.sparkSession
+    import spark.implicits._
+    val chipIds = broadcast(
+      graft.grid.Grid.classificationChips(x, y).toDF("cx", "cy"))
+    classify(model,
+      aux.join(chipIds, Seq("cx", "cy"), "left_semi").as[AuxRow],
+      segments.join(chipIds, Seq("cx", "cy"), "left_semi"))
+  }
+
   /** Persist per-tile trained-model metadata (reference: tile records,
     * ccdc/tile.py:16-43 + the driver-side write at ccdc/core.py:222-230
     * — S8's single-row literal source + S6 typed sink). The model

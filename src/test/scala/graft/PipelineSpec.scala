@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ccd.{Ccd, CcdOps}
@@ -61,6 +62,28 @@ class PipelineSpec extends AnyFunSuite {
     val all = inTile.unionAll(other)
     val scoped = ChangeDetection.tileScope(all, 2565585.0 + 1.0, 3314805.0 - 1.0)
     assert(scoped.count() == 4)
+  }
+
+  test("tile-level train/classify scope to the grid neighborhood") {
+    import spark.implicits._
+    val segments = CcdOps.segmentRecords(CcdOps.detect(syntheticArd))
+    val auxRows = (0 until 4).map { p =>
+      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+        Seq(730000), Some(Seq(100.0f + p)), Seq(1 + p % 2),
+        Some(Seq(10 * p)), Some(Seq(0.5f)), Some(Seq(2.0f)), Some(Seq(1)))
+    } :+ AuxRow(2565585 + 10 * 150000, 3314805, 99, 99, // far-away tile
+      Seq(730000), Some(Seq(1.0f)), Seq(1), Some(Seq(1)),
+      Some(Seq(0.1f)), Some(Seq(0.1f)), Some(Seq(1)))
+    val aux = spark.createDataset(auxRows)
+    val model = Classification.trainForTile(spark, aux, segments,
+      2565585.0 + 1, 3314805.0 - 1, 1, 800000, numTrees = 3)
+    assert(model.nonEmpty)
+    val out = Classification.classifyTile(model.get, aux, segments,
+      2565585.0 + 1, 3314805.0 - 1)
+    // only the target tile's pixels classified; the far-away aux row
+    // contributes nothing
+    assert(out.count() > 0)
+    assert(out.filter(col("pixelx") === 99).count() == 0)
   }
 
   test("train + classify round-trip produces raw prediction arrays") {
