@@ -260,6 +260,21 @@ object Relational {
           nullif(col("p_size"), lit(25)).as("size_nn"))
     }),
 
+    // Correlated scalar subquery through the spark.sql entry — Catalyst
+    // decorrelates it into an aggregate+join; predicate arithmetic is
+    // exact (decimal sum, deterministic double compare) for parity.
+    "q22_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice * (
+          |    SELECT COUNT(*) FROM orders_v o2
+          |    WHERE o2.o_custkey = o.o_custkey)
+          |  > 1.5 * (
+          |    SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
     // Multi-key grouped aggregation with exact decimal AVG
     // (avg = exact decimal sum / count, both engines IEEE-identical).
     "q14_avg_by_key" -> ((s, dir) => {
@@ -404,6 +419,14 @@ object Relational {
         |  CAST(least(p_size, 25) AS INTEGER) AS size_lo,
         |  CAST(nullif(p_size, 25) AS INTEGER) AS size_nn
         |FROM part""".stripMargin,
+    "q22_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice * (
+        |    SELECT COUNT(*) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  > 1.5 * (
+        |    SELECT CAST(SUM(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin,
     "q14_avg_by_key" ->
       """SELECT l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
