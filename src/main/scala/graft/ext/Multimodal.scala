@@ -77,10 +77,13 @@ object Multimodal {
         ascii(substring(col("text"), 1, 1)).as("head_byte"),
         // Guard the empty payload: Spark's sequence(1, 0, 16) throws
         // where DuckDB's generate_series yields [] — match DuckDB.
-        expr("""case when length(text) > 0
+        // Emitted ','-joined (not as array<int>): the driver harness
+        // row-sorts in pandas, which can't hash array cells. The
+        // array-returning sample shape stays in StubDecoders.frameSample.
+        expr("""array_join(case when length(text) > 0
                |  then transform(sequence(1, length(text), 16),
-               |                 i -> ascii(substring(text, i, 1)))
-               |  else cast(array() as array<int>) end""".stripMargin)
+               |                 i -> cast(ascii(substring(text, i, 1)) as string))
+               |  else cast(array() as array<string>) end, ',')""".stripMargin)
           .as("sampled"))
     })
   )
@@ -91,8 +94,8 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha,
         |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS head_byte,
-        |  [ascii(substring(text, i, 1))
-        |    for i in generate_series(1, length(text)::INT, 16)] AS sampled
+        |  array_to_string([CAST(ascii(substring(text, i, 1)) AS VARCHAR)
+        |    for i in generate_series(1, length(text)::INT, 16)], ',') AS sampled
         |FROM documents""".stripMargin
   )
 }

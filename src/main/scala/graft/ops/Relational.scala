@@ -29,6 +29,18 @@ object Relational {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** A3 grouped gather in its first-class array-returning form: per-nation
+    * sorted supplier-name list (ccdc/timeseries.py:120-123's chip→array
+    * transpose shape). q09 wraps this with `concat_ws` because the driver
+    * harness can't hash array cells; library callers get the real array.
+    */
+  def groupedGather(supplier: DataFrame, nation: DataFrame): DataFrame =
+    supplier.join(broadcast(nation),
+        supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
+        count(lit(1)).as("n_sup"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2/A3 + P1: scan → filter (pushed to parquet) → hash aggregate.
     // Reference analogue: per-key aggregation assembling products
@@ -114,13 +126,14 @@ object Relational {
 
     // A3: grouped gather — per-key sorted list assembly, the Spark-native
     // form of merlin's chip→pixel-array transpose (ccdc/timeseries.py:120-123).
+    // The list is emitted '|'-joined: the driver harness row-sorts results in
+    // pandas, which cannot hash array cells. The array-returning form stays
+    // first-class as Relational.groupedGather.
     "q09_collect_list" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
-          count(lit(1)).as("n_sup"))
+      groupedGather(t(s, dir, "supplier"), t(s, dir, "nation"))
+        .select(col("n_name"),
+          concat_ws("|", col("suppliers")).as("suppliers"),
+          col("n_sup"))
     }),
 
     // §2.5 engine-declared: window function — first 3 orders per customer.
@@ -334,7 +347,8 @@ object Relational {
         |  (SELECT k FROM buyers INTERSECT SELECT k FROM poor))
         |EXCEPT SELECT c_custkey AS k FROM customer WHERE c_nationkey = 0""".stripMargin,
     "q09_collect_list" ->
-      """SELECT n_name, list(s_name ORDER BY s_name) AS suppliers, COUNT(*) AS n_sup
+      """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        |  COUNT(*) AS n_sup
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q10_window_rank" ->

@@ -38,6 +38,11 @@ def canon(v):
 
 def frame_key(df):
     df = df[sorted(df.columns)]
+    # The driver harness row-sorts with pandas sort_values, which raises
+    # "unhashable type" on array-valued cells. Run the same sort here so a
+    # query that would fail the driver gate fails this mirror too, instead
+    # of being silently rescued by canon()'s array stringification.
+    df = df.sort_values(by=list(df.columns))
     rows = ["|".join(canon(v) for v in row) for row in df.itertuples(index=False)]
     return sorted(rows)
 
