@@ -9,10 +9,13 @@ import graft.Tables
   * n-gram Jaccard (shingle-blocked pairwise), MinHash+LSH (band-bucket
   * candidate join + exact verify), SimHash signatures.
   *
-  * Scale stance (100 TB): nothing here compares all pairs. Jaccard pairs
-  * are blocked on shared shingles; MinHash-LSH compares only band-bucket
-  * collisions — both shuffle on content-derived keys, so they scale
-  * linearly in corpus size (times collision rate), not quadratically.
+  * Scale stance (100 TB): nothing here compares all pairs, and nothing
+  * is quadratic in hot-shingle document frequency. Jaccard pairs block
+  * on exact PREFIX filtering (rarest-first global shingle order — stop
+  * shingles never enter prefixes, yet recall at the threshold is
+  * provably total); MinHash-LSH compares only band-bucket collisions.
+  * Both shuffle on content-derived keys, so they scale linearly in
+  * corpus size (times collision rate), not quadratically.
   *
   * Portability discipline: every hash is derived from md5 hex (identical
   * in Spark and DuckDB), folded to ≤36-bit ints so the (a*x+b) mod p
@@ -36,7 +39,7 @@ object Dedup {
     * engines, so any (vanishingly rare) collision is identical on both
     * sides and parity holds. `toks` is materialized as a column first
     * so the split runs once per row, not once per lambda element. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -48,11 +51,31 @@ object Dedup {
           |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
           .stripMargin))).as("x"))
 
-  /** Exact Jaccard over shingle-id sets for pairs sharing ≥1 shingle.
-    * Blocking on the shingle id — never all-pairs; the only quadratic
-    * term is per-shingle document frequency (the LSH variant d03 is
-    * the scale path that removes even that). */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  /** One gather per doc: (doc_id, xs, n) with xs in the global
+    * rarest-first (df asc, shingle id asc) order — reused by both the
+    * prefix blocking and the exact verify. */
+  private[graft] def orderedShingleSets(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("x"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("o"))
+      .select(col("doc_id"), col("o.x").as("xs"), size(col("o")).as("n"))
+  }
+
+  /** The blocking rows: each doc's first n − ⌈t·n⌉ + 1 shingles in the
+    * global order, exploded to (doc_id, n, x). */
+  private[graft] def prefixBlocks(sets: DataFrame, t: Double): DataFrame =
+    sets.select(col("doc_id"), col("n"),
+      explode(slice(col("xs"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("x"))
+
+  /** Exhaustive exact Jaccard over shingle-id sets for pairs sharing
+    * ≥1 shingle — the reference semantics, kept `private[graft]` ONLY
+    * as the oracle twin for DedupSpec's recall-equality test. Its
+    * candidate join emits df²/2 rows per shingle with document
+    * frequency df, so it must never be the registered entry: one stop
+    * shingle shared by 1M docs would emit ~10¹² candidate rows. */
+  private[graft] def jaccardPairsExhaustive(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -65,6 +88,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact near-dup pairs with PREFIX-FILTERED candidate generation
+    * (All-Pairs/PPJoin style) — same results as
+    * [[jaccardPairsExhaustive]] at threshold `t`, provably, without the
+    * hot-shingle blowup.
+    *
+    * Shingles get a global total order: ascending document frequency,
+    * ties by shingle id (rarest first). Each doc blocks only on its
+    * first `p = n − ⌈t·n⌉ + 1` shingles in that order.
+    *
+    * Total recall proof: J(A,B) ≥ t ⟹ I = |A∩B| ≥ t·max(|A|,|B|)
+    * (since union ≥ max), so I ≥ ⌈t·|A|⌉ and I ≥ ⌈t·|B|⌉. Let c be the
+    * globally smallest common shingle. If c were outside A's prefix,
+    * all I common shingles would sit in A's last ⌈t·|A|⌉ − 1 positions
+    * — fewer than I. Contradiction; so c is in A's prefix, and by the
+    * same argument in B's. Every qualifying pair therefore collides on
+    * at least one prefix shingle, and the exact `array_intersect`
+    * verify computes its true Jaccard.
+    *
+    * Scale: a stop shingle shared by 1M docs lands at the END of the
+    * df-ascending order, so it enters prefixes only for docs made
+    * almost entirely of stop shingles — candidate cost tracks the
+    * rare-shingle collision rate, not max document frequency. The
+    * length filter (min ≥ ⌈t·max⌉) prunes mismatched-size pairs before
+    * the verify join.
+    */
+  private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double): DataFrame = {
+    val sets = orderedShingleSets(sh)
+    val pref = prefixBlocks(sets, t)
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(greatest(col("a.n"), col("b.n")) * lit(t)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val slim = sets.select(col("doc_id"), col("xs"), col("n"))
+    cand
+      .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(slim.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
+          (col("sa.n") + col("sb.n")
+            - size(array_intersect(col("sa.xs"), col("sb.xs")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -80,10 +150,13 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
-    // N-gram Jaccard near-dedup, blocked on shared shingles (no
-    // all-pairs comparison — the join key IS the shingle).
+    // N-gram Jaccard near-dedup with exact prefix-filtered candidates
+    // (All-Pairs/PPJoin) — identical results to the exhaustive
+    // shingle-blocked join (DedupSpec pins the equality; the DuckDB
+    // oracle below IS the exhaustive form), but candidate cost no
+    // longer scales with hot-shingle document frequency.
     "d02_ngram_jaccard" -> ((s, dir) =>
-      jaccardPairs(shingles(s, dir)).filter(col("jaccard") >= 0.5)),
+      jaccardPairsPrefix(shingles(s, dir), 0.5)),
 
     // MinHash + LSH: 32 hashes, 8 bands × 4 rows; candidates = band
     // signature collisions; exact-Jaccard verification keeps semantics
@@ -151,41 +224,6 @@ object Dedup {
           .as("simhash"))
     })
   )
-
-  /** Scale-safe exact-Jaccard variant: candidate generation blocks
-    * only on shingles with document frequency ≤ maxDocFreq (stop
-    * shingles are useless discriminators but quadratic in cost — one
-    * shingle shared by 1M docs would emit 10^12 candidate rows), while
-    * verification still computes EXACT Jaccard over the full shingle
-    * sets via array_intersect. Only pairs whose every shared shingle
-    * is ultra-common are missed — pairs that share even one
-    * sub-threshold shingle are found with their exact score.
-    */
-  def jaccardPairsScalable(s: SparkSession, dir: String,
-      minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
-    val sh = shingles(s, dir)
-    val rare = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select(col("x"))
-    val blocked = sh.join(rare, Seq("x"), "left_semi")
-    val cand = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("x")).as("xs"))
-      .withColumn("n", size(col("xs")))
-    cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
-          (col("sa.n") + col("sb.n")
-            - size(array_intersect(col("sa.xs"), col("sb.xs")))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-  }
 
   /** spark.ml MinHashLSH variant of near-dedup (the stock-ML
     * alternative to the hand-rolled d03; SURVEY.md §2.8b names

@@ -65,26 +65,32 @@ object Multimodal {
     mediaTable(s, dir).mapPartitions(StubDecoders.features)
   }
 
+  /** Strided byte sample of a `text` column, ','-joined. Guard the
+    * empty payload: Spark's sequence(1, 0, 16) throws where DuckDB's
+    * generate_series yields [] — and DuckDB's array_to_string([], ',')
+    * is NULL (not ''), with NULL text propagating to NULL too. Emit
+    * NULL for both degenerate cases so the branches agree
+    * engine-to-engine (ADVICE r2). */
+  private[graft] def sampledCol: org.apache.spark.sql.Column =
+    expr("""case when length(text) > 0
+           |  then array_join(transform(sequence(1, length(text), 16),
+           |                 i -> cast(ascii(substring(text, i, 1)) as string)), ',')
+           |  else cast(null as string) end""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata surface, oracle-checkable: byte length,
     // content hash, head byte, strided byte sample (all-ASCII corpus so
-    // char positions == byte positions in both engines).
+    // char positions == byte positions in both engines). Emitted
+    // ','-joined (not array<int>): the driver harness row-sorts in
+    // pandas, which can't hash array cells. The array-returning sample
+    // shape stays in StubDecoders.frameSample.
     "m01_binary_stats" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
         col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha"),
         ascii(substring(col("text"), 1, 1)).as("head_byte"),
-        // Guard the empty payload: Spark's sequence(1, 0, 16) throws
-        // where DuckDB's generate_series yields [] — match DuckDB.
-        // Emitted ','-joined (not as array<int>): the driver harness
-        // row-sorts in pandas, which can't hash array cells. The
-        // array-returning sample shape stays in StubDecoders.frameSample.
-        expr("""array_join(case when length(text) > 0
-               |  then transform(sequence(1, length(text), 16),
-               |                 i -> cast(ascii(substring(text, i, 1)) as string))
-               |  else cast(array() as array<string>) end, ',')""".stripMargin)
-          .as("sampled"))
+        sampledCol.as("sampled"))
     })
   )
 

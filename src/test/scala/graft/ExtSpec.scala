@@ -44,6 +44,19 @@ class ExtSpec extends AnyFunSuite {
     assert(sampled.forall(_._2.nonEmpty))
   }
 
+  test("m01 sampled column is NULL for empty and NULL text (DuckDB parity)") {
+    // DuckDB: array_to_string([], ',') = NULL and NULL text propagates;
+    // the Spark branch must agree (ADVICE r2) even though the sf corpora
+    // contain no such rows.
+    import spark.implicits._
+    val got = Seq(Some("abc"), Some(""), None).toDF("text")
+      .select(ext.Multimodal.sampledCol.as("sampled"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("97"), s"got ${got(0)}")
+    assert(got(1).isEmpty, "empty text must sample to NULL")
+    assert(got(2).isEmpty, "NULL text must sample to NULL")
+  }
+
   test("tfidf vectors: one per doc, idf downweights ubiquitous terms") {
     val df = ext.Text.tfidf(spark, sf)
     assert(df.count() == Tables(spark, sf, "documents").count())

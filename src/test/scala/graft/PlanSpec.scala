@@ -56,6 +56,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d02: candidate join input is the prefix-filtered set, not the full shingles") {
+    val p = plan("d02_ngram_jaccard")
+    assert(p.contains("slice("),
+      s"candidate generation must explode only the per-doc prefix slice:\n$p")
+    assert(p.contains("array_intersect"),
+      s"verification must use gathered sets, not a shingle re-join:\n$p")
+    // Behavioral half of the pin: the join's blocking input must be a
+    // strict subset of the shingle rows (≈ half at t=0.5), so the
+    // blowup shape — joining two full shingle explodes — is gone.
+    val sh = ext.Dedup.shingles(spark, sf)
+    val full = sh.count()
+    val blocks = ext.Dedup.prefixBlocks(ext.Dedup.orderedShingleSets(sh), 0.5).count()
+    assert(blocks < full,
+      s"prefix blocks ($blocks) must be fewer than shingle rows ($full)")
+    assert(blocks <= (full * 0.6).toLong + sh.select("doc_id").distinct().count(),
+      s"prefix should be ~half the shingles at t=0.5, got $blocks of $full")
+  }
+
   test("q18: both dims broadcast, all scans filtered+pruned, topk no global sort") {
     // (AQE leaves isFinalPlan=false before execution, so codegen `*(n)`
     // markers aren't visible here — assert the structural properties.)

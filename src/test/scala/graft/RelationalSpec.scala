@@ -50,6 +50,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
   }
 
+  test("groupedGather keeps suppliers as a sorted array<string> (library shape)") {
+    // q09 only exercises the concat_ws wrapper; pin the first-class
+    // array-returning schema the Scaladoc promises (ADVICE r2).
+    val df = ops.Relational.groupedGather(
+      Tables(spark, sf, "supplier"), Tables(spark, sf, "nation"))
+    val supField = df.schema("suppliers").dataType
+    assert(supField ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      s"suppliers must stay array<string>, got $supField")
+    val row = df.orderBy("n_name").head()
+    val sups = row.getAs[scala.collection.Seq[String]]("suppliers")
+    assert(sups == sups.sorted, "suppliers array must be sorted ascending")
+    assert(row.getAs[Long]("n_sup") == sups.length)
+  }
+
   test("q10 window rank bounded at 3 per customer") {
     val df = fnRun("q10_window_rank")
     val maxRn = df.agg(org.apache.spark.sql.functions.max("rn")).head.getInt(0)

@@ -42,13 +42,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(banded == brute, "banding must lose no pairs at hamming<=3")
   }
 
-  test("scalable capped-blocking jaccard finds all planted pairs exactly") {
-    val full = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+  test("prefix-filtered jaccard (d02) == exhaustive shingle-blocked join, exactly") {
+    // Total-recall proof made empirical: the registered prefix-filtered
+    // entry must emit the exact same (pair, score) set as the
+    // exhaustive join the DuckDB oracle mirrors.
+    val prefix = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val capped = Dedup.jaccardPairsScalable(spark, sf, 0.5, maxDocFreq = 50)
+    val exhaustive = Dedup.jaccardPairsExhaustive(Dedup.shingles(spark, sf))
+      .filter(col("jaccard") >= 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(capped == full,
-      s"capped blocking should still find all ${full.size} pairs with exact scores")
+    assert(prefix == exhaustive,
+      s"prefix filtering must lose nothing: ${prefix.size} vs ${exhaustive.size}")
   }
 
   test("keyed read restricts the scan to requested ids") {
