@@ -22,6 +22,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ext.Text.oracle ++ ext.Dedup.oracle ++
+    ops.Relational.oracle ++ ops.CcdQueries.oracle ++
+      ext.Text.oracle ++ ext.Dedup.oracle ++
       ext.Similarity.oracle ++ ext.Events.oracle ++ ext.Multimodal.oracle
 }

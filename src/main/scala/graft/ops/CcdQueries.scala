@@ -65,15 +65,66 @@ object CcdQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship CCDC operator over table-derived pixel series. Output:
     // per-segment key columns + fitted-window metadata (deterministic;
-    // rows-only checked — CCD has no SQL oracle).
+    // rows-only checked — the regression math has no SQL oracle; c02
+    // below is its hash-checked invariant surface, and CcdSpec pins a
+    // golden hash of this full output).
     "c01_ccd_segments" -> ((s, dir) => {
       CcdOps.detect(supplierSeries(s, dir))
         .select(col("cx"), col("px"), col("sday"), col("eday"),
           col("bday"), col("curqa"),
           size(col("dates")).as("n_obs"))
+    }),
+
+    // DuckDB-checkable invariant projection of c01 (the CCD kernel's
+    // oracle surface): per supplier, the contracts the kernel must
+    // hold — ≥1 segment (empty-default contract, reference
+    // ccdc/pyccd.py:99-103), every fitted segment inside the series'
+    // shipdate bounds, n_obs = series length on every row, mask length
+    // = n_obs. Emitted as exact values/flags the oracle recomputes
+    // from `lineitem` alone; any kernel regression flips a flag (or
+    // shifts n_obs) and breaks the hash match.
+    "c02_ccd_invariants" -> ((s, dir) => {
+      val seg = CcdOps.detect(supplierSeries(s, dir))
+        .select(col("cx"), col("sday"), col("eday"),
+          size(col("dates")).as("n_obs"), size(col("mask")).as("n_mask"))
+      val per = seg.groupBy(col("cx"))
+        .agg(count(lit(1)).as("n_seg"),
+          // Empty-default rows (sday = eday = ordinal 1) are exempt
+          // from the bounds contract; conditional min/max skips them.
+          min(when(col("sday") =!= "0001-01-01", to_date(col("sday"))))
+            .as("nd_min_sday"),
+          max(when(col("eday") =!= "0001-01-01", to_date(col("eday"))))
+            .as("nd_max_eday"),
+          min(col("n_obs")).as("min_nobs"), max(col("n_obs")).as("max_nobs"),
+          min((col("n_mask") === col("n_obs")).cast("int")).as("mask_ok"))
+      val li = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").cast("int").as("cx"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate").cast("date")).as("lo"),
+          max(col("l_shipdate").cast("date")).as("hi"))
+      // Left join FROM lineitem: a supplier the kernel dropped
+      // entirely must surface as seg_ok = 0, not vanish from the join.
+      li.join(per, Seq("cx"), "left")
+        .select(col("cx"),
+          coalesce(col("max_nobs"), lit(0)).as("n_obs"),
+          (coalesce(col("n_seg"), lit(0L)) >= 1).cast("int").as("seg_ok"),
+          coalesce(col("nd_min_sday") >= col("lo") &&
+            col("nd_max_eday") <= col("hi"), lit(true)).cast("int").as("bounds_ok"),
+          coalesce((col("min_nobs") === col("n_rows") &&
+            col("max_nobs") === col("n_rows")).cast("int"), lit(0)).as("nobs_ok"),
+          coalesce(col("mask_ok"), lit(0)).as("mask_ok"))
     })
   )
 
-  /** No oracle — intentionally absent (rows-only check). */
-  val oracle: Map[String, String] = Map.empty
+  /** c01's regression math is not SQL-expressible (rows-only check);
+    * c02 recomputes the invariant surface from `lineitem` assuming the
+    * kernel honors its contracts — flags are constant-1 and n_obs is
+    * the supplier's row count exactly when it does. */
+  val oracle: Map[String, String] = Map(
+    "c02_ccd_invariants" ->
+      """SELECT CAST(l_suppkey AS INTEGER) AS cx,
+        |  CAST(COUNT(*) AS INTEGER) AS n_obs,
+        |  1 AS seg_ok, 1 AS bounds_ok, 1 AS nobs_ok, 1 AS mask_ok
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin
+  )
 }

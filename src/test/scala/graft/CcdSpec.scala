@@ -92,6 +92,27 @@ class CcdSpec extends AnyFunSuite {
     assert(resid.map(math.abs).max < 1.0, "clean signal should fit near-exactly")
   }
 
+  test("c01 sf0.001 output matches the pinned golden hash (kernel regression guard)") {
+    // The flagship query has no SQL oracle (rows-only at the driver
+    // gate) and c02 checks only invariants — this pins the FULL c01
+    // output at sf0.001 so a numeric regression that preserves row
+    // count and invariants still fails loudly. Regenerate the constant
+    // only for an intentional kernel change.
+    import SparkTestSession._
+    val rows = SparkEntry.queries("c01_ccd_segments")(spark, sf)
+      .collect()
+      .map { r =>
+        Seq("cx", "px", "sday", "eday", "bday", "curqa", "n_obs")
+          .map(f => String.valueOf(r.getAs[Any](f))).mkString("|")
+      }
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == "aedad63dedd0acfcff77b933e53070e8",
+      s"c01 golden hash drifted: $md (${rows.length} rows)")
+  }
+
   test("ordinal/ISO round trip matches Python date.fromordinal") {
     assert(CcdOps.ordinalToIso(1) == "0001-01-01")
     assert(CcdOps.ordinalToIso(719163) == "1970-01-01")
