@@ -39,10 +39,17 @@ object ChangeDetection {
       val chips = CcdOps.chipRecords(segments)
       val pixels = CcdOps.pixelRecords(segments)
       val segs = CcdOps.segmentRecords(segments)
-      Sink.write(chips.toDF(), s"$outDir/chip", Seq("cx", "cy"))
-      Sink.write(pixels.toDF(), s"$outDir/pixel", Seq("cx", "cy", "px", "py"))
+      // Chip-prefix partitioned: a later run of another tile (or a
+      // re-run of this one) replaces exactly the chips it carries —
+      // the reference's chip-keyed Cassandra upsert (schema.cql:142).
+      // A tile batch always contains whole chips, so partition-level
+      // replacement == chip-level last-write-wins.
+      Sink.write(chips.toDF(), s"$outDir/chip", Seq("cx", "cy"),
+        Seq("cx", "cy"))
+      Sink.write(pixels.toDF(), s"$outDir/pixel", Seq("cx", "cy", "px", "py"),
+        Seq("cx", "cy"))
       Sink.write(segs, s"$outDir/segment",
-        Seq("cx", "cy", "px", "py", "sday", "eday"))
+        Seq("cx", "cy", "px", "py", "sday", "eday"), Seq("cx", "cy"))
       val spark = ard.sparkSession
       (spark.read.parquet(s"$outDir/chip").count(),
         spark.read.parquet(s"$outDir/pixel").count(),

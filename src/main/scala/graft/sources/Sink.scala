@@ -15,13 +15,31 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Sink {
 
-  /** Schema-conforming upsert-style write (reference S5/S6). */
+  /** Schema-conforming write (reference S5/S6), with the reference's
+    * per-key last-write-wins upsert when `partitionCols` is given.
+    *
+    * The reference's Cassandra PK (chip-keyed, schema.cql:142) upserted
+    * per row; Parquet's unit of replacement is a partition directory,
+    * so the upsert granularity here is the `partitionCols` key prefix:
+    * with `partitionOverwriteMode=dynamic`, a batch replaces exactly
+    * the partitions it contains rows for and leaves every other key's
+    * data untouched. Callers must send whole key-groups per batch
+    * (a tile run always carries complete chips, so chip-prefix
+    * partitioning reproduces the reference's chip-level upsert).
+    *
+    * With `partitionCols` empty the write is a FULL REFRESH of `path`
+    * — a second batch erases rows not in it. Use that only for
+    * tables rebuilt wholesale.
+    */
   def write(df: DataFrame, path: String, pk: Seq[String],
       partitionCols: Seq[String] = Nil): Unit = {
     val deduped = if (pk.nonEmpty) df.dropDuplicates(pk) else df
-    val w = deduped.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+    if (partitionCols.nonEmpty)
+      deduped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    else deduped.write.mode("overwrite").parquet(path)
   }
 
   /** Bucketed managed-table write (SURVEY.md §7.4.5: product tables

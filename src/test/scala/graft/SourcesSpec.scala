@@ -55,6 +55,28 @@ class SourcesSpec extends AnyFunSuite {
       s"prefix filtering must lose nothing: ${prefix.size} vs ${exhaustive.size}")
   }
 
+  test("partitioned write upserts per key: overlapping batch keeps unrelated keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val batch1 = Seq((1, 10, "a1"), (2, 20, "b1")).toDF("cx", "cy", "v")
+    val batch2 = Seq((2, 20, "b2"), (3, 30, "c1")).toDF("cx", "cy", "v")
+    Sink.write(batch1, dir, Seq("cx", "cy"), Seq("cx", "cy"))
+    Sink.write(batch2, dir, Seq("cx", "cy"), Seq("cx", "cy"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Int]("cx"), r.getAs[String]("v"))).toSet
+    // key 1 (absent from batch2) must survive; key 2 must be batch2's row
+    assert(got == Set((1, "a1"), (2, "b2"), (3, "c1")),
+      s"expected per-key last-write-wins, got $got")
+  }
+
+  test("unpartitioned write remains a documented full refresh") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    Sink.write(Seq((1, "a")).toDF("k", "v"), dir, Seq("k"))
+    Sink.write(Seq((2, "b")).toDF("k", "v"), dir, Seq("k"))
+    assert(spark.read.parquet(dir).collect().map(_.getAs[Int]("k")).toSet == Set(2))
+  }
+
   test("keyed read restricts the scan to requested ids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
