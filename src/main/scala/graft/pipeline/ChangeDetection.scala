@@ -22,12 +22,35 @@ object ChangeDetection {
 
   /** Restrict an ARD dataset to the chips of the tile containing
     * (x, y) — geometry-driven partition pruning (the reference's
-    * tile→chip enumeration, ccdc/grid.py:23-53). */
-  def tileScope(ard: Dataset[ArdRow], x: Double, y: Double): Dataset[ArdRow] = {
+    * tile→chip enumeration, ccdc/grid.py:23-53). `number` caps the
+    * chip worklist (reference cli.py:30 `-n`, "testing only"):
+    * row-major order, so the cap is deterministic. */
+  def tileScope(ard: Dataset[ArdRow], x: Double, y: Double,
+      number: Int = Int.MaxValue): Dataset[ArdRow] = {
     val spark = ard.sparkSession
     import spark.implicits._
-    val chipIds = Grid.tileOf(x, y).chips.toDF("cx", "cy")
+    val chipIds = Grid.tileOf(x, y).chips.take(number).toDF("cx", "cy")
     ard.join(broadcast(chipIds), Seq("cx", "cy"), "left_semi").as[ArdRow]
+  }
+
+  /** Restrict every pixel series to observations inside an ISO8601
+    * `acquired` range "start/end" (reference F5: the -a flag threaded
+    * through chip fetch, ccdc/core.py:41-50 + ccdc/timeseries.py:63).
+    * Pixels left with no observations drop out entirely. */
+  def acquiredWindow(ard: Dataset[ArdRow], acquired: String): Dataset[ArdRow] = {
+    val spark = ard.sparkSession
+    import spark.implicits._
+    val (lo, hi) = CcdOps.acquiredRange(acquired)
+    ard.map { r =>
+      val keep = r.dates.zipWithIndex.collect {
+        case (d, i) if d >= lo && d <= hi => i
+      }
+      def sel(xs: Seq[Int]): Seq[Int] = keep.map(xs)
+      r.copy(dates = sel(r.dates), blues = sel(r.blues),
+        greens = sel(r.greens), reds = sel(r.reds), nirs = sel(r.nirs),
+        swir1s = sel(r.swir1s), swir2s = sel(r.swir2s),
+        thermals = sel(r.thermals), qas = sel(r.qas))
+    }.filter(_.dates.nonEmpty)
   }
 
   /** Detect changes and land the three product tables.
