@@ -57,4 +57,35 @@ class GridSpec extends AnyFunSuite {
     val p = Grid.pixelCoordinates(2565585, 3314805)
     assert(p.size == 10000 && p.distinct.size == 10000)
   }
+
+  test("tile catalog agrees with Grid.tileOf geometry for sampled tiles") {
+    import SparkTestSession._
+    val cat = grid.TileCatalog.generate(spark).collect()
+    assert(cat.length == grid.TileCatalog.ConusH * grid.TileCatalog.ConusV)
+    assert(cat.map(r => (r.h, r.v)).distinct.length == cat.length)
+    // catalog bounds == closed-form geometry at each sampled tile's center
+    cat.filter(r => (r.h * 31 + r.v * 17) % 50 == 0).foreach { r =>
+      val t = Grid.tileOf(r.ulx + 75000.0, r.uly - 75000.0)
+      assert((t.h, t.v) == ((r.h, r.v)), s"grid point drift at $r")
+      assert((t.ulx, t.uly, t.lrx, t.lry) == ((r.ulx, r.uly, r.lrx, r.lry)),
+        s"bounds drift at $r vs $t")
+    }
+  }
+
+  test("tile catalog CSV round-trips and covering() prunes to the bbox") {
+    import SparkTestSession._
+    val dir = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    val cat = grid.TileCatalog.generate(spark)
+    grid.TileCatalog.writeCsv(cat, dir)
+    val back = grid.TileCatalog.readCsv(spark, dir)
+    assert(back.collect().toSet == cat.collect().toSet)
+    // a bbox spanning tile (5,5)'s center to tile (6,6)'s center
+    // intersects exactly the 2x2 block
+    val t55 = cat.filter(r => r.h == 5 && r.v == 5).head()
+    val (cx, cy) = (t55.ulx + 75000.0, t55.uly - 75000.0)
+    val cov = grid.TileCatalog.covering(back,
+      cx, cy - 150000.0, cx + 150000.0, cy).collect()
+    assert(cov.length == 4, s"expected 2x2 tiles, got ${cov.length}")
+    assert(cov.map(r => (r.h, r.v)).toSet == Set((5, 5), (5, 6), (6, 5), (6, 6)))
+  }
 }
