@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   *
   * At scale: watermarks bound state; the windowed agg is a streaming
   * partial-aggregation (no global shuffle beyond the keyed exchange);
-  * session state is per-user and evicted on processing-time timeout.
+  * session state is per-user and evicted on event-time timeout, so
+  * replay/backfill agrees with the batch operators.
   */
 object EventStreams {
 
@@ -58,11 +59,20 @@ object EventStreams {
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
   /** Gap-based session tracking with mapGroupsWithState — the
-    * streaming twin of e04_sessionize. A session closes when no event
-    * arrives for `gapMinutes` (state timeout), emitting its summary.
-    * Gap compares in exact microseconds to agree with the batch twin's
-    * interval arithmetic. */
-  def sessionize(events: Dataset[EventIn], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    * streaming twin of e04_sessionize. A session closes when event
+    * time advances `gapMinutes` past its last event: the timeout is an
+    * EVENT-TIME timestamp evicted by the watermark, so replaying a
+    * historical day produces exactly the batch sessionizer's
+    * boundaries — a processing-time timeout would close sessions by
+    * wall clock and diverge on backfill. In-batch gap comparison stays
+    * exact-microsecond to agree with the batch twin's interval
+    * arithmetic.
+    *
+    * `watermarkDelay` bounds state for late data; replay correctness
+    * needs only that events per user arrive time-ordered across
+    * triggers within the delay. */
+  def sessionize(events: Dataset[EventIn], gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60 * 1000000L
 
@@ -89,14 +99,25 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutDuration(gapUs / 1000L)
+          // Event-time eviction: fire when the watermark passes the
+          // gap after the last event. Spark rejects timestamps at or
+          // below the current watermark, so clamp just above it (the
+          // session is then already closable and fires next trigger).
+          // Batch execution drops the watermark node (timeouts never
+          // fire there), so the clamp falls back to no-op.
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          state.setTimeoutTimestamp(
+            math.max(s.lastTs.getTime + gapUs / 1000L, wm + 1))
         }
         closed.reverseIterator
       }
     }
 
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .as[EventIn]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -38,6 +38,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming replay of a historical batch matches e04 session boundaries") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_sess_replay").toString
+    val ev = Tables(spark, sf, "events").filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.write.mode("append").parquet(srcDir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val sessions = EventStreams.sessionize(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.EventIn])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_replay").start()
+    try {
+      q.processAllAvailable()
+      // Two sentinel appends: the first advances the watermark past the
+      // day (computed from batch-1 data), the second triggers the batch
+      // in which every remaining real session's event-time timeout fires.
+      Seq(1, 2).foreach { i =>
+        Seq((-1000L - i, new java.sql.Timestamp(
+            maxTs.getTime + i * 10L * 24 * 3600 * 1000), -1L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("sess_replay").filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+        .toSet
+      val want = SparkEntry.queries("e04_sessionize")(spark, sf)
+        .filter(col("user_id") < 20).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("t_start"),
+          r.getAs[java.sql.Timestamp]("t_end"),
+          r.getAs[Long]("n_events").toInt))
+        .toSet
+      assert(got == want,
+        s"replayed sessions diverge: ${got.size} streamed vs ${want.size} batch; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on timeout") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
