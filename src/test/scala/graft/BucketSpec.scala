@@ -9,6 +9,17 @@ import graft.sources.Sink
 class BucketSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Run `body` with broadcast joins off, so a sort-merge plan is the
+    * only alternative to a shuffle and the bucketing claim is provable
+    * (a broadcast join contains no Exchange hashpartitioning either,
+    * which would make the assertions vacuous). */
+  private def withoutBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("co-bucketed tables join without any exchange") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
@@ -17,14 +28,45 @@ class BucketSpec extends AnyFunSuite {
     Sink.writeBucketed(li, "li_b", 8, Seq("l_orderkey"))
     Sink.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
       "o_b", 8, Seq("l_orderkey"))
-    val joined = spark.table("li_b").join(spark.table("o_b"), Seq("l_orderkey"))
-    // Force the join wide enough that broadcast doesn't kick in.
-    val noBroadcast = joined.hint("merge")
-    val plan = noBroadcast.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"co-bucketed join must not shuffle:\n$plan")
-    assert(noBroadcast.count() ==
-      li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    withoutBroadcast {
+      val joined = spark.table("li_b").join(spark.table("o_b"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must actually use the bucket layout:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    }
+  }
+
+  test("bucketed product tables: segment join pixel runs with zero exchange") {
+    // The J4-shaped product join (segment rows ⋈ per-pixel masks on the
+    // pixel key) over tables landed with Sink.writeBucketed — the
+    // co-location the reference's Cassandra partition keys provided,
+    // visible to Catalyst: neither side shuffles, at any scale.
+    import spark.implicits._
+    val segments = ccd.CcdOps.detect(CcdDemo.syntheticArd(spark, 8))
+    val segs = ccd.CcdOps.segmentRecords(segments)
+    val pix = ccd.CcdOps.pixelRecords(segments).toDF()
+      .selectExpr("cx", "cy", "px", "py", "size(mask) as n_mask")
+    val keys = Seq("cx", "cy", "px", "py")
+    Sink.writeBucketed(segs, "seg_b", 4, keys)
+    Sink.writeBucketed(pix, "pix_b", 4, keys)
+    withoutBroadcast {
+      val joined = spark.table("seg_b").join(spark.table("pix_b"), keys)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must actually use the bucket layout:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed product join must not shuffle:\n$plan")
+      assert(joined.count() == segs.count(),
+        "every segment row must find its pixel mask row")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/bucket_plan.txt"), plan.getBytes)
+    }
   }
 
   test("int8 quantization round-trips within scale/2 and preserves NN ranking") {
