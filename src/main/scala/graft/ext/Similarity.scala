@@ -80,6 +80,49 @@ object Similarity {
       topK(scored, col("qid"), 3)
     }),
 
+    // Embedding-cosine near-dup at a fixed threshold, LSH-blocked.
+    // The corpus is random (max natural pairwise cosine ~0.51), so the
+    // operator is exercised on planted duplicates: the corpus unions
+    // with a deterministically perturbed copy of itself (dim 0 scaled
+    // by 1.01 — d01's self-union pattern for the approximate regime),
+    // and the pipeline must find exactly those pairs.
+    //
+    // Blocking is axis-aligned sign-bit LSH: the 64-dim sign pattern
+    // splits into 8 bands of 8 bits; candidates collide on >=1 band,
+    // then verify with EXACT cosine >= 0.99. Hyperplanes are the
+    // coordinate axes — deterministic, so the DuckDB oracle replicates
+    // the exact candidate set and the hash match is bit-for-bit.
+    // At 100 TB: same topology as d03/d04 — shuffles only on
+    // content-derived (band, sig) keys, verification only on
+    // collisions, skewed sign-buckets handled by AQE skew join.
+    "d05_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pert = e.select((col("vec_id") + lit(10000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
+      val all = e.select(col("vec_id"), col("v")).unionAll(pert)
+      val bandStructs = array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("", (1 to 8).map(i =>
+            when(element_at(col("v"), b * 8 + i) >= 0, lit("1"))
+              .otherwise(lit("0"))): _*).as("sig"))
+      }: _*)
+      val bands = all.select(col("vec_id"), explode(bandStructs).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(all.as("sa"), col("vec_a") === col("sa.vec_id"))
+        .join(all.as("sb"), col("vec_b") === col("sb.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.99)
+    }),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -164,6 +207,30 @@ object Similarity {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d05_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 10000 AS vec_id,
+        |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
+        |     for i in generate_series(1, len(v))] AS v
+        |  FROM e),
+        |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+        |bands AS (SELECT vec_id, b AS band,
+        |    string_agg(CASE WHEN v[b*8 + i] >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY i) AS sig
+        |  FROM al, unnest(generate_series(0, 7)) u(b),
+        |           unnest(generate_series(1, 8)) w(i)
+        |  GROUP BY vec_id, b),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |scored AS (SELECT c.vec_a, c.vec_b,
+        |    list_dot_product(sa.v, sb.v)
+        |      / (sqrt(list_dot_product(sa.v, sa.v))
+        |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+        |  FROM cand c
+        |  JOIN al sa ON sa.vec_id = c.vec_a
+        |  JOIN al sb ON sb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nn_id,

@@ -29,6 +29,17 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
   }
 
+  test("d05 embedding near-dup finds exactly the planted perturbed pairs") {
+    val rows = SparkEntry.queries("d05_embedding_neardup")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.length == n, s"expected $n planted pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 10000L,
+        s"non-planted pair surfaced: $r")
+      assert(r.getAs[Double]("cos_sim") >= 0.99)
+    }
+  }
+
   test("multimodal mapPartitions feature extraction round-trips") {
     val feats = ext.Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.nonEmpty)
