@@ -84,6 +84,22 @@ object Text {
             .as("n_ing"))
     }),
 
+    // BPE-ish token counting: a GPT-2-style pretokenizer regex
+    // (contraction suffixes, space-prefixed letter/digit runs,
+    // punctuation runs, whitespace runs) — the token-budget estimator a
+    // training pipeline runs before the real tokenizer. The pattern
+    // stays inside the Java-regex ∩ RE2 subset (no lookarounds) so
+    // Spark and DuckDB extract identical token streams.
+    "t07_bpe_tokens" -> ((s, dir) => {
+      val pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+|\\s+"
+      val pieces = regexp_extract_all(col("text"), lit(pat), lit(0))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(pieces).as("n_bpe"),
+        size(filter(pieces, p => p.rlike("^ ?[0-9]+$"))).as("n_num"),
+        (size(pieces).cast("double") / size(toks)).as("bpe_per_word"))
+    }),
+
     // Word-bigram counts across the corpus (n-gram surface); the HAVING
     // bound keeps the result set stable and skips the long tail.
     "t05_ngrams" -> ((s, dir) => {
@@ -156,6 +172,18 @@ object Text {
         |  COUNT(CASE WHEN regexp_extract(tok, '^(.*ing)$', 1) <> ''
         |        THEN 1 END) AS n_ing
         |FROM tok GROUP BY tok""".stripMargin,
+    "t07_bpe_tokens" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_extract_all(text,
+        |      '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|\s+') AS pieces,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(pieces) AS INTEGER) AS n_bpe,
+        |  CAST(len(list_filter(pieces,
+        |    x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num,
+        |  CAST(len(pieces) AS DOUBLE) / n_words AS bpe_per_word
+        |FROM p""".stripMargin,
     "t05_ngrams" ->
       """WITH tk AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
