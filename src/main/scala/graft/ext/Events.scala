@@ -85,6 +85,41 @@ object Events {
           min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
         .select(col("user_id"), col("sess").cast("long").as("sess"),
           col("n_events"), col("t_start"), col("t_end"))
+    }),
+
+    // As-of (temporal) join: for each click, the most recent
+    // prior-or-equal purchase by the same user. Spark has no ASOF JOIN
+    // operator; the scale-correct plan is NOT a range join (quadratic
+    // in per-user event count) but a union + running `last(ignoreNulls)`
+    // window — one hash shuffle on user_id, linear scan per user. The
+    // oracle states the same semantics as a native DuckDB ASOF LEFT
+    // JOIN, so the two independent formulations cross-check.
+    // Build side is pre-deduped to one purchase per (user_id, ts)
+    // (max event_id) so equal-ts ties cannot make either engine
+    // nondeterministic; side=0 sorts purchases before clicks at equal
+    // ts, reproducing ASOF's `c.ts >= p.ts` inclusivity.
+    "e06_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("p_event_id"), lit(null).cast("long").as("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("p_event_id"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      purchases.unionByName(clicks)
+        .withColumn("asof_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_id").as("p_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+            .as("micros_since"))
     })
   )
 
@@ -134,6 +169,17 @@ object Events {
         |  FROM flagged)
         |SELECT user_id, sess, COUNT(*) AS n_events,
         |  MIN(ts) AS t_start, MAX(ts) AS t_end
-        |FROM sessed GROUP BY user_id, sess""".stripMargin
+        |FROM sessed GROUP BY user_id, sess""".stripMargin,
+    "e06_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS micros_since
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
   )
 }

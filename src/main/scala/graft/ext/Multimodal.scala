@@ -91,6 +91,19 @@ object Multimodal {
         sha2(encode(col("text"), "UTF-8"), 256).as("sha"),
         ascii(substring(col("text"), 1, 1)).as("head_byte"),
         sampledCol.as("sampled"))
+    }),
+
+    // The real decode path under oracle check: typed mapPartitions over
+    // the binary payload (StubDecoders.features — one kernel init per
+    // partition, the batch shape a libjpeg/ffmpeg kernel would use).
+    // mean_byte is an exact integer sum divided once, so the double is
+    // bit-identical to DuckDB's list_sum/len (all-ASCII corpus: byte
+    // values == code points).
+    "m02_media_features" -> ((s, dir) => {
+      extractFeatures(s, dir)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("mean_byte"), hex(col("head")).as("head_hex"))
     })
   )
 
@@ -102,6 +115,15 @@ object Multimodal {
         |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS head_byte,
         |  array_to_string([CAST(ascii(substring(text, i, 1)) AS VARCHAR)
         |    for i in generate_series(1, length(text)::INT, 16)], ',') AS sampled
+        |FROM documents""".stripMargin,
+    "m02_media_features" ->
+      """SELECT doc_id AS media_id, source AS kind,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(list_sum([ascii(substring(text, i, 1))
+        |              for i in generate_series(1, length(text)::INT, 1)]) AS DOUBLE)
+        |            / octet_length(encode(text)) END AS mean_byte,
+        |  hex(encode(substring(text, 1, 8))) AS head_hex
         |FROM documents""".stripMargin
   )
 }

@@ -298,6 +298,30 @@ object Relational {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("n"))
+    }),
+
+    // Full grouping-sets lattice (CUBE) with the grouping_id bitmask
+    // distinguishing subtotal levels from real NULL group values —
+    // q19's rollup sibling, one pass, partial-agg per grouping set.
+    "q23_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    // Pivot (cross-tabulation): per return-flag row, one exact-decimal
+    // quantity column per line status. Spark's pivot with declared
+    // values is a single partial-aggregable pass (no per-value scans);
+    // the oracle states the equivalent conditional aggregation.
+    "q24_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
     })
   )
 
@@ -447,6 +471,19 @@ object Relational {
         |  MIN(l_extendedprice) AS min_price,
         |  MAX(l_extendedprice) AS max_price,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_linenumber""".stripMargin
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q24_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -89,4 +89,41 @@ class ExtSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e06 as-of join matches a brute-force most-recent-prior-purchase scan") {
+    val events = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val purchases = events.filter(_._4 == "purchase")
+      .groupBy(e => (e._2, e._3))                       // same tie-break as the query:
+      .map { case (_, g) => g.maxBy(_._1) }.toSeq       // max event_id per (user, ts)
+    val expected = events.filter(_._4 == "click").map { c =>
+      val prior = purchases.filter(p => p._2 == c._2 && p._3 <= c._3)
+      c._1 -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(p => (p._3, p._1))._1))
+    }.toMap
+    val got = SparkEntry.queries("e06_asof_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("p_event_id")).map(_.longValue)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+  }
+
+  test("m02 media features agree with a driver-side recompute of the stub decoder") {
+    val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("media_id"))
+      val bytes = text.getBytes("UTF-8")
+      assert(r.getAs[Int]("n_bytes") == bytes.length)
+      val mean = if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+      assert(r.getAs[Double]("mean_byte") == mean) // exact: int sum, one division
+      assert(r.getAs[String]("head_hex") ==
+        bytes.take(8).map("%02X".format(_)).mkString)
+    }
+  }
 }

@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite {
       s"prefix should be ~half the shingles at t=0.5, got $blocks of $full")
   }
 
+  test("e06: as-of join is a single-shuffle window plan, not a range join") {
+    val p = plan("e06_asof_join")
+    assert(!p.contains("Join"), // no BroadcastNestedLoop/SortMerge range join
+      s"as-of must be the union+last-over-window plan, never a range join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q24: pivot is one pass of conditional partial aggregates, not per-value scans") {
+    val p = plan("q24_pivot")
+    assert(p.contains("partial_"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"pivot must not rescan the fact table per pivot value:\n$p")
+  }
+
   test("q18: both dims broadcast, all scans filtered+pruned, topk no global sort") {
     // (AQE leaves isFinalPlan=false before execution, so codegen `*(n)`
     // markers aren't visible here — assert the structural properties.)

@@ -72,5 +72,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(maxRn <= 3)
   }
 
+  test("q23 cube emits all four grouping-set levels with consistent totals") {
+    import org.apache.spark.sql.functions._
+    val rows = fnRun("q23_cube").collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet == Set(0, 1, 2, 3), s"got gids ${byGid.keySet}")
+    assert(byGid(3).length == 1, "exactly one grand-total row")
+    val grand = byGid(3).head.getAs[Long]("n")
+    assert(byGid(1).map(_.getAs[Long]("n")).sum == grand, "flag marginals sum to total")
+    assert(byGid(2).map(_.getAs[Long]("n")).sum == grand, "status marginals sum to total")
+    assert(byGid(0).map(_.getAs[Long]("n")).sum == grand, "cells sum to total")
+  }
+
+  test("q24 pivot columns partition each flag's quantity exactly") {
+    import org.apache.spark.sql.functions._
+    val pivoted = fnRun("q24_pivot").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("qty_f") + r.getAs[Double]("qty_o"))).toMap
+    val direct = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("tot"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("tot")).toMap
+    assert(pivoted.keySet == direct.keySet)
+    // exact: both sides are decimal-accumulated before the one cast to double
+    pivoted.foreach { case (k, v) => assert(v == direct(k), s"$k: $v != ${direct(k)}") }
+  }
+
   private def fnRun(name: String) = SparkEntry.queries(name)(spark, sf)
 }
