@@ -91,25 +91,27 @@ object Events {
     // prior-or-equal purchase by the same user. Spark has no ASOF JOIN
     // operator; the scale-correct plan is NOT a range join (quadratic
     // in per-user event count) but a union + running `last(ignoreNulls)`
-    // window — one hash shuffle on user_id, linear scan per user. The
+    // window — ONE hash shuffle on user_id, linear scan per user. The
     // oracle states the same semantics as a native DuckDB ASOF LEFT
     // JOIN, so the two independent formulations cross-check.
-    // Build side is pre-deduped to one purchase per (user_id, ts)
-    // (max event_id) so equal-ts ties cannot make either engine
-    // nondeterministic; side=0 sorts purchases before clicks at equal
-    // ts, reproducing ASOF's `c.ts >= p.ts` inclusivity.
+    // Tie discipline without a pre-dedupe shuffle: ordering the window
+    // by (ts, side, event_id) means the running last() lands on the
+    // max-event_id purchase among equal timestamps, and side=0 sorts
+    // purchases before clicks at equal ts, reproducing ASOF's
+    // `c.ts >= p.ts` inclusivity. The oracle dedupes its build side to
+    // the same max-event_id row because SQL ASOF leaves ties
+    // unspecified.
     "e06_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("p_event_id"))
         .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("p_event_id"), lit(null).cast("long").as("event_id"))
+          col("event_id").as("p_event_id"),
+          lit(null).cast("long").as("event_id"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), lit(1).as("side"),
           lit(null).cast("long").as("p_event_id"), col("event_id"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("side").asc)
+        .orderBy(col("ts").asc, col("side").asc, col("p_event_id").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, 0)
       purchases.unionByName(clicks)
         .withColumn("asof_id", last(col("p_event_id"), ignoreNulls = true).over(w))
@@ -120,6 +122,41 @@ object Events {
           col("asof_id").as("p_event_id"),
           (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
             .as("micros_since"))
+    }),
+
+    // Ordered-sequence funnel: signup → first subsequent click → first
+    // subsequent purchase, per user, summarized to stage counts plus
+    // total signup→purchase latency over completers. No self-joins:
+    // two chained running-min windows resolve the "first X after first
+    // Y" dependencies in one user_id shuffle (the per-user groupBy
+    // reuses the same partitioning), and the final summary is a tiny
+    // global partial-agg. Stage inclusivity at equal ts is defined by
+    // the stage rank in the window order (signup < click < purchase),
+    // matching the oracle's `>=` comparisons. All outputs are exact
+    // integers — no float hashing risk.
+    "e07_funnel" -> ((s, dir) => {
+      val rank = when(col("event_type") === "signup", 0)
+        .when(col("event_type") === "click", 1)
+        .when(col("event_type") === "purchase", 2)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("rank").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .withColumn("rank", rank).filter(col("rank").isNotNull)
+        .withColumn("sig_run", min(when(col("rank") === 0, col("ts"))).over(w))
+        .withColumn("clk_q",
+          when(col("rank") === 1 && col("sig_run").isNotNull, col("ts")))
+        .withColumn("clk_run", min(col("clk_q")).over(w))
+        .withColumn("pur_q",
+          when(col("rank") === 2 && col("clk_run").isNotNull, col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("rank") === 0, col("ts"))).as("t1"),
+          min(col("clk_q")).as("t2"), min(col("pur_q")).as("t3"))
+        .agg(count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"),
+          sum(when(col("t3").isNotNull,
+            unix_micros(col("t3")) - unix_micros(col("t1")))).as("sum_micros"))
     })
   )
 
@@ -180,6 +217,21 @@ object Events {
         |SELECT c.event_id, c.user_id, c.ts, p.p_event_id,
         |  epoch_us(c.ts) - epoch_us(p.ts) AS micros_since
         |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "e07_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+        |  (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase,
+        |  CAST((SELECT SUM(epoch_us(p.t3) - epoch_us(s.t1))
+        |     FROM p JOIN s USING (user_id)) AS BIGINT) AS sum_micros""".stripMargin
   )
 }

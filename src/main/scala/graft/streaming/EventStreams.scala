@@ -120,4 +120,55 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ------------------------------------------------------------------ //
+
+  case class AsofState(pMicros: Long, pEventId: Long)
+  case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
+      p_event_id: Option[Long], micros_since: Option[Long])
+
+  /** Streaming twin of e06_asof_join: enrich the click stream with the
+    * most recent prior-or-equal purchase by the same user. State is one
+    * tiny record per user (last purchase id + time) that only ever
+    * moves forward, so it is O(users), not O(events) — no timeout
+    * eviction needed; an idle-user TTL could bound it further.
+    * In-batch ordering (ts, purchase-before-click, event_id) reproduces
+    * the batch operator's tie discipline exactly: equal-ts purchases
+    * resolve to the max event_id, and a click at a purchase's exact ts
+    * sees that purchase. Replay correctness needs per-user time-ordered
+    * arrival across triggers (same contract as [[sessionize]]).
+    */
+  def asofEnrich(events: Dataset[EventIn]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[EventIn],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val relevant = batch
+        .filter(e => e.event_type == "purchase" || e.event_type == "click")
+        .toSeq
+        .sortBy(e => (micros(e.ts), if (e.event_type == "purchase") 0 else 1,
+          e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[AsofOut]
+      relevant.foreach { e =>
+        if (e.event_type == "purchase") {
+          val m = micros(e.ts)
+          val newer = cur.forall(s =>
+            m > s.pMicros || (m == s.pMicros && e.event_id > s.pEventId))
+          if (newer)
+            cur = Some(AsofState(m, e.event_id))
+        } else {
+          out += AsofOut(e.event_id, userId, e.ts,
+            cur.map(_.pEventId), cur.map(s => micros(e.ts) - s.pMicros))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

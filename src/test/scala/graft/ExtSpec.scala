@@ -110,6 +110,32 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(_.isDefined))
   }
 
+  test("e07 funnel matches a brute-force per-user stage walk") {
+    val events = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getAs[Long]("user_id"), micros, r.getAs[String]("event_type"))
+      }
+    val byUser = events.groupBy(_._1)
+    def stage(ts: Iterable[Long]): Option[Long] =
+      if (ts.isEmpty) None else Some(ts.min)
+    val walked = byUser.values.flatMap { g =>
+      val t1 = stage(g.filter(_._3 == "signup").map(_._2))
+      val t2 = t1.flatMap(t => stage(g.filter(e => e._3 == "click" && e._2 >= t).map(_._2)))
+      val t3 = t2.flatMap(t => stage(g.filter(e => e._3 == "purchase" && e._2 >= t).map(_._2)))
+      Some((t1, t2, t3))
+    }.toSeq
+    val row = SparkEntry.queries("e07_funnel")(spark, sf).head()
+    assert(row.getAs[Long]("n_signup") == walked.count(_._1.isDefined))
+    assert(row.getAs[Long]("n_click") == walked.count(_._2.isDefined))
+    assert(row.getAs[Long]("n_purchase") == walked.count(_._3.isDefined))
+    val sumMicros = walked.collect { case (Some(t1), _, Some(t3)) => t3 - t1 }.sum
+    assert(row.getAs[Long]("sum_micros") == sumMicros)
+    assert(row.getAs[Long]("n_purchase") > 0, "funnel should have completers at sf0.001")
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()

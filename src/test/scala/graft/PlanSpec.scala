@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite {
       s"as-of must be the union+last-over-window plan, never a range join:\n$p")
     assert(p.contains("Window"), p)
     assert(p.contains("Union"), p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (hashpartitioning on user_id), no pre-dedup exchange:\n$p")
+  }
+
+  test("e07: funnel is join-free; per-user agg reuses the window's partitioning") {
+    val p = plan("e07_funnel")
+    assert(!p.contains("Join"), s"funnel must not self-join the event log:\n$p")
+    // one user_id shuffle shared by windows+groupBy, one single-row gather
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly [hashpartitioning(user_id), SinglePartition]:\n$p")
   }
 
   test("q24: pivot is one pass of conditional partial aggregates, not per-value scans") {

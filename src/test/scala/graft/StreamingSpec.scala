@@ -83,6 +83,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment replays to exactly the batch e06 result") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val srcDir = Files.createTempDirectory("graft_asof_replay").toString
+    Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("append").parquet(srcDir)
+    val enriched = EventStreams.asofEnrich(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.EventIn])
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("asof_replay").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("asof_replay").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("p_event_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("micros_since")).map(_.longValue)))
+        .toSet
+      val want = SparkEntry.queries("e06_asof_join")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("p_event_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("micros_since")).map(_.longValue)))
+        .toSet
+      assert(got == want,
+        s"streamed as-of diverges: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on timeout") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
