@@ -113,6 +113,29 @@ object Text {
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)
+    }),
+
+    // Reproducible stratified sampling (corpus curation / train-eval
+    // splits): each doc draws a deterministic uniform in [0,1) from an
+    // md5 of (doc_id, salt), and a tiny broadcast rates dim — derived
+    // from the distinct sources, md5-parity split into 0.5 / 0.2 keep
+    // rates — sets the per-stratum probability (proportional mixing).
+    // The same doc set falls out on every run, engine, and cluster
+    // size: the property training-data splits need that rand()-based
+    // sampling cannot give. At 100 TB this is a map-only scan plus one
+    // broadcast; no shuffle of the corpus.
+    "t08_det_sample" -> ((s, dir) => {
+      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long")
+      val rates = docs(s, dir).select(col("source")).distinct()
+        .withColumn("rate", when(srcHash % 2 === 0, 0.5).otherwise(0.2))
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":graft"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)).as("u")
+      docs(s, dir)
+        .join(broadcast(rates), "source")
+        .withColumn("u", u)
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("source"), col("u"), col("rate"))
     })
   )
 
@@ -192,6 +215,20 @@ object Text {
         |  SELECT unnest([t[i] || ' ' || t[i+1]
         |    for i in generate_series(1, len(t) - 1)]) AS bigram FROM tk)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
-        |HAVING COUNT(*) >= 20""".stripMargin
+        |HAVING COUNT(*) >= 20""".stripMargin,
+    "t08_det_sample" ->
+      """WITH rates AS (
+        |  SELECT source,
+        |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 0
+        |         THEN 0.5 ELSE 0.2 END AS rate
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |drawn AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.u, r.rate
+        |FROM drawn d JOIN rates r USING (source)
+        |WHERE d.u < r.rate""".stripMargin
   )
 }

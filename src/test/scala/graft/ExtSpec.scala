@@ -136,6 +136,26 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_purchase") > 0, "funnel should have completers at sf0.001")
   }
 
+  test("t08 deterministic sample matches a JVM md5 recompute and is stable") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def u(docId: Long): Double =
+      java.lang.Long.parseLong(md5hex(s"$docId:graft").take(8), 16) / 4294967296.0
+    def rate(source: String): Double =
+      if (java.lang.Long.parseLong(md5hex(source).take(8), 16) % 2 == 0) 0.5 else 0.2
+    val all = Tables(spark, sf, "documents").select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = all.filter { case (id, src) => u(id) < rate(src) }.map(_._1).toSet
+    val got = SparkEntry.queries("t08_det_sample")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected, s"sample mismatch: ${(expected -- got).take(3)} missing")
+    val again = SparkEntry.queries("t08_det_sample")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == got, "sampling must be run-to-run deterministic")
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()

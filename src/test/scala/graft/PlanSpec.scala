@@ -92,6 +92,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly [hashpartitioning(user_id), SinglePartition]:\n$p")
   }
 
+  test("t08: rates dim broadcasts; the corpus scan is never shuffled") {
+    val p = plan("t08_det_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the tiny rates dim must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("q24: pivot is one pass of conditional partial aggregates, not per-value scans") {
     val p = plan("q24_pivot")
     assert(p.contains("partial_"), p)
