@@ -45,37 +45,55 @@ object Cli {
       |  classification  -x X -y Y -s MSDAY -e MEDAY [-a ISO/ISO] --aux PATH --segments PATH --out PATH [--trees N]
       |""".stripMargin
 
+  private val cdFlags = Set("x", "y", "a", "acquired", "n", "number",
+    "c", "chunk_size", "ard", "out")
+  private val clFlags = Set("x", "y", "s", "e", "a", "acquired",
+    "aux", "segments", "out", "trees")
+
   /** Pure flag parser (testable without a session). Long and short
-    * forms both accepted, reference-style (`-x` == `--x`). */
+    * forms both accepted, reference-style (`-x` == `--x`). Unknown
+    * flags and malformed numbers are errors, not silent defaults. */
   def parse(args: Seq[String]): Either[String, Cmd] = {
-    def opts(rest: Seq[String], acc: Map[String, String]): Either[String, Map[String, String]] =
+    def opts(rest: Seq[String], known: Set[String],
+        acc: Map[String, String]): Either[String, Map[String, String]] =
       rest match {
         case Seq() => Right(acc)
         case Seq(flag, value, tail @ _*) if flag.startsWith("-") =>
-          opts(tail, acc + (flag.dropWhile(_ == '-') -> value))
+          val name = flag.dropWhile(_ == '-')
+          if (known(name)) opts(tail, known, acc + (name -> value))
+          else Left(s"unknown option '$flag'\n$usage")
         case Seq(other, _*) => Left(s"unexpected argument '$other'\n$usage")
       }
     def req(m: Map[String, String], k: String): Either[String, String] =
       m.get(k).toRight(s"missing required option -$k\n$usage")
+    def dbl(k: String, v: String): Either[String, Double] =
+      v.toDoubleOption.toRight(s"option -$k expects a number, got '$v'\n$usage")
+    def int(k: String, v: String): Either[String, Int] =
+      v.toIntOption.toRight(s"option -$k expects an integer, got '$v'\n$usage")
     args match {
       case Seq("changedetection", rest @ _*) =>
         for {
-          m <- opts(rest, Map.empty)
-          x <- req(m, "x"); y <- req(m, "y")
+          m <- opts(rest, cdFlags, Map.empty)
+          x <- req(m, "x").flatMap(dbl("x", _))
+          y <- req(m, "y").flatMap(dbl("y", _))
+          n <- int("n", m.getOrElse("n", m.getOrElse("number", "2500")))
           ard <- req(m, "ard"); out <- req(m, "out")
-        } yield ChangeDetectionCmd(x.toDouble, y.toDouble,
+        } yield ChangeDetectionCmd(x, y,
           m.getOrElse("a", m.getOrElse("acquired", defaultAcquired)),
-          m.getOrElse("n", m.getOrElse("number", "2500")).toInt, ard, out)
+          n, ard, out)
       case Seq("classification", rest @ _*) =>
         for {
-          m <- opts(rest, Map.empty)
-          x <- req(m, "x"); y <- req(m, "y")
-          s <- req(m, "s"); e <- req(m, "e")
+          m <- opts(rest, clFlags, Map.empty)
+          x <- req(m, "x").flatMap(dbl("x", _))
+          y <- req(m, "y").flatMap(dbl("y", _))
+          s <- req(m, "s").flatMap(int("s", _))
+          e <- req(m, "e").flatMap(int("e", _))
+          trees <- int("trees", m.getOrElse("trees", "500"))
           aux <- req(m, "aux"); seg <- req(m, "segments")
           out <- req(m, "out")
-        } yield ClassificationCmd(x.toDouble, y.toDouble, s.toInt, e.toInt,
+        } yield ClassificationCmd(x, y, s, e,
           m.getOrElse("a", m.getOrElse("acquired", defaultAcquired)),
-          aux, seg, out, m.getOrElse("trees", "500").toInt)
+          aux, seg, out, trees)
       case Seq(verb, _*) => Left(s"unknown verb '$verb'\n$usage")
       case _ => Left(usage)
     }
@@ -91,8 +109,9 @@ object Cli {
             spark.read.parquet(ard).as[ArdRow], x, y, number), acquired)
         val (chips, pixels, segs) = ChangeDetection.run(scoped, out)
         Map("chips" -> chips, "pixels" -> pixels, "segments" -> segs)
-      case ClassificationCmd(x, y, msday, meday, _, aux, segments, out, trees) =>
-        val auxDs = spark.read.parquet(aux).as[AuxRow]
+      case ClassificationCmd(x, y, msday, meday, acquired, aux, segments, out, trees) =>
+        val auxDs = Classification.acquiredWindow(
+          spark.read.parquet(aux).as[AuxRow], acquired)
         val segs = spark.read.parquet(segments)
         Classification.trainForTile(spark, auxDs, segs, x, y,
             msday, meday, trees) match {

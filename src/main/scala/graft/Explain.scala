@@ -28,10 +28,15 @@ object Explain {
       case Array() => SparkEntry.queries.keys.toSeq.sorted
       case more    => more.toSeq
     }
-    names.foreach { n =>
-      println(s"==== $n ====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-    }
-    spark.stop()
+    try names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(q) =>
+          println(s"==== $n ====")
+          q(spark, sfDir).explain("formatted")
+        case None =>
+          System.err.println(s"unknown query '$n'; valid names:\n  " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      }
+    } finally spark.stop()
   }
 }

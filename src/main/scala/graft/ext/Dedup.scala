@@ -125,6 +125,14 @@ object Dedup {
             ceil(greatest(col("a.n"), col("b.n")) * lit(t)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    verifyJaccard(cand, sets, t)
+  }
+
+  /** Exact-Jaccard verification shared by the prefix-filter (d02) and
+    * LSH (d03) candidate paths: join (doc_a, doc_b) pairs back onto the
+    * gathered shingle sets (doc_id, xs, n) and keep pairs ≥ `t`. One
+    * definition so the two registered queries can never drift apart. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame = {
     val slim = sets.select(col("doc_id"), col("xs"), col("n"))
     cand
       .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -194,16 +202,7 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val slim = sets.select(col("doc_id"), col("xs"), col("n"))
-      cand
-        .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(slim.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
-            (col("sa.n") + col("sb.n")
-              - size(array_intersect(col("sa.xs"), col("sb.xs")))))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      verifyJaccard(cand, sets, 0.5)
     }),
 
     // SimHash signatures: 32-bit, md5-derived token hashes, per-bit

@@ -54,7 +54,8 @@ object ChangeDetection {
   }
 
   /** Detect changes and land the three product tables.
-    * Returns (chips, pixels, segments) row counts. */
+    * Returns (chips, pixels, segments) row counts landed by THIS batch
+    * (the output table may hold other tiles' rows under upsert). */
   def run(ard: Dataset[ArdRow], outDir: String): (Long, Long, Long) = {
     val segments: Dataset[Segment] = CcdOps.detect(ard)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused by 3 sinks (ccdc/core.py:68-72)
@@ -73,10 +74,10 @@ object ChangeDetection {
         Seq("cx", "cy"))
       Sink.write(segs, s"$outDir/segment",
         Seq("cx", "cy", "px", "py", "sday", "eday"), Seq("cx", "cy"))
-      val spark = ard.sparkSession
-      (spark.read.parquet(s"$outDir/chip").count(),
-        spark.read.parquet(s"$outDir/pixel").count(),
-        spark.read.parquet(s"$outDir/segment").count())
+      // Count the frames this batch landed, not the whole output table:
+      // the sink is a per-chip upsert, so the table may also hold other
+      // tiles' earlier partitions that this run did not touch.
+      (chips.count(), pixels.count(), segs.count())
     } finally segments.unpersist()
   }
 

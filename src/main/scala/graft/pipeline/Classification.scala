@@ -19,6 +19,29 @@ import graft.types.{AuxRow, TileRec}
   */
 object Classification {
 
+  /** Restrict every aux pixel series to observations inside an ISO8601
+    * `acquired` range "start/end" — the classification verb's -a flag
+    * (reference ccdc/cli.py:62 threads it into the timeseries.aux
+    * fetch, ccdc/core.py:127-153). Trimming the parallel arrays first
+    * means `trends[0]` is the first observation INSIDE the window,
+    * exactly what the reference's bounded fetch produced. Pixels left
+    * with no observations drop out. */
+  def acquiredWindow(aux: Dataset[AuxRow], acquired: String): Dataset[AuxRow] = {
+    val spark = aux.sparkSession
+    import spark.implicits._
+    val (lo, hi) = CcdOps.acquiredRange(acquired)
+    aux.map { r =>
+      val keep = r.dates.zipWithIndex.collect {
+        case (d, i) if d >= lo && d <= hi => i
+      }
+      def int(xs: Seq[Int]): Seq[Int] = keep.map(xs)
+      def flt(xs: Option[Seq[Float]]): Option[Seq[Float]] = xs.map(keep.map(_))
+      r.copy(dates = int(r.dates), dem = flt(r.dem), trends = int(r.trends),
+        aspect = r.aspect.map(keep.map(_)), posidex = flt(r.posidex),
+        slope = flt(r.slope), mpw = r.mpw.map(keep.map(_)))
+    }.filter(_.dates.nonEmpty)
+  }
+
   /** Training-segment window filter. Segment days are ISO strings for
     * schema parity; bounds arrive as ordinals and are formatted to ISO
     * for the compare — lexicographic order == chronological order for

@@ -64,8 +64,6 @@ class BucketSpec extends AnyFunSuite {
         s"co-bucketed product join must not shuffle:\n$plan")
       assert(joined.count() == segs.count(),
         "every segment row must find its pixel mask row")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/tmp/bucket_plan.txt"), plan.getBytes)
     }
   }
 

@@ -32,6 +32,17 @@ class CliSpec extends AnyFunSuite {
     assert(parse(Seq("classification", "-x", "1")).isLeft, "missing flags")
     assert(parse(Seq("frobnicate")).isLeft, "unknown verb")
     assert(parse(Seq("changedetection", "-x", "1", "stray")).isLeft)
+    // misspelled flags must error, not silently fall back to defaults
+    assert(parse(Seq("changedetection", "-x", "1", "-y", "2",
+      "--acqiured", "1984-01-01/2020-01-01", "--ard", "/a", "--out", "/o"))
+      .left.exists(_.contains("unknown option")), "typo'd flag must be rejected")
+    // malformed numbers are a usage error, not an exception
+    assert(parse(Seq("changedetection", "-x", "abc", "-y", "2",
+      "--ard", "/a", "--out", "/o"))
+      .left.exists(_.contains("expects a number")))
+    assert(parse(Seq("classification", "-x", "1", "-y", "2", "-s", "x", "-e", "2",
+      "--aux", "/x", "--segments", "/s", "--out", "/o"))
+      .left.exists(_.contains("expects an integer")))
   }
 
   test("both verbs run end-to-end over synthetic ARD") {
@@ -78,5 +89,26 @@ class CliSpec extends AnyFunSuite {
     // a range before the series drops every pixel
     assert(pipeline.ChangeDetection
       .acquiredWindow(ard, "1901-01-01/1902-01-01").count() == 0)
+  }
+
+  test("classification -a clips the aux series (trends[0] = first obs in window)") {
+    import spark.implicits._
+    val aux = spark.createDataset(Seq(
+      AuxRow(0, 0, 0, 0, dates = Seq(730000, 730100, 730200),
+        dem = Some(Seq(1f, 2f, 3f)), trends = Seq(9, 4, 5),
+        aspect = Some(Seq(1, 2, 3)), posidex = Some(Seq(0.1f, 0.2f, 0.3f)),
+        slope = Some(Seq(1f, 2f, 3f)), mpw = Some(Seq(7, 8, 9)))))
+    val lo = graft.ccd.CcdOps.ordinalToIso(730050)
+    val hi = graft.ccd.CcdOps.ordinalToIso(730150)
+    val clipped = pipeline.Classification.acquiredWindow(aux, s"$lo/$hi").head()
+    assert(clipped.dates == Seq(730100))
+    assert(clipped.trends == Seq(4),
+      "trends[0] must become the first observation inside the window")
+    assert(clipped.dem.contains(Seq(2f)) && clipped.mpw.contains(Seq(8)))
+    // emptied pixels drop; a full-range default keeps everything
+    assert(pipeline.Classification
+      .acquiredWindow(aux, "1901-01-01/1902-01-01").count() == 0)
+    assert(pipeline.Classification
+      .acquiredWindow(aux, Cli.defaultAcquired).head().dates.length == 3)
   }
 }

@@ -93,8 +93,12 @@ class ExtSpec extends AnyFunSuite {
   test("e06 as-of join matches a brute-force most-recent-prior-purchase scan") {
     val events = Tables(spark, sf, "events")
       .select("event_id", "user_id", "ts", "event_type").collect()
-      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
-        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), micros,
+          r.getAs[String]("event_type"))
+      }
     val purchases = events.filter(_._4 == "purchase")
       .groupBy(e => (e._2, e._3))                       // same tie-break as the query:
       .map { case (_, g) => g.maxBy(_._1) }.toSeq       // max event_id per (user, ts)
