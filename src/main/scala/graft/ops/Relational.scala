@@ -311,6 +311,24 @@ object Relational {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Cumulative window aggregation: running per-customer spend in
+    // order-date order. The ROWS UNBOUNDED PRECEDING frame over exact
+    // decimals is deterministic because (o_orderdate, o_orderkey) is a
+    // total order; one hash shuffle on the partition key.
+    "q25_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("running_spend"),
+          row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
+            .as("nth_order"))
+    }),
+
     // Pivot (cross-tabulation): per return-flag row, one exact-decimal
     // quantity column per line status. Spark's pivot with declared
     // values is a single partial-aggregable pass (no per-value scans);
@@ -478,6 +496,15 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q25_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |    AS INTEGER) AS nth_order
+        |FROM orders""".stripMargin,
     "q24_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F'

@@ -84,6 +84,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(byGid(0).map(_.getAs[Long]("n")).sum == grand, "cells sum to total")
   }
 
+  test("q25 running total is monotone per customer and ends at the customer sum") {
+    import org.apache.spark.sql.functions._
+    val rows = fnRun("q25_running_total").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.values.foreach { g =>
+      val ordered = g.sortBy(_.getAs[Int]("nth_order"))
+      assert(ordered.map(_.getAs[Int]("nth_order")).sameElements(1 to g.length))
+      val runs = ordered.map(_.getAs[Double]("running_spend"))
+      assert(runs.zip(runs.tail).forall { case (a, b) => b >= a },
+        "running spend must be nondecreasing (prices are positive)")
+    }
+  }
+
   test("q24 pivot columns partition each flag's quantity exactly") {
     import org.apache.spark.sql.functions._
     val pivoted = fnRun("q24_pivot").collect()
