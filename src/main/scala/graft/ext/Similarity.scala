@@ -201,6 +201,62 @@ object Similarity {
       .select(col("vec_id").as("nn_id"), col("distCol").as("dist"))
   }
 
+  /** The IVF index build shared by [[ivfKmeans]] and its spec: a seeded
+    * KMeans coarse quantizer over the corpus plus per-vector cell
+    * assignments. Deterministic for a fixed corpus plan + seed. */
+  def ivfIndex(s: SparkSession, dir: String, nCells: Int)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val vecs = emb(s, dir)
+      .map(r => (r.getAs[Long]("vec_id"),
+        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(vecs)
+    (model, model.transform(vecs))
+  }
+
+  /** IVF with a TRAINED coarse quantizer — the 100 TB ANN index shape
+    * (s02 demonstrates the probe topology with the label column as a
+    * ready-made cell id; this is the full build): the [[ivfIndex]]
+    * KMeans assigns every corpus vector to its nearest centroid once
+    * (one pass), and a probe searches only its `nProbe` closest cells'
+    * postings via a co-partitioned equi-join on the cell id. Centroids
+    * are tiny and broadcast; the corpus shuffles once on cell id at
+    * build time and never again. Seeded ⇒ locally deterministic, but
+    * centroid floats are JVM-internal, so no cross-engine oracle (same
+    * stance as [[annLsh]]; s01/s02 are the oracle-checked baselines). */
+  def ivfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    val (model, posted) = ivfIndex(s, dir, nCells)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val queries = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // nProbe nearest cells per query: queries × centroids is Q·nCells
+    // rows — trivially small, centroids broadcast.
+    val probes = queries.join(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cell"),
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("cell_rk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = posted.join(probes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"),
+          org.apache.spark.ml.functions.vector_to_array(col("features"))
+            .cast("array<double>"))
+          .as("cos_sim"))
+    topK(scored, col("qid"), k)
+  }
+
   private val cosSql =
     """list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
