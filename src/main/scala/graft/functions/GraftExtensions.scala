@@ -14,20 +14,34 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectFunction(GraftExtensions.topKDescriptor)
   }
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  /** `top_k(struct_expr, k)` in SQL — k must be an integer literal
+    * (it sizes the bounded heap at plan time). */
+  val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k"),
+    new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+    (children: Seq[Expression]) => children match {
+      case Seq(e, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+        TopKAgg(e, k)
+      case _ => throw new IllegalArgumentException(
+        "top_k(expr, k) requires a literal integer k")
+    })
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
+    Seq(cosineSimDescriptor, topKDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }

@@ -171,4 +171,53 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ------------------------------------------------------------------ //
+
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long])
+
+  /** Streaming twin of e07_funnel: per-user signup → first-later-click
+    * → first-later-purchase stage tracking. Each stage timestamp sets
+    * exactly once (arrival is per-user time-ordered, so "first X after
+    * Y" is just "first X once Y is set") and a FunnelUpdate row is
+    * emitted on every stage transition — the LAST update per user is
+    * that user's final funnel, and downstream can aggregate updates
+    * into the batch operator's summary. State is three optional
+    * timestamps per user: O(users), monotone, no eviction needed.
+    * In-batch ordering (ts, stage rank, event_id) reproduces e07's
+    * window-order tie discipline at equal timestamps. */
+  def funnelStages(events: Dataset[EventIn]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val rank = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+
+    def update(userId: Long, batch: Iterator[EventIn],
+        state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
+      val relevant = batch.filter(e => rank.contains(e.event_type)).toSeq
+        .sortBy(e => (micros(e.ts), rank(e.event_type), e.event_id))
+      var cur = state.getOption.getOrElse(FunnelState(None, None, None))
+      val out = Seq.newBuilder[FunnelUpdate]
+      relevant.foreach { e =>
+        val m = micros(e.ts)
+        val next = e.event_type match {
+          case "signup" if cur.t1.isEmpty => cur.copy(t1 = Some(m))
+          case "click" if cur.t1.isDefined && cur.t2.isEmpty => cur.copy(t2 = Some(m))
+          case "purchase" if cur.t2.isDefined && cur.t3.isEmpty => cur.copy(t3 = Some(m))
+          case _ => cur
+        }
+        if (next != cur) {
+          cur = next
+          out += FunnelUpdate(userId, cur.t1, cur.t2, cur.t3)
+        }
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+
+    events.as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

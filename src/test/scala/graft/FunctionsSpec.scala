@@ -40,6 +40,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("top_k registers into SQL and matches the Scala-side aggregate") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT top_k(named_struct('v', x, 'id', id), 3) AS top
+        |FROM VALUES (1.0d, 1L), (5.0d, 2L), (3.0d, 3L), (4.0d, 4L), (2.0d, 5L)
+        |  AS t(x, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(_.getDouble(0)) == Seq(5.0, 4.0, 3.0),
+      "descending top-3 by struct order")
+    assert(rows.map(_.getLong(1)) == Seq(2L, 4L, 3L))
+    // non-literal k is a plan-time error, not a wrong answer
+    val err = intercept[Exception](spark.sql(
+      "SELECT top_k(named_struct('v', x), cast(x as int)) FROM VALUES (1.0d) t(x)")
+      .collect())
+    assert(err.getMessage.contains("literal integer k"))
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))

@@ -115,6 +115,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel updates reduce to exactly the batch e07 summary") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val srcDir = Files.createTempDirectory("graft_funnel_replay").toString
+    Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("append").parquet(srcDir)
+    val updates = EventStreams.funnelStages(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.EventIn])
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_replay").start()
+    try {
+      q.processAllAvailable()
+      // the last update per user is the final funnel: stages only grow,
+      // so the row with the most defined stages (then max values) wins
+      val finals = spark.table("funnel_replay").as[EventStreams.FunnelUpdate]
+        .collect().groupBy(_.user_id).map { case (_, g) =>
+          g.maxBy(u => (u.t3.isDefined, u.t2.isDefined, u.t1.isDefined,
+            u.t3.getOrElse(0L), u.t2.getOrElse(0L), u.t1.getOrElse(0L)))
+        }.toSeq
+      val batch = SparkEntry.queries("e07_funnel")(spark, sf).head()
+      assert(finals.count(_.t1.isDefined) == batch.getAs[Long]("n_signup"))
+      assert(finals.count(_.t2.isDefined) == batch.getAs[Long]("n_click"))
+      assert(finals.count(_.t3.isDefined) == batch.getAs[Long]("n_purchase"))
+      val sumMicros = finals.collect {
+        case u if u.t3.isDefined => u.t3.get - u.t1.get
+      }.sum
+      assert(sumMicros == batch.getAs[Long]("sum_micros"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on timeout") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
