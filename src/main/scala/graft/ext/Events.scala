@@ -157,6 +157,34 @@ object Events {
           count(col("t3")).as("n_purchase"),
           sum(when(col("t3").isNotNull,
             unix_micros(col("t3")) - unix_micros(col("t1")))).as("sum_micros"))
+    }),
+
+    // Range (band) join: for each error event, how many purchases
+    // (any user) landed within ±30 min. Spark plans a raw
+    // |a.ts - b.ts| <= w predicate as a nested-loop join — quadratic
+    // and broadcast-bound. The scale-correct shape is bucketing: with
+    // bucket width == band width, every in-band pair collides when one
+    // side is replicated to its 3 neighboring buckets, so the join is
+    // a plain equi-join on the bucket id (shuffle linear in event
+    // count), the exact |diff| <= w predicate verifies collisions, and
+    // a left join restores zero-match errors. The oracle states the
+    // same semantics as the direct theta join DuckDB can run exactly.
+    "e08_band_join" -> ((s, dir) => {
+      val w = 1800L * 1000000L // ±30 min in microseconds
+      val err = ev(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("em"))
+      val pur = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("pm"))
+        .select(col("pm"), explode(array(
+          expr(s"pm div $w") - 1, expr(s"pm div $w"),
+          expr(s"pm div $w") + 1)).as("cell"))
+      val matched = err
+        .withColumn("cell", expr(s"em div $w"))
+        .join(pur, Seq("cell"))
+        .filter(abs(col("em") - col("pm")) <= w)
+        .groupBy(col("e_id")).agg(count(lit(1)).as("n"))
+      err.join(matched, Seq("e_id"), "left")
+        .select(col("e_id"), coalesce(col("n"), lit(0L)).as("n_nearby"))
     })
   )
 
@@ -232,6 +260,15 @@ object Events {
         |  (SELECT COUNT(*) FROM c) AS n_click,
         |  (SELECT COUNT(*) FROM p) AS n_purchase,
         |  CAST((SELECT SUM(epoch_us(p.t3) - epoch_us(s.t1))
-        |     FROM p JOIN s USING (user_id)) AS BIGINT) AS sum_micros""".stripMargin
+        |     FROM p JOIN s USING (user_id)) AS BIGINT) AS sum_micros""".stripMargin,
+    "e08_band_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS e_id, epoch_us(ts) AS em
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT epoch_us(ts) AS pm FROM events WHERE event_type = 'purchase')
+        |SELECT e.e_id, COUNT(p.pm) AS n_nearby
+        |FROM e LEFT JOIN p ON abs(p.pm - e.em) <= 1800000000
+        |GROUP BY e.e_id""".stripMargin
   )
 }

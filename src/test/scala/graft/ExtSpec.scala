@@ -140,6 +140,25 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_purchase") > 0, "funnel should have completers at sf0.001")
   }
 
+  test("e08 band join counts match a brute-force ±30min scan") {
+    val events = Tables(spark, sf, "events")
+      .select("event_id", "ts", "event_type").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getAs[Long]("event_id"), micros, r.getAs[String]("event_type"))
+      }
+    val purch = events.filter(_._3 == "purchase").map(_._2)
+    val expected = events.filter(_._3 == "error").map { e =>
+      e._1 -> purch.count(p => math.abs(p - e._2) <= 1800000000L).toLong
+    }.toMap
+    val got = SparkEntry.queries("e08_band_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("e_id") -> r.getAs[Long]("n_nearby")).toMap
+    assert(got == expected)
+    assert(got.values.exists(_ > 0), "some error should have a nearby purchase")
+    assert(got.values.exists(_ == 0), "zero-match errors must survive the left join")
+  }
+
   test("ivfKmeans probes only its nProbe cells and ranks candidates exactly") {
     val got = ext.Similarity.ivfKmeans(spark, sf, k = 5, nCells = 4, nProbe = 2)
       .collect()

@@ -92,6 +92,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly [hashpartitioning(user_id), SinglePartition]:\n$p")
   }
 
+  test("e08: band join is a bucketed equi-join, never a nested loop") {
+    val p = plan("e08_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the raw theta predicate must be rewritten as a bucket equi-join:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
   test("t08: rates dim broadcasts; the corpus scan is never shuffled") {
     val p = plan("t08_det_sample")
     assert(p.contains("BroadcastHashJoin"), p)
