@@ -178,13 +178,13 @@ object Events {
         .select(col("pm"), explode(array(
           expr(s"pm div $w") - 1, expr(s"pm div $w"),
           expr(s"pm div $w") + 1)).as("cell"))
-      val matched = err
-        .withColumn("cell", expr(s"em div $w"))
-        .join(pur, Seq("cell"))
-        .filter(abs(col("em") - col("pm")) <= w)
-        .groupBy(col("e_id")).agg(count(lit(1)).as("n"))
-      err.join(matched, Seq("e_id"), "left")
-        .select(col("e_id"), coalesce(col("n"), lit(0L)).as("n_nearby"))
+      // One left join + conditional count: null pm (no collision) and
+      // out-of-band collisions both count 0, so zero-match errors
+      // survive without a second restoring join.
+      err.withColumn("cell", expr(s"em div $w"))
+        .join(pur, Seq("cell"), "left")
+        .groupBy(col("e_id"))
+        .agg(count(when(abs(col("em") - col("pm")) <= w, 1)).as("n_nearby"))
     })
   )
 

@@ -181,11 +181,7 @@ object Similarity {
       bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.linalg.Vectors
-    import s.implicits._
-    val vecs = emb(s, dir)
-      .map(r => (r.getAs[Long]("vec_id"),
-        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
-      .toDF("vec_id", "features")
+    val vecs = mlVecs(s, dir)
     val model = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setSeed(42L).setInputCol("features").setOutputCol("hashes")
@@ -201,18 +197,24 @@ object Similarity {
       .select(col("vec_id").as("nn_id"), col("distCol").as("dist"))
   }
 
+  /** The corpus lifted to spark.ml vectors — shared by every ml-side
+    * ANN path so the embedding-column handling can't diverge. */
+  private def mlVecs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    emb(s, dir)
+      .map(r => (r.getAs[Long]("vec_id"),
+        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
+      .toDF("vec_id", "features")
+  }
+
   /** The IVF index build shared by [[ivfKmeans]] and its spec: a seeded
     * KMeans coarse quantizer over the corpus plus per-vector cell
     * assignments. Deterministic for a fixed corpus plan + seed. */
   def ivfIndex(s: SparkSession, dir: String, nCells: Int)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    import s.implicits._
-    val vecs = emb(s, dir)
-      .map(r => (r.getAs[Long]("vec_id"),
-        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
-      .toDF("vec_id", "features")
+    val vecs = mlVecs(s, dir)
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell").fit(vecs)
     (model, model.transform(vecs))

@@ -316,17 +316,14 @@ object Relational {
     // decimals is deterministic because (o_orderdate, o_orderkey) is a
     // total order; one hash shuffle on the partition key.
     "q25_running_total" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
+      val byCust = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
-          sum(dec(col("o_totalprice"))).over(w).cast("double")
-            .as("running_spend"),
-          row_number().over(
-            Window.partitionBy(col("o_custkey"))
-              .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
-            .as("nth_order"))
+          sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"),
+          row_number().over(byCust).as("nth_order"))
     }),
 
     // Pivot (cross-tabulation): per return-flag row, one exact-decimal
