@@ -113,6 +113,27 @@ object CcdQueries {
           coalesce((col("min_nobs") === col("n_rows") &&
             col("max_nobs") === col("n_rows")).cast("int"), lit(0)).as("nobs_ok"),
           coalesce(col("mask_ok"), lit(0)).as("mask_ok"))
+    }),
+
+    // Spectral index (NDVI = (nir−red)/(nir+red)) over the ASSEMBLED
+    // band arrays — the reference domain's per-observation raster math
+    // as row-local `zip_with` algebra on the series rows (no second
+    // shuffle past the series gather). Reductions are restricted to
+    // order-independent ones (min/max/count) so the doubles hash-match
+    // the oracle's row-wise recompute; n_pos tests nir > red, which
+    // equals ndvi > 0 whenever the denominator is nonzero (bands are
+    // nonnegative). Zero-denominator observations are NULL and
+    // excluded, not divide-by-zero.
+    "c03_spectral_index" -> ((s, dir) => {
+      supplierSeries(s, dir).toDF()
+        .select(col("cx"),
+          zip_with(col("nirs"), col("reds"), (n, r) =>
+            when(n + r =!= 0, (n - r).cast("double") / (n + r))).as("nd"))
+        .select(col("cx"),
+          array_min(filter(col("nd"), _.isNotNull)).as("ndvi_min"),
+          array_max(filter(col("nd"), _.isNotNull)).as("ndvi_max"),
+          size(filter(col("nd"), _.isNotNull)).as("n_valid"),
+          size(filter(col("nd"), x => x.isNotNull && x > 0)).as("n_pos"))
     })
   )
 
@@ -125,6 +146,25 @@ object CcdQueries {
       """SELECT CAST(l_suppkey AS INTEGER) AS cx,
         |  CAST(COUNT(*) AS INTEGER) AS n_obs,
         |  1 AS seg_ok, 1 AS bounds_ok, 1 AS nobs_ok, 1 AS mask_ok
-        |FROM lineitem GROUP BY l_suppkey""".stripMargin
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    // Row-wise recompute of c03's array-path NDVI: same truncating
+    // int casts as supplierSeries, conditional aggregation so a
+    // supplier whose every observation has nir + red = 0 still emits
+    // a (NULL-stat) row like the Spark side.
+    "c03_spectral_index" ->
+      """WITH b AS (
+        |  SELECT CAST(l_suppkey AS INTEGER) AS cx,
+        |    CAST(trunc(l_discount * 10000) AS INTEGER) AS red,
+        |    CAST(trunc(l_tax * 10000) AS INTEGER) AS nir
+        |  FROM lineitem)
+        |SELECT cx,
+        |  MIN(CASE WHEN nir + red <> 0
+        |      THEN CAST(nir - red AS DOUBLE) / (nir + red) END) AS ndvi_min,
+        |  MAX(CASE WHEN nir + red <> 0
+        |      THEN CAST(nir - red AS DOUBLE) / (nir + red) END) AS ndvi_max,
+        |  CAST(COUNT(CASE WHEN nir + red <> 0 THEN 1 END) AS INTEGER) AS n_valid,
+        |  CAST(COUNT(CASE WHEN nir + red <> 0 AND nir > red THEN 1 END)
+        |    AS INTEGER) AS n_pos
+        |FROM b GROUP BY cx""".stripMargin
   )
 }

@@ -113,6 +113,24 @@ class CcdSpec extends AnyFunSuite {
       s"c01 golden hash drifted: $md (${rows.length} rows)")
   }
 
+  test("c03 NDVI stats are bounded and internally consistent") {
+    import SparkTestSession.{spark, sf}
+    val rows = SparkEntry.queries("c03_spectral_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nValid = r.getAs[Int]("n_valid")
+      val nPos = r.getAs[Int]("n_pos")
+      assert(nPos >= 0 && nPos <= nValid)
+      if (nValid > 0) {
+        val lo = r.getAs[Double]("ndvi_min")
+        val hi = r.getAs[Double]("ndvi_max")
+        assert(lo <= hi)
+        assert(lo >= -1.0 && hi <= 1.0, "normalized difference is bounded")
+        assert((nPos > 0) == (hi > 0.0), "n_pos agrees with the max")
+      }
+    }
+  }
+
   test("ordinal/ISO round trip matches Python date.fromordinal") {
     assert(CcdOps.ordinalToIso(1) == "0001-01-01")
     assert(CcdOps.ordinalToIso(719163) == "1970-01-01")
