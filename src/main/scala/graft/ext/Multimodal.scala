@@ -48,6 +48,43 @@ object Multimodal {
       rows.map { r =>
         (r.media_id, r.payload.indices.by(stride).map(r.payload).toArray)
       }
+
+    /** "Resize" = interpret the payload as a row-major width×H byte
+      * raster (deterministic fake geometry: fixed width, H = ⌈n/W⌉,
+      * short last row) and 2×2 average-pool it — the image-resize
+      * kernel shape. Edge cells pool over however many of the ≤4
+      * source bytes exist; integer mean, truncating. */
+    def resize2x(width: Int = 64)(rows: Iterator[MediaRow])
+        : Iterator[(Long, Int, Int, Array[Byte])] =
+      rows.map { r =>
+        val n = r.payload.length
+        val h = (n + width - 1) / width
+        val ow = (width + 1) / 2
+        val oh = (h + 1) / 2
+        val out = new Array[Byte](ow * oh)
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var sum = 0; var cnt = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val x = ox * 2 + dx; val y = oy * 2 + dy
+                val idx = y * width + x
+                if (x < width && idx < n) { sum += r.payload(idx) & 0xff; cnt += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            out(oy * ow + ox) = if (cnt == 0) 0 else (sum / cnt).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        (r.media_id, ow, oh, out)
+      }
   }
 
   /** documents.text as an opaque binary payload column. */
@@ -63,6 +100,15 @@ object Multimodal {
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).mapPartitions(StubDecoders.features)
+  }
+
+  /** The resize path: typed mapPartitions 2×2 average-pool (see
+    * [[StubDecoders.resize2x]]). Returns (media_id, out_w, out_h,
+    * pixels) — the schema an image-thumbnailing stage lands. */
+  def resizeMedia(s: SparkSession, dir: String, width: Int = 64)
+      : Dataset[(Long, Int, Int, Array[Byte])] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(StubDecoders.resize2x(width))
   }
 
   /** Strided byte sample of a `text` column, ','-joined. Guard the

@@ -55,6 +55,27 @@ class ExtSpec extends AnyFunSuite {
     assert(sampled.forall(_._2.nonEmpty))
   }
 
+  test("multimodal resize2x halves the raster and pools exact byte means") {
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").getBytes("UTF-8"))
+      .toMap
+    val w = 64
+    val resized = ext.Multimodal.resizeMedia(spark, sf, w).collect()
+    assert(resized.length == texts.size)
+    resized.foreach { case (id, ow, oh, px) =>
+      val bytes = texts(id)
+      val h = (bytes.length + w - 1) / w
+      assert(ow == (w + 1) / 2 && oh == (h + 1) / 2)
+      assert(px.length == ow * oh)
+      // spot-check the interior top-left pool against a recompute
+      if (bytes.length >= w * 2 + 2) {
+        val want = ((bytes(0) & 0xff) + (bytes(1) & 0xff) +
+          (bytes(w) & 0xff) + (bytes(w + 1) & 0xff)) / 4
+        assert((px(0) & 0xff) == want, s"doc $id pool(0,0): ${px(0) & 0xff} != $want")
+      }
+    }
+  }
+
   test("m01 sampled column is NULL for empty and NULL text (DuckDB parity)") {
     // DuckDB: array_to_string([], ',') = NULL and NULL text propagates;
     // the Spark branch must agree (ADVICE r2) even though the sf corpora
