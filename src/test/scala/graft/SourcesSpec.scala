@@ -69,6 +69,26 @@ class SourcesSpec extends AnyFunSuite {
       s"expected per-key last-write-wins, got $got")
   }
 
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val rows = (0 until 100).map(i => (i.toLong, s"src${i % 4}", s"text-$i"))
+      .toDF("doc_id", "source", "text")
+    Sink.write(rows, dir, Seq("doc_id"), Seq("source"))
+    val q = spark.read.parquet(dir).filter(col("source") === "src1")
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition-column predicate must prune DIRECTORIES (metadata
+    // only), not run as a data filter over every file
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("src1"),
+      s"source predicate must reach PartitionFilters:\n$plan")
+    assert(q.count() == 25)
+    // the pruned scan reads exactly the one partition's files
+    assert(q.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("source=src1")))
+  }
+
   test("unpartitioned write remains a documented full refresh") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
