@@ -288,6 +288,24 @@ object Relational {
           |    FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
+    // EXISTS / NOT EXISTS correlated subqueries through the SQL
+    // planner — the subquery-decorrelation path (rewritten by Catalyst
+    // into semi/anti joins), distinct from q04/q05's explicit
+    // DataFrame "left_semi"/"left_anti" joins.
+    "q26_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v2")
+      s.sql(
+        """SELECT c_custkey, c_nationkey FROM customer_v c
+          |WHERE EXISTS (
+          |    SELECT 1 FROM orders_v2 o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM orders_v2 o2
+          |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+          |      AND o2.o_totalprice < 2000)""".stripMargin)
+    }),
+
     // Multi-key grouped aggregation with exact decimal AVG
     // (avg = exact decimal sum / count, both engines IEEE-identical).
     "q14_avg_by_key" -> ((s, dir) => {
@@ -493,6 +511,15 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q26_exists" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        |      AND o2.o_totalprice < 2000)""".stripMargin,
     "q25_running_total" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -174,6 +174,22 @@ object EventStreams {
 
   // ------------------------------------------------------------------ //
 
+  /** Streaming exact dedup — the unbounded twin of d01's batch
+    * fingerprint dedup, for at-least-once ingestion: duplicate
+    * event_ids arriving within `watermarkDelay` of each other collapse
+    * to the first occurrence, and the watermark bounds the dedup state
+    * (an id older than the watermark is evicted — unbounded
+    * `dropDuplicates` state is the classic streaming-ingest OOM).
+    * At 100 TB/day this is the difference between state ∝ retention
+    * window and state ∝ all-time event count. */
+  def dedupEvents(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------------ //
+
   case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
   case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
       t3: Option[Long])

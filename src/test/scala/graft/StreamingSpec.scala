@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses duplicated events to single occurrences") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val srcDir = Files.createTempDirectory("graft_dedup_stream").toString
+    val ev = Tables(spark, sf, "events").filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // at-least-once delivery: every event lands twice in the source
+    ev.write.mode("append").parquet(srcDir)
+    ev.write.mode("append").parquet(srcDir)
+    val deduped = EventStreams.dedupEvents(
+      spark.readStream.schema(schema).parquet(srcDir))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .groupBy(col("event_id")).count().collect()
+      assert(got.nonEmpty)
+      assert(got.forall(_.getAs[Long]("count") == 1L),
+        "every duplicated event must survive exactly once")
+      assert(got.length.toLong == ev.count(),
+        "no original event may be lost by the dedup")
+    } finally q.stop()
+  }
+
   test("streaming funnel updates reduce to exactly the batch e07 summary") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(
