@@ -55,11 +55,13 @@ object Multimodal {
       * kernel shape. Edge cells pool over however many of the ≤4
       * source bytes exist; integer mean, truncating. */
     def resize2x(width: Int = 64)(rows: Iterator[MediaRow])
-        : Iterator[(Long, Int, Int, Array[Byte])] =
+        : Iterator[(Long, Int, Int, Array[Byte])] = {
+      require(width > 0, s"resize2x requires a positive raster width, got $width")
       rows.map { r =>
         val n = r.payload.length
         val h = (n + width - 1) / width
-        val ow = (width + 1) / 2
+        // empty payload ⇒ a consistent 0×0 thumbnail, not (w/2)×0
+        val ow = if (h == 0) 0 else (width + 1) / 2
         val oh = (h + 1) / 2
         val out = new Array[Byte](ow * oh)
         var oy = 0
@@ -85,6 +87,7 @@ object Multimodal {
         }
         (r.media_id, ow, oh, out)
       }
+    }
   }
 
   /** documents.text as an opaque binary payload column. */
