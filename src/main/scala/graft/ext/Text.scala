@@ -115,6 +115,33 @@ object Text {
         .filter(col("n") >= 20)
     }),
 
+    // KMV (k-minimum-values) distinct sketch: estimate the distinct
+    // token count per source from only the k smallest md5-derived
+    // hashes — est = (k−1) · 2³² / kth_min. The mergeable-sketch shape
+    // HLL/theta engines use, here carried by the bounded-heap `top_k`
+    // aggregate (≤ k rows per group per task cross the shuffle, vs a
+    // full sort for a window formulation). Unusually for a sketch,
+    // it is hash-match ORACLE-CHECKED: the hash is md5-prefix (engine-
+    // portable) so the kth minimum — and therefore the estimate — is
+    // a deterministic double on both engines. Groups smaller than k
+    // fall back to the exact count, as a real KMV does.
+    "t09_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val hashed = docs(s, dir)
+        .select(col("source"), explode(toks).as("tok")).distinct()
+        .select(col("source"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      hashed.groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topK(
+            struct((-col("h")).as("nh"), col("h")), k).as("tops"),
+          count(lit(1)).as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          when(size(col("tops")) < k, col("n_exact").cast("double"))
+            .otherwise(lit((k - 1) * 4294967296.0) /
+              element_at(col("tops"), k).getField("h"))
+            .as("est_distinct"))
+    }),
+
     // Reproducible stratified sampling (corpus curation / train-eval
     // splits): each doc draws a deterministic uniform in [0,1) from an
     // md5 of (doc_id, salt), and a tiny broadcast rates dim — derived
@@ -216,6 +243,23 @@ object Text {
         |    for i in generate_series(1, len(t) - 1)]) AS bigram FROM tk)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
         |HAVING COUNT(*) >= 20""".stripMargin,
+    "t09_kmv_distinct" ->
+      """WITH t0 AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT source, tok FROM t0),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |kth AS (SELECT source, MAX(h) AS kh FROM r WHERE rn <= 64
+        |  GROUP BY source),
+        |n AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source)
+        |SELECT n.source, n.n_exact,
+        |  CASE WHEN n.n_exact < 64 THEN CAST(n.n_exact AS DOUBLE)
+        |       ELSE 63 * 4294967296.0 / kth.kh END AS est_distinct
+        |FROM n JOIN kth USING (source)""".stripMargin,
     "t08_det_sample" ->
       """WITH rates AS (
         |  SELECT source,

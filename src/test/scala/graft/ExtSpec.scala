@@ -219,6 +219,20 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
+    val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      assert(est > 0)
+      if (exact < 64) assert(est == exact, "small groups fall back to exact")
+      // KMV relative error ~ 1/sqrt(k-1) ≈ 12.6% at k=64; allow 5 sigma
+      else assert(math.abs(est - exact) / exact < 0.63,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
   test("t08 deterministic sample matches a JVM md5 recompute and is stable") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
