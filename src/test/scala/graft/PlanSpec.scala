@@ -99,6 +99,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("t09: KMV sketch is a partial top_k aggregate, not a per-group sort") {
+    val p = plan("t09_kmv_distinct")
+    assert(p.contains("partial_top_k") || p.contains("partial_"),
+      s"the k-minimum heap must partial-merge map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"a window row_number would sort every hashed token:\n$p")
+  }
+
+  test("q23: cube is one Expand pass, not one scan per grouping set") {
+    val p = plan("q23_cube")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the grouping-set lattice must not rescan the fact table:\n$p")
+  }
+
   test("t08: rates dim broadcasts; the corpus scan is never shuffled") {
     val p = plan("t08_det_sample")
     assert(p.contains("BroadcastHashJoin"), p)
