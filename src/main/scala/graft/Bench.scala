@@ -21,20 +21,25 @@ object Bench {
     }
     try SparkEntry.queries("q12_case_when")(spark, sfDir).count()
     catch { case _: Throwable => }
-    // A failed query reports -1 (never a partial elapsed time) so a
-    // breakage can't masquerade as a timing improvement; total sums
+    // Deterministic sorted order (not map-hash order) and best-of-n per
+    // query, so a one-off GC/compaction burst can't brand a single query
+    // 10× slow. A failed query reports -1 (never a partial elapsed time)
+    // so a breakage can't masquerade as a timing improvement; total sums
     // successful queries only.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt.max(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,16 +51,36 @@ object Dedup {
           |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
           .stripMargin))).as("x"))
 
-  /** One gather per doc: (doc_id, xs, n) with xs in the global
-    * rarest-first (df asc, shingle id asc) order — reused by both the
-    * prefix blocking and the exact verify. */
-  private[graft] def orderedShingleSets(sh: DataFrame): DataFrame = {
-    val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("x"))
+  /** ONE evaluation of the tokenize/explode/shuffle pipeline: gather
+    * each doc's distinct shingle ids to (doc_id, raw). Everything
+    * downstream (document frequencies, the global ordering, prefixes,
+    * verification) derives from this one-row-per-doc frontier, so the
+    * corpus-wide explode — the widest stage in the engine — runs once
+    * per query no matter how many times the plan references the sets.
+    * PlanSpec pins "exactly 1 parquet scan" on this subplan. */
+  private[graft] def gatherShingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(collect_set(col("x")).as("raw"))
+
+  /** Orders gathered sets globally rarest-first: (doc_id, xs, n) with
+    * xs sorted by (document frequency asc, shingle id asc). Both dfreq
+    * and the re-explode read `gathered` — materialize it first
+    * ([[graft.ops.Subplan.once]]) so neither re-runs the corpus scan. */
+  private[graft] def orderShingleSets(gathered: DataFrame): DataFrame = {
+    val ex = gathered.select(col("doc_id"), explode(col("raw")).as("x"))
+    val dfreq = ex.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("x"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("o"))
       .select(col("doc_id"), col("o.x").as("xs"), size(col("o")).as("n"))
   }
+
+  /** One gather per doc: (doc_id, xs, n) with xs in the global
+    * rarest-first (df asc, shingle id asc) order — reused by both the
+    * prefix blocking and the exact verify. Un-materialized composition
+    * kept for specs; the registered query path goes through
+    * [[jaccardPairsPrefix]], which checkpoints both stages. */
+  private[graft] def orderedShingleSets(sh: DataFrame): DataFrame =
+    orderShingleSets(gatherShingleSets(sh))
 
   /** The blocking rows: each doc's first n − ⌈t·n⌉ + 1 shingles in the
     * global order, exploded to (doc_id, n, x). */
@@ -116,7 +136,11 @@ object Dedup {
     * the verify join.
     */
   private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double): DataFrame = {
-    val sets = orderedShingleSets(sh)
+    // Two materialization cuts: the gathered sets (so the corpus scan +
+    // explode runs once — not 8×, round 3's regression) and the ordered
+    // sets (referenced 4×: prefix self-join a/b + verify sa/sb).
+    val gathered = graft.ops.Subplan.once(gatherShingleSets(sh))
+    val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
     val pref = prefixBlocks(sets, t)
     val cand = pref.as("a")
       .join(pref.as("b"),
@@ -176,14 +200,14 @@ object Dedup {
     // the gathered sets rather than re-joining exploded shingles.
     "d03_minhash_lsh" -> ((s, dir) => {
       // One row per doc (~50 longs each), feeding the signature path
-      // and the verify path. Deliberately NOT cached: a lazily-returned
-      // plan can never unpersist, so a cache here would pin executor
-      // storage for the rest of the session and make repeated runs
-      // measure the cache instead of the query.
-      val sets = shingles(s, dir)
+      // (bands a/b) and the verify path (sa/sb) — 4 plan references,
+      // so it is materialized exactly once (Subplan.once; round 3 ran
+      // the whole shingle pipeline 4× here). GC releases the
+      // checkpoint when the returned plan is dropped.
+      val sets = graft.ops.Subplan.once(shingles(s, dir)
         .groupBy(col("doc_id"))
         .agg(collect_set(col("x")).as("xs"))
-        .withColumn("n", size(col("xs")))
+        .withColumn("n", size(col("xs"))))
       val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
         df.withColumn(s"mh$i", array_min(transform(col("xs"),
           x => (lit(67108879L + 65537L * i) * x

@@ -100,7 +100,10 @@ object Similarity {
       val pert = e.select((col("vec_id") + lit(10000L)).as("vec_id"),
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
-      val all = e.select(col("vec_id"), col("v")).unionAll(pert)
+      // Referenced 3× (banding + verify sa/sb): materialize once so
+      // the corpus union isn't re-derived per reference (Subplan.once).
+      val all = graft.ops.Subplan.once(
+        e.select(col("vec_id"), col("v")).unionAll(pert))
       val bandStructs = array((0 until 8).map { b =>
         struct(lit(b).as("band"),
           concat_ws("", (1 to 8).map(i =>

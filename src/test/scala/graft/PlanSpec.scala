@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
       s"prefix should be ~half the shingles at t=0.5, got $blocks of $full")
   }
 
+  test("d02/d03/d05: shared subplans materialize once — no parquet re-scans") {
+    // Round 3's regression: the shingle pipeline re-evaluated per plan
+    // reference (16 `documents` scans inside one d02 plan). After the
+    // Subplan.once cut, every leaf of the final plan is the checkpointed
+    // RDD — zero parquet scans — and the one-time gather subplan reads
+    // `documents` exactly once.
+    for (q <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_embedding_neardup")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).isEmpty,
+        s"$q must read the materialized sets, not re-scan parquet:\n$p")
+      assert(p.contains("ExistingRDD"), s"$q should scan the checkpointed RDD:\n$p")
+    }
+    val g = ext.Dedup.gatherShingleSets(ext.Dedup.shingles(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(g).size == 1,
+      s"the gather stage is the single corpus evaluation — exactly one scan:\n$g")
+  }
+
   test("e06: as-of join is a single-shuffle window plan, not a range join") {
     val p = plan("e06_asof_join")
     assert(!p.contains("Join"), // no BroadcastNestedLoop/SortMerge range join
