@@ -229,24 +229,55 @@ object Dedup {
       verifyJaccard(cand, sets, 0.5)
     }),
 
-    // SimHash signatures: 32-bit, md5-derived token hashes, per-bit
-    // majority vote. Emitted per doc; hamming-bucketing happens
-    // downstream (this corpus's single shared vocabulary saturates
-    // 32-bit simhash, so pair emission is not meaningful here).
-    "d04_simhash" -> ((s, dir) => {
-      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
-      val h = tok.select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
-      val bits = h
-        .withColumn("i", explode(sequence(lit(0), lit(31))))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(expr("(shiftright(h, i) & cast(1 as bigint)) * 2 - 1")).as("s"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0,
-          expr("shiftleft(cast(1 as bigint), i)")).otherwise(lit(0L)))
-          .as("simhash"))
+    // SimHash signatures: 60-bit (15 md5 hex chars — the widest prefix
+    // that stays inside signed 64-bit in both engines), per-bit
+    // majority vote. 60 bits de-saturates the single shared vocabulary
+    // that made the old 32-bit signature collide corpus-wide, so
+    // downstream hamming pairs (d06) are meaningful.
+    "d04_simhash" -> ((s, dir) =>
+      simhashSignatures(docs(s, dir).select(col("doc_id"), col("text")))),
+
+    // Hamming-near pairs over 60-bit simhash signatures, banded (6
+    // bands × 10 bits — total recall for hamming ≤ 5 by pigeonhole).
+    // The corpus is exercised on planted near-dupes: each doc unions
+    // with a one-token-appended twin (doc_id + 100000), the d01/d05
+    // self-union pattern for the signature regime; natural low-hamming
+    // pairs surface too. The oracle is the exhaustive all-pairs
+    // bit_count filter — banding must lose nothing at the threshold.
+    "d06_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(col("text"), lit(" qq")).as("text")))
+      // Signatures feed both sides of the band self-join — materialize
+      // once (Subplan.once), one row per doc.
+      val sig = graft.ops.Subplan.once(simhashSignatures(base))
+      simhashPairs(sig, 3)
     })
   )
+
+  /** 60-bit SimHash signatures for a (doc_id, text) input: token hash
+    * = first 15 md5 hex chars (portable, signed-64-safe in Spark AND
+    * DuckDB), signature bit i = majority vote of token-hash bit i.
+    *
+    * Shape: ONE groupBy(doc_id) with 60 conditional partial sums — no
+    * 60× per-bit row explosion before the shuffle (the old 32-bit form
+    * exploded every token 32×). The shuffle carries 60 longs per doc
+    * per task; everything upstream is map-side column algebra. */
+  private[graft] def simhashSignatures(base: DataFrame): DataFrame = {
+    val NumBits = 60
+    val h = base.select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until NumBits).map(i =>
+      sum(expr(s"(shiftright(h, $i) & cast(1 as bigint)) * 2 - 1")).as(s"s$i"))
+    h.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until NumBits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** spark.ml MinHashLSH variant of near-dedup (the stock-ML
     * alternative to the hand-rolled d03; SURVEY.md §2.8b names
@@ -280,17 +311,18 @@ object Dedup {
   }
 
   /** Hamming-near pairs over simhash signatures (the d04 output),
-    * banded: the 32-bit signature splits into 4 bytes; any pair with
-    * hamming ≤ 3 differs in at most 3 bytes, so (pigeonhole) it
-    * collides on at least one band — candidates come from 4 narrow
+    * banded: the 60-bit signature splits into 6 bands of 10 bits; any
+    * pair with hamming ≤ 5 differs in at most 5 bands, so (pigeonhole)
+    * it collides on at least one — candidates come from 6 narrow
     * equi-joins instead of all pairs, then the exact bit_count filter
-    * runs only on collisions. The scale path for simhash dedup.
+    * runs only on collisions. The scale path for simhash dedup:
+    * shuffles only on (band, key), never quadratic in corpus size.
     */
   def simhashPairs(signatures: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
+    require(maxHamming <= 5, "6-band pigeonhole guarantees recall only for hamming <= 5")
     val banded = signatures.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+      explode(array((0 until 6).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 10).bitwiseAND(lit(1023L)).as("key"))): _*))
         .as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.key").as("key"))
@@ -299,7 +331,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -352,12 +385,32 @@ object Dedup {
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
         |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS s
-        |  FROM h, unnest(generate_series(0, 31)) u(i)
+        |  FROM h, unnest(generate_series(0, 59)) u(i)
         |  GROUP BY doc_id, i)
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    // Exhaustive all-pairs form — the banded Spark plan must equal it
+    // exactly (pigeonhole recall at hamming <= 3 < 6 bands).
+    "d06_simhash_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' qq' AS text FROM documents),
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM base),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS s
+        |  FROM h, unnest(generate_series(0, 59)) u(i)
+        |  GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   )
 }

@@ -92,6 +92,14 @@ class PlanSpec extends AnyFunSuite {
       s"the gather stage is the single corpus evaluation — exactly one scan:\n$g")
   }
 
+  test("d06: hamming pairs are a banded equi-join over materialized signatures") {
+    val p = plan("d06_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"signature pairing must band-bucket, never compare all pairs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"both join sides must read the one materialized signature set:\n$p")
+  }
+
   test("e06: as-of join is a single-shuffle window plan, not a range join") {
     val p = plan("e06_asof_join")
     assert(!p.contains("Join"), // no BroadcastNestedLoop/SortMerge range join
