@@ -20,7 +20,7 @@ object CcdDemo {
 
   def syntheticArd(spark: SparkSession, nPixels: Int): org.apache.spark.sql.Dataset[ArdRow] = {
     import spark.implicits._
-    val cx = 2565585; val cy = 3314805
+    val cx = -2565585; val cy = 3314805
     val rows = for (p <- 0 until nPixels) yield {
       val dates = Array.tabulate(80)(i => 730000 + i * 16)
       val step = if (p % 2 == 1) Some(730000 + 40 * 16) else None
@@ -57,7 +57,7 @@ object CcdDemo {
 
     val segments = spark.read.parquet(s"$outDir/segment")
     val aux = spark.createDataset((0 until 16).map { p =>
-      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+      AuxRow(-2565585, 3314805, -2565585 + p * 30, 3314805 - p * 30,
         dates = Seq(730000), dem = Some(Seq(100.0f + p)),
         trends = Seq(1 + p % 3), aspect = Some(Seq(10 * p)),
         posidex = Some(Seq(0.5f)), slope = Some(Seq(2.0f)),
@@ -65,10 +65,10 @@ object CcdDemo {
     })
     Classification.train(aux, segments, 1, 800000, numTrees = 20) match {
       case Some(model) =>
-        Classification.saveTile(spark, model, 2565585, 3314805,
+        Classification.saveTile(spark, model, -2565585, 3314805,
           "rf-demo", java.time.Instant.now().toString, outDir)
         val reloaded = Classification
-          .loadTile(spark, outDir, 2565585, 3314805, "rf-demo")
+          .loadTile(spark, outDir, -2565585, 3314805, "rf-demo")
           .getOrElse(sys.error("tile model failed to round-trip"))
         val classified = Classification.classify(reloaded, aux, segments)
         println(s"classification: ${classified.count()} classified segments" +

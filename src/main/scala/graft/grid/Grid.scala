@@ -29,17 +29,29 @@ object Grid {
   val PixelMeters: Double = chip.sx / PixelsPerChipEdge
 
   /** Grid-point (h, v) of the cell containing (x, y).
-    * Reference behavior: ccdc/grid.py:41-44 via merlin snap. */
+    * Reference behavior: ccdc/grid.py:41-44 via merlin snap. The
+    * forward affine is `grid = ⌊(r·coord + t) / s⌋` — NOT
+    * `⌊(coord − t) / (r·s)⌋`: the reference's own fixtures pin tile
+    * grid-pt (13, 6) at proj-pt (−615585, 2414805)
+    * (test/data/snap_response.json:1), i.e. h = 0 sits at x = −tx,
+    * which is exactly resources/conus.csv:2's ulx. The y axis is
+    * unaffected (ry = −1 cancels the ty sign), which is why the old
+    * x-convention bug survived every internal-consistency test. */
   def gridPt(x: Double, y: Double, g: GridSpec): (Int, Int) = {
-    val h = math.floor((x - g.tx) / (g.rx * g.sx)).toInt
-    val v = math.floor((y - g.ty) / (g.ry * g.sy)).toInt
+    val h = math.floor((g.rx * x + g.tx) / g.sx).toInt
+    val v = math.floor((g.ry * y + g.ty) / g.sy).toInt
     (h, v)
   }
+
+  /** Upper-left projection coordinate of grid cell (h, v) — the
+    * inverse affine `coord = (grid·s − t) / r`. */
+  def cellUl(h: Int, v: Int, g: GridSpec): (Double, Double) =
+    ((h * g.sx - g.tx) / g.rx, (v * g.sy - g.ty) / g.ry)
 
   /** Upper-left projection coordinate of the cell containing (x, y). */
   def snap(x: Double, y: Double, g: GridSpec): (Double, Double) = {
     val (h, v) = gridPt(x, y, g)
-    (g.tx + h * g.rx * g.sx, g.ty + v * g.ry * g.sy)
+    cellUl(h, v, g)
   }
 
   /** (ulx, uly, lrx, lry) extents of the cell with upper-left (ulx, uly). */

@@ -24,8 +24,12 @@ case class TileRow(h: Int, v: Int,
   */
 object TileCatalog {
 
-  /** CONUS-sized default extent (reference conus.csv spans h 0-32,
-    * v 0-21 within the Albers grid). */
+  /** CONUS-sized default extent. The reference's conus.csv spans
+    * h 0–32, v 0–21 — the FULL 33×22 rectangle: its 727 data lines
+    * hold exactly 726 distinct (h, v) tiles (one line is
+    * NUL-corrupted, and 115 list their corners scrambled), so
+    * [[generate]]'s clean 726-row rectangle covers the identical tile
+    * set (GridSpec pins the parity against a verbatim fixture). */
   val ConusH = 33
   val ConusV = 22
 
@@ -39,8 +43,8 @@ object TileCatalog {
         (col("id") / nV).cast("int").as("h"),
         (col("id") % nV).cast("int").as("v"))
       .select(col("h"), col("v"),
-        (lit(g.tx) + col("h") * lit(g.rx * g.sx)).as("ulx"),
-        (lit(g.ty) + col("v") * lit(g.ry * g.sy)).as("uly"))
+        ((col("h") * g.sx - g.tx) / g.rx).as("ulx"),
+        ((col("v") * g.sy - g.ty) / g.ry).as("uly"))
       .select(col("h"), col("v"), col("ulx"), col("uly"),
         (col("ulx") + lit(g.sx)).as("lrx"),
         (col("uly") - lit(g.sy)).as("lry"))

@@ -50,7 +50,7 @@ class CliSpec extends AnyFunSuite {
     CcdDemo.syntheticArd(spark, 8).write.parquet(s"$dir/ard")
 
     val cd = Cli.run(parse(Seq("changedetection",
-      "-x", "2565585", "-y", "3314805",
+      "-x", "-2565585", "-y", "3314805",
       "-a", "1999-01-01/2003-12-31",
       "--ard", s"$dir/ard", "--out", s"$dir/products")).toOption.get, spark)
     assert(cd("chips") == 1 && cd("pixels") == 8,
@@ -59,7 +59,7 @@ class CliSpec extends AnyFunSuite {
 
     import spark.implicits._
     spark.createDataset((0 until 8).map { p =>
-      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+      AuxRow(-2565585, 3314805, -2565585 + p * 30, 3314805 - p * 30,
         dates = Seq(730000), dem = Some(Seq(100.0f + p)),
         trends = Seq(1 + p % 3), aspect = Some(Seq(10 * p)),
         posidex = Some(Seq(0.5f)), slope = Some(Seq(2.0f)),
@@ -67,7 +67,7 @@ class CliSpec extends AnyFunSuite {
     }).write.parquet(s"$dir/aux")
 
     val cl = Cli.run(parse(Seq("classification",
-      "-x", "2565585", "-y", "3314805", "-s", "1", "-e", "800000",
+      "-x", "-2565585", "-y", "3314805", "-s", "1", "-e", "800000",
       "--aux", s"$dir/aux", "--segments", s"$dir/products/segment",
       "--out", s"$dir/products", "--trees", "5")).toOption.get, spark)
     assert(cl("predictions") > 0, s"classification landed nothing: $cl")

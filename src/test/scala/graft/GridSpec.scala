@@ -14,10 +14,49 @@ class GridSpec extends AnyFunSuite {
     assert(Grid.classificationChips(0.0, 0.0).size == 2500)
   }
 
-  test("snap returns the grid origin for the origin cell") {
-    assert(Grid.snap(Grid.tile.tx, Grid.tile.ty, Grid.tile) ==
-      ((Grid.tile.tx, Grid.tile.ty)))
-    assert(Grid.gridPt(Grid.tile.tx, Grid.tile.ty, Grid.tile) == ((0, 0)))
+  test("affine matches the reference's snap fixture and conus.csv origin") {
+    // cell (0, 0) sits at (−tx, ty) — resources/conus.csv:2's ulx/uly
+    assert(Grid.cellUl(0, 0, Grid.tile) == ((-Grid.tile.tx, Grid.tile.ty)))
+    assert(Grid.gridPt(-Grid.tile.tx, Grid.tile.ty, Grid.tile) == ((0, 0)))
+    assert(Grid.snap(-Grid.tile.tx, Grid.tile.ty, Grid.tile) ==
+      ((-Grid.tile.tx, Grid.tile.ty)))
+    // reference test/data/snap_response.json: tile grid-pt (13, 6) at
+    // proj-pt (−615585, 2414805); chip (674, 312) at (−543585, 2378805)
+    assert(Grid.cellUl(13, 6, Grid.tile) == ((-615585.0, 2414805.0)))
+    assert(Grid.gridPt(-615585.0 + 10.0, 2414805.0 - 10.0, Grid.tile) == ((13, 6)))
+    assert(Grid.cellUl(674, 312, Grid.chip) == ((-543585.0, 2378805.0)))
+    assert(Grid.gridPt(-543585.0 + 10.0, 2378805.0 - 10.0, Grid.chip) == ((674, 312)))
+  }
+
+  test("reference conus.csv fixture: identical tile set, grid-consistent bounds") {
+    import SparkTestSession._
+    // src/test/resources/conus.csv is a verbatim copy of the
+    // reference's resources/conus.csv:1-728 — 727 data lines holding
+    // 726 distinct (h, v) tiles (the full 33×22 rectangle), one line
+    // NUL-corrupted, 115 rows with their corner columns scrambled.
+    val path = getClass.getResource("/conus.csv").toString
+    val rows = grid.TileCatalog.readCsv(spark, path)
+      .filter(org.apache.spark.sql.functions.col("h").isNotNull) // drop the corrupt line
+      .collect()
+    assert(rows.length == 726, s"727 raw lines minus the corrupt one, got ${rows.length}")
+    val hv = rows.map(r => (r.h, r.v)).toSet
+    assert(hv.size == 726)
+    assert(grid.TileCatalog.generate(spark).collect().map(r => (r.h, r.v)).toSet == hv,
+      "generate()'s 33×22 rectangle must be exactly the curated CONUS tile set")
+    var exact = 0
+    rows.foreach { r =>
+      val (ulx, uly) = Grid.cellUl(r.h, r.v, Grid.tile)
+      val t = Grid.tileOf(ulx + 75000.0, uly - 75000.0)
+      assert((t.h, t.v) == ((r.h, r.v)), s"tileOf disagrees with curated row $r")
+      assert((t.ulx, t.uly) == ((ulx, uly)))
+      // every curated corner value belongs to the closed-form cell;
+      // well-formed rows (611 of 726) must match it exactly
+      assert(Set(r.ulx, r.lrx).subsetOf(Set(t.ulx, t.lrx)) &&
+        Set(r.uly, r.lry).subsetOf(Set(t.uly, t.lry)), s"corner drift at $r")
+      if (r.ulx == t.ulx && r.uly == t.uly && r.lrx == t.lrx && r.lry == t.lry)
+        exact += 1
+    }
+    assert(exact == 611, s"expected 611 well-formed curated rows, got $exact")
   }
 
   test("snap is idempotent and cells contain their points (point sweep)") {

@@ -21,11 +21,11 @@ class PipelineSpec extends AnyFunSuite {
     (x - math.floor(x) - 0.5) * 40.0
   }
 
-  /** Synthetic ARD rows on the real chip grid: chip (2565585, 3314805),
+  /** Synthetic ARD rows on the real chip grid: chip (-2565585, 3314805), chip grid-pt (0, 0),
     * pixels at 30 m offsets, step change for odd pixels. */
   private def syntheticArd: Dataset[ArdRow] = {
     import spark.implicits._
-    val cx = 2565585; val cy = 3314805
+    val cx = -2565585; val cy = 3314805
     val rows = for (p <- 0 until 4) yield {
       val dates = Array.tabulate(80)(i => 730000 + i * 16)
       val step = if (p % 2 == 1) Some(730000 + 40 * 16) else None
@@ -60,7 +60,7 @@ class PipelineSpec extends AnyFunSuite {
     val inTile = syntheticArd
     val other = syntheticArd.map(r => r.copy(cx = r.cx + 150000 * 2))
     val all = inTile.unionAll(other)
-    val scoped = ChangeDetection.tileScope(all, 2565585.0 + 1.0, 3314805.0 - 1.0)
+    val scoped = ChangeDetection.tileScope(all, -2565585.0 + 1.0, 3314805.0 - 1.0)
     assert(scoped.count() == 4)
   }
 
@@ -68,18 +68,18 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val segments = CcdOps.segmentRecords(CcdOps.detect(syntheticArd))
     val auxRows = (0 until 4).map { p =>
-      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+      AuxRow(-2565585, 3314805, -2565585 + p * 30, 3314805 - p * 30,
         Seq(730000), Some(Seq(100.0f + p)), Seq(1 + p % 2),
         Some(Seq(10 * p)), Some(Seq(0.5f)), Some(Seq(2.0f)), Some(Seq(1)))
-    } :+ AuxRow(2565585 + 10 * 150000, 3314805, 99, 99, // far-away tile
+    } :+ AuxRow(-2565585 + 10 * 150000, 3314805, 99, 99, // far-away tile
       Seq(730000), Some(Seq(1.0f)), Seq(1), Some(Seq(1)),
       Some(Seq(0.1f)), Some(Seq(0.1f)), Some(Seq(1)))
     val aux = spark.createDataset(auxRows)
     val model = Classification.trainForTile(spark, aux, segments,
-      2565585.0 + 1, 3314805.0 - 1, 1, 800000, numTrees = 3)
+      -2565585.0 + 1, 3314805.0 - 1, 1, 800000, numTrees = 3)
     assert(model.nonEmpty)
     val out = Classification.classifyTile(model.get, aux, segments,
-      2565585.0 + 1, 3314805.0 - 1)
+      -2565585.0 + 1, 3314805.0 - 1)
     // only the target tile's pixels classified; the far-away aux row
     // contributes nothing
     assert(out.count() > 0)
@@ -90,7 +90,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val segments = CcdOps.segmentRecords(CcdOps.detect(syntheticArd))
     val auxRows = (0 until 4).map { p =>
-      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+      AuxRow(-2565585, 3314805, -2565585 + p * 30, 3314805 - p * 30,
         dates = Seq(730000),
         dem = Some(Seq(100.0f + p)), trends = Seq(1 + p % 2),
         aspect = Some(Seq(10 * p)), posidex = Some(Seq(0.5f)),

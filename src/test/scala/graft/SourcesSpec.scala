@@ -17,11 +17,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(long.count() == 4 * 80)
     val back = Timeseries.assemble(long.toDF())
     // dates come back descending (reference order, ccdc/timeseries.py:115)
-    val row = back.filter(col("px") === 2565585).head()
+    val row = back.filter(col("px") === -2565585).head()
     val dates = row.dates
     assert(dates == dates.sorted.reverse, "dates must be descending")
     // content round-trips (original was ascending)
-    val orig = ard.filter(col("px") === 2565585).head()
+    val orig = ard.filter(col("px") === -2565585).head()
     assert(dates.sorted == orig.dates.sorted)
     assert(row.blues.reverse == orig.blues,
       "band arrays must stay aligned to dates")
@@ -102,10 +102,10 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val segs = CcdOps.segmentRecords(CcdOps.detect(CcdDemo.syntheticArd(spark, 4)))
     Sink.write(segs, s"$dir/segment", Seq("cx", "cy", "px", "py", "sday", "eday"))
-    val ids = Seq((2565585, 3314805, 2565585, 3314805)).toDF("cx", "cy", "px", "py")
+    val ids = Seq((-2565585, 3314805, -2565585, 3314805)).toDF("cx", "cy", "px", "py")
     val got = Sink.readKeyed(spark, s"$dir/segment", ids, Seq("cx", "cy", "px", "py"))
     assert(got.count() >= 1)
-    assert(got.select("px").distinct().head().getInt(0) == 2565585)
+    assert(got.select("px").distinct().head().getInt(0) == -2565585)
   }
 
   test("segment schema parity: field names and types match the reference") {

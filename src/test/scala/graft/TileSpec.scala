@@ -19,18 +19,18 @@ class TileSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_tile").toString
     val segments = CcdOps.segmentRecords(CcdOps.detect(CcdDemo.syntheticArd(spark, 4)))
     val aux = spark.createDataset((0 until 4).map { p =>
-      AuxRow(2565585, 3314805, 2565585 + p * 30, 3314805 - p * 30,
+      AuxRow(-2565585, 3314805, -2565585 + p * 30, 3314805 - p * 30,
         Seq(730000), Some(Seq(100.0f + p)), Seq(1 + p % 2),
         Some(Seq(10 * p)), Some(Seq(0.5f)), Some(Seq(2.0f)), Some(Seq(1)))
     })
     val model = Classification.train(aux, segments, 1, 800000, numTrees = 3).get
-    Classification.saveTile(spark, model, 2565585, 3314805,
+    Classification.saveTile(spark, model, -2565585, 3314805,
       "rf-test", "2026-08-12T00:00:00", out)
     // A second tile's save must NOT erase the first (per-key upsert,
     // like the reference's CQL primary key).
     Classification.saveTile(spark, model, 100, 200,
       "rf-test", "2026-08-12T01:00:00", out)
-    val loaded = Classification.loadTile(spark, out, 2565585, 3314805, "rf-test")
+    val loaded = Classification.loadTile(spark, out, -2565585, 3314805, "rf-test")
     assert(loaded.nonEmpty, "tile model must survive another tile's save")
     assert(loaded.get.stages.length == model.stages.length)
     assert(Classification.loadTile(spark, out, 100, 200, "rf-test").nonEmpty)
