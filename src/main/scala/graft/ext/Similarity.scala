@@ -88,13 +88,21 @@ object Similarity {
     // and the pipeline must find exactly those pairs.
     //
     // Blocking is axis-aligned sign-bit LSH: the 64-dim sign pattern
-    // splits into 8 bands of 8 bits; candidates collide on >=1 band,
-    // then verify with EXACT cosine >= 0.99. Hyperplanes are the
-    // coordinate axes — deterministic, so the DuckDB oracle replicates
-    // the exact candidate set and the hash match is bit-for-bit.
-    // At 100 TB: same topology as d03/d04 — shuffles only on
-    // content-derived (band, sig) keys, verification only on
-    // collisions, skewed sign-buckets handled by AQE skew join.
+    // splits into 4 bands of 16 bits; candidates collide on >=1 band
+    // (pigeonhole: total recall for sign-hamming <= 3, and planted
+    // pairs are sign-IDENTICAL since a 1.01x scale never flips a
+    // sign), then verify with EXACT cosine >= 0.99. Hyperplanes are
+    // the coordinate axes — deterministic, so the DuckDB oracle
+    // replicates the exact candidate set bit-for-bit.
+    // Band width is a SCALE parameter: the round-4 sf1 soak showed
+    // 8-bit bands (256 buckets) saturating on random vectors — bucket
+    // occupancy grows linearly with corpus, candidates quadratically
+    // (1.6 s -> 101.5 s at 10x). 16-bit bands (65,536 buckets) keep
+    // expected occupancy < 1 through ~10^6 vectors; at 100 TB widen
+    // again (or add tables) so bucket count tracks corpus size.
+    // Topology is unchanged: shuffles only on content-derived
+    // (band, sig) keys, verification only on collisions, skewed
+    // sign-buckets handled by AQE skew join.
     "d05_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
       val pert = e.select((col("vec_id") + lit(10000L)).as("vec_id"),
@@ -104,10 +112,10 @@ object Similarity {
       // the corpus union isn't re-derived per reference (Subplan.once).
       val all = graft.ops.Subplan.once(
         e.select(col("vec_id"), col("v")).unionAll(pert))
-      val bandStructs = array((0 until 8).map { b =>
+      val bandStructs = array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          concat_ws("", (1 to 8).map(i =>
-            when(element_at(col("v"), b * 8 + i) >= 0, lit("1"))
+          concat_ws("", (1 to 16).map(i =>
+            when(element_at(col("v"), b * 16 + i) >= 0, lit("1"))
               .otherwise(lit("0"))): _*).as("sig"))
       }: _*)
       val bands = all.select(col("vec_id"), explode(bandStructs).as("bs"))
@@ -276,10 +284,10 @@ object Similarity {
         |  FROM e),
         |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
         |bands AS (SELECT vec_id, b AS band,
-        |    string_agg(CASE WHEN v[b*8 + i] >= 0 THEN '1' ELSE '0' END,
+        |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
         |               '' ORDER BY i) AS sig
-        |  FROM al, unnest(generate_series(0, 7)) u(b),
-        |           unnest(generate_series(1, 8)) w(i)
+        |  FROM al, unnest(generate_series(0, 3)) u(b),
+        |           unnest(generate_series(1, 16)) w(i)
         |  GROUP BY vec_id, b),
         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM bands a JOIN bands b
