@@ -33,23 +33,52 @@ object Dedup {
 
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** Row-local distinct word-3-gram shingle ids of a tokens column
+    * named `tk`: 36-bit md5-derived ints. Shared by the batch explode
+    * path ([[shingles]]) and the streaming near-dup filter
+    * (graft.streaming.DocStreams), which needs the per-doc set WITHOUT
+    * an explode+gather round trip — one doc's set is a pure row
+    * function. The hash is md5-hex-prefix in BOTH engines, so any
+    * (vanishingly rare) collision is identical on both sides and
+    * parity holds. */
+  private[graft] def shingleSetCol: Column = array_distinct(expr(
+    """transform(sequence(1, size(tk) - 2),
+      |  i -> cast(conv(substring(md5(concat(
+      |         element_at(tk, i), ' ',
+      |         element_at(tk, i + 1), ' ',
+      |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
+      .stripMargin))
+
+  /** The i-th MinHash of a shingle-id array column: a row-local
+    * array_min fold over the (a·x + b) mod P family. ONE definition
+    * shared by batch d03 and the streaming filter so the band keys can
+    * never drift between them (the DuckDB oracle states the same
+    * constants). */
+  private[graft] def minhashExpr(xs: Column, i: Int): Column =
+    array_min(transform(xs,
+      x => (lit(67108879L + 65537L * i) * x
+        + lit(1000003L * i + 12345L)) % lit(P)))
+
+  /** The banded signature array for 32 minhash columns: 8 structs of
+    * (band, sig) with sig = "_"-joined 4-row band. Shared batch +
+    * streaming for the same reason as [[minhashExpr]]. */
+  private[graft] def bandSigs(mhs: Seq[Column]): Column =
+    array((0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until BandRows).map(r =>
+          mhs(b * BandRows + r).cast("string")): _*).as("sig"))
+    }: _*)
+
   /** Distinct word-3-gram shingles per doc, as 36-bit md5-derived ints:
     * (doc_id, x). Joining/minhashing on a long instead of the shingle
-    * string keeps shuffles narrow; the hash is md5-hex-prefix in BOTH
-    * engines, so any (vanishingly rare) collision is identical on both
-    * sides and parity holds. `toks` is materialized as a column first
-    * so the split runs once per row, not once per lambda element. */
+    * string keeps shuffles narrow. `toks` is materialized as a column
+    * first so the split runs once per row, not once per lambda
+    * element. */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(tk) - 2),
-          |  i -> cast(conv(substring(md5(concat(
-          |         element_at(tk, i), ' ',
-          |         element_at(tk, i + 1), ' ',
-          |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
-          .stripMargin))).as("x"))
+      .select(col("doc_id"), explode(shingleSetCol).as("x"))
 
   /** ONE evaluation of the tokenize/explode/shuffle pipeline: gather
     * each doc's distinct shingle ids to (doc_id, raw). Everything
@@ -209,15 +238,9 @@ object Dedup {
         .agg(collect_set(col("x")).as("xs"))
         .withColumn("n", size(col("xs"))))
       val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
-        df.withColumn(s"mh$i", array_min(transform(col("xs"),
-          x => (lit(67108879L + 65537L * i) * x
-            + lit(1000003L * i + 12345L)) % lit(P))))
+        df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
       }
-      val bandStructs = array((0 until NumHashes / BandRows).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until BandRows).map(r =>
-            col(s"mh${b * BandRows + r}").cast("string")): _*).as("sig"))
-      }: _*)
+      val bandStructs = bandSigs((0 until NumHashes).map(i => col(s"mh$i")))
       val bands = withMh.select(col("doc_id"), explode(bandStructs).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.ext.Dedup
+
+/** Structured Streaming twin of the d03 MinHash-LSH near-dedup — a
+  * watermark-bounded near-duplicate filter over an unbounded document
+  * stream (the streaming sibling EventStreams.dedupEvents is to d01).
+  *
+  * Shape: shingle sets and all 32 minhashes are ROW-LOCAL column
+  * algebra (one document's set needs no explode+gather — the exact
+  * [[Dedup.shingleSetCol]]/[[Dedup.minhashExpr]]/[[Dedup.bandSigs]]
+  * expressions batch d03 uses, so the band keys can never drift), the
+  * stream keys by (band, sig) bucket, and per-bucket state holds the
+  * recently seen docs' shingle sets. An arriving document compares
+  * ONLY against its colliding bucket's members — the same
+  * candidates-are-collisions topology as batch d03, incrementalized.
+  *
+  * State is bounded two ways: members older than `ttl` are dropped on
+  * every bucket visit, and idle buckets are evicted wholesale by an
+  * event-time timeout once the watermark passes their newest member's
+  * ts + ttl — so state ∝ documents-per-retention-window, never
+  * all-time corpus size (the unbounded-dedup-state OOM, as with
+  * dedupEvents). At 100 TB/day the per-bucket member lists stay short
+  * because bucket keys are content-derived (hot buckets = real
+  * near-dup clusters, which is exactly the work).
+  *
+  * A pair colliding in several bands is emitted once per colliding
+  * bucket; buckets are independent keys, so cross-bucket emission
+  * dedup belongs downstream (`dropDuplicatesWithinWatermark` on
+  * (doc_a, doc_b), or the consumer's sink upsert) — batch d03 does the
+  * same with its candidate `.distinct()`.
+  */
+object DocStreams {
+
+  /** The documents schema as a streaming source expects it (ingestion
+    * ts attached upstream). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  case class BandedDoc(band: Int, sig: String, doc_id: Long,
+      ts: Timestamp, xs: Seq[Long])
+  case class BucketDoc(docId: Long, tsMicros: Long, xs: Seq[Long])
+  case class BucketState(docs: List[BucketDoc], maxTsMicros: Long)
+  case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** (band, sig, doc_id, ts, xs) rows for a (doc_id, ts, text) stream —
+    * entirely row-local except the band explode (8 rows per doc). */
+  private[graft] def banded(docs: DataFrame): DataFrame = {
+    val mhs: Seq[Column] = (0 until 32).map(i => Dedup.minhashExpr(col("xs"), i))
+    docs
+      .select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("ts"), Dedup.shingleSetCol.as("xs"))
+      .select(col("doc_id"), col("ts"), col("xs"),
+        explode(Dedup.bandSigs(mhs)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("ts"), col("xs"))
+  }
+
+  /** Near-dup pairs (jaccard ≥ `threshold`) between documents arriving
+    * within `ttl` of each other, per LSH band bucket. See object doc
+    * for state bounds and emission semantics. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val ttlUs = ttlMinutes * 60L * 1000000L
+
+    def update(key: (Int, String), batch: Iterator[BandedDoc],
+        state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
+        var cur = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+        val out = Seq.newBuilder[NearDupPair]
+        arrived.foreach { d =>
+          val m = micros(d.ts)
+          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
+          val xs = d.xs.toSet
+          live.foreach { b =>
+            if (b.docId != d.doc_id) {
+              val inter = b.xs.count(xs.contains)
+              val j = inter.toDouble / (b.xs.size + xs.size - inter)
+              if (j >= threshold)
+                out += (if (b.docId < d.doc_id)
+                  NearDupPair(b.docId, d.doc_id, j)
+                else NearDupPair(d.doc_id, b.docId, j))
+            }
+          }
+          cur = BucketState(BucketDoc(d.doc_id, m, d.xs) :: live,
+            math.max(cur.maxTsMicros, m))
+        }
+        state.update(cur)
+        // Evict the idle bucket once the watermark passes its newest
+        // member + ttl (clamped above the current watermark, as in
+        // EventStreams.sessionize).
+        val wm = scala.util.Try(state.getCurrentWatermarkMs())
+          .getOrElse(Long.MinValue)
+        state.setTimeoutTimestamp(
+          math.max(cur.maxTsMicros / 1000L + ttlUs / 1000L, wm + 1))
+        out.result().iterator
+      }
+    }
+
+    banded(docs)
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

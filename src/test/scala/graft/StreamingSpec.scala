@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter replays to exactly the batch d03 pairs") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_neardup_stream").toString
+    // documents with a synthetic ingestion ts, 1 s apart — all inside
+    // the default 24 h ttl, so the bounded filter must find every pair
+    // batch d03 finds (identical shingle/minhash/band expressions).
+    Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+      .write.mode("append").parquet(srcDir)
+    val pairs = DocStreams.nearDupPairs(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream").start()
+    try {
+      q.processAllAvailable()
+      // a pair colliding in >1 band is emitted per bucket: dedup, as
+      // the operator contract states downstream must
+      val got = spark.table("neardup_stream").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val want = SparkEntry.queries("d03_minhash_lsh")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(want.nonEmpty, "corpus must contain near-dup pairs")
+      assert(got == want,
+        s"streamed near-dups diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel updates reduce to exactly the batch e07 summary") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(
