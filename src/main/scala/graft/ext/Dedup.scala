@@ -112,11 +112,14 @@ object Dedup {
     orderShingleSets(gatherShingleSets(sh))
 
   /** The blocking rows: each doc's first n − ⌈t·n⌉ + 1 shingles in the
-    * global order, exploded to (doc_id, n, x). */
+    * global order, exploded to (doc_id, n, i, x) where `i` is the
+    * 1-based position of x in the doc's full ordered set — the input
+    * to the PPJoin positional filter in [[jaccardPairsPrefix]]. */
   private[graft] def prefixBlocks(sets: DataFrame, t: Double): DataFrame =
     sets.select(col("doc_id"), col("n"),
-      explode(slice(col("xs"), lit(1),
-        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("x"))
+      posexplode(slice(col("xs"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("x"))
 
   /** Exhaustive exact Jaccard over shingle-id sets for pairs sharing
     * ≥1 shingle — the reference semantics, kept `private[graft]` ONLY
@@ -160,9 +163,12 @@ object Dedup {
     * Scale: a stop shingle shared by 1M docs lands at the END of the
     * df-ascending order, so it enters prefixes only for docs made
     * almost entirely of stop shingles — candidate cost tracks the
-    * rare-shingle collision rate, not max document frequency. The
-    * length filter (min ≥ ⌈t·max⌉) prunes mismatched-size pairs before
-    * the verify join.
+    * rare-shingle collision rate, not max document frequency. Two
+    * pre-verify pruners cut the candidate set further without losing
+    * recall: the length filter (min ≥ ⌈t·max⌉) at the join, and the
+    * PPJoin positional filter (overlap upper bound at the smallest
+    * common prefix shingle) at the per-pair aggregate — see inline
+    * proof sketches.
     */
   private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double): DataFrame = {
     // Two materialization cuts: the gathered sets (so the corpus scan +
@@ -176,8 +182,22 @@ object Dedup {
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=
             ceil(greatest(col("a.n"), col("b.n")) * lit(t)))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(struct(col("a.i").as("ia"), col("b.i").as("ib"),
+        col("a.n").as("na"), col("b.n").as("nb"))).as("m"))
+      // PPJoin positional filter: J(A,B) >= t  <=>  overlap O >=
+      // t/(1+t)·(na+nb). The min-struct picks the collision at the
+      // globally SMALLEST common prefix shingle c (positions are
+      // strictly increasing in the global order, so min ia = min c);
+      // for a qualifying pair c is in both prefixes (total-recall
+      // proof above), and every common element sits at-or-after c in
+      // both suffixes, so O <= 1 + min(na − ia, nb − ib). Pairs whose
+      // bound can't reach the threshold skip the verify join entirely.
+      // The 1e-9 slack keeps a float-rounded threshold from ever
+      // over-pruning an exact boundary pair (bound is an integer).
+      .filter((lit(1) + least(col("m.na") - col("m.ia"), col("m.nb") - col("m.ib")))
+        >= lit(t / (1 + t)) * (col("m.na") + col("m.nb")) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cand, sets, t)
   }
 
