@@ -204,17 +204,23 @@ object Dedup {
   /** Exact-Jaccard verification shared by the prefix-filter (d02) and
     * LSH (d03) candidate paths: join (doc_a, doc_b) pairs back onto the
     * gathered shingle sets (doc_id, xs, n) and keep pairs ≥ `t`. One
-    * definition so the two registered queries can never drift apart. */
+    * definition so the two registered queries can never drift apart.
+    *
+    * The overlap is the native [[graft.functions.SortedIntersectCount]]
+    * merge scan — arrays are value-sorted ONCE per document (row-local,
+    * before the broadcast), so each of the millions of candidate pairs
+    * costs one allocation-free two-cursor pass instead of
+    * `array_intersect`'s per-pair hash set + result array. */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame = {
-    val slim = sets.select(col("doc_id"), col("xs"), col("n"))
+    val slim = sets.select(col("doc_id"), sort_array(col("xs")).as("xs"), col("n"))
     cand
       .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(slim.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sa.xs"), col("sb.xs")))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double") /
-          (col("sa.n") + col("sb.n")
-            - size(array_intersect(col("sa.xs"), col("sb.xs")))))
-          .as("jaccard"))
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= t)
   }
 

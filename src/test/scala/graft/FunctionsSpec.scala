@@ -57,6 +57,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal integer k"))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    // random long sets with overlap, pre-sorted — the expression's
+    // contract; parity against the built-in on every pair, plus a
+    // codegen-stage check (same discipline as cosine_sim).
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, rnd.shuffle((0L until 80L).toList).take(30 + rnd.nextInt(30))
+        .distinct.sorted)
+    }
+    val df = rows.toDF("id", "xs")
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.xs").as("xa"), col("b.xs").as("xb"))
+    val both = pairs.select(
+      graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xa"), col("xb")).as("merged"),
+      size(array_intersect(col("xa"), col("xb"))).as("builtin"))
+    val rowsOut = both.collect()
+    assert(rowsOut.nonEmpty && rowsOut.forall(r => r.getInt(0) == r.getInt(1)),
+      "merge count must equal the built-in intersection size on every pair")
+    // executing `both` finalizes AQE, making codegen `*(n)` markers visible
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("sortedintersectcount") && l.contains("*(")),
+      s"expected the merge count inside a codegen stage:\n$plan")
+    // null propagation
+    val n = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
+      .toDF("xa", "xb")
+      .select(graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xa"), col("xb")).as("c")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))

@@ -51,8 +51,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("d03: verify path joins gathered sets (array_intersect), no shingle re-join") {
     val p = plan("d03_minhash_lsh")
-    assert(p.contains("array_intersect"),
-      s"candidate verification should use gathered shingle sets:\n$p")
+    assert(p.contains("sortedintersectcount"),
+      s"candidate verification should merge-scan the gathered sorted sets:\n$p")
     assert(!p.contains("Window"), p)
   }
 
@@ -60,8 +60,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("d02_ngram_jaccard")
     assert(p.contains("slice("),
       s"candidate generation must explode only the per-doc prefix slice:\n$p")
-    assert(p.contains("array_intersect"),
-      s"verification must use gathered sets, not a shingle re-join:\n$p")
+    assert(p.contains("sortedintersectcount"),
+      s"verification must merge-scan gathered sets, not re-join shingles:\n$p")
     // Behavioral half of the pin: the join's blocking input must be a
     // strict subset of the shingle rows (≈ half at t=0.5), so the
     // blowup shape — joining two full shingle explodes — is gone.
