@@ -302,8 +302,52 @@ object Dedup {
       // once (Subplan.once), one row per doc.
       val sig = graft.ops.Subplan.once(simhashSignatures(base))
       simhashPairs(sig, 3)
-    })
+    }),
+
+    // Dedup clustering: near-dup PAIRS are not a dedup decision — the
+    // training-data step is connected components over the pair graph,
+    // then one canonical doc per cluster (min doc_id). Components via
+    // iterative min-label propagation ([[connectedComponents]]); the
+    // DuckDB oracle walks the same graph with a recursive CTE.
+    "d07_dedup_clusters" -> ((s, dir) =>
+      connectedComponents(
+        jaccardPairsPrefix(shingles(s, dir), 0.5)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
   )
+
+  /** Connected components of an undirected (doc_a, doc_b) pair graph:
+    * returns (u, lbl) where lbl = the minimum doc id reachable from u
+    * (the cluster's canonical id). Iterative min-label propagation —
+    * each round every node takes the min of its own and its neighbors'
+    * labels, materialized per round ([[graft.ops.Subplan.once]]) so
+    * round k+1 reads round k's result, not a k-deep recomputed plan.
+    * Rounds = graph diameter; near-dup clusters are shallow (dupes of
+    * a common source), so this converges in a handful of rounds. At
+    * 100 TB the same loop runs with large-star/small-star contraction
+    * to force O(log d) rounds; the per-round topology (edge ⋈ labels,
+    * groupBy min) is identical. The driver-side loop carries only a
+    * converged? count per round — never data. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val e = graft.ops.Subplan.once(edges)
+    var labels = graft.ops.Subplan.once(
+      e.select(col("u")).distinct().select(col("u"), col("u").as("lbl")))
+    var converged = false
+    while (!converged) {
+      val next = graft.ops.Subplan.once(
+        e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+          .select(col("u"), col("lbl"))
+          .unionAll(labels)
+          .groupBy(col("u")).agg(min(col("lbl")).as("lbl")))
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.u") === col("o.u"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+    }
+    labels
+  }
 
   /** 60-bit SimHash signatures for a (doc_id, text) input: token hash
     * = first 15 md5 hex chars (portable, signed-64-safe in Spark AND
@@ -460,6 +504,19 @@ object Dedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // Transitive closure via recursive CTE (graphs are tiny at the
+    // verify SF), then min reachable id per node == the propagated
+    // label the Spark loop converges to.
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
   )
 }

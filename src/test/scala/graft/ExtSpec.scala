@@ -15,6 +15,27 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("d07 clusters equal a driver-side union-find over the d02 pairs") {
+    val pairs = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = SparkEntry.queries("d07_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toMap
+    assert(want.nonEmpty && got == want,
+      s"label propagation diverges from union-find on ${got.size} nodes")
+  }
+
   test("m01 sampled column: empty and NULL text both yield NULL (DuckDB parity)") {
     // DuckDB's array_to_string([], ',') is NULL (not ''), and NULL text
     // propagates NULL — the Spark branch must agree on both degenerate
