@@ -102,6 +102,47 @@ object Text {
 
     // Word-bigram counts across the corpus (n-gram surface); the HAVING
     // bound keeps the result set stable and skips the long tail.
+    // PII redaction: scrub emails/phones to typed placeholders — a
+    // standard pre-training scrub pass. The synthetic corpus carries
+    // no natural PII, so each doc gets a deterministic planted contact
+    // line first (the d05/d06 planting pattern); the redactor then
+    // must find exactly those. Map-only column algebra; the patterns
+    // stay in the regex subset Java and DuckDB RE engines share.
+    "t10_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-000-"), col("doc_id"))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+[0-9][0-9-]{6,}[0-9]"
+      docs(s, dir).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).cast("int").as("n_email"),
+          regexp_count(col("t"), lit(phone)).cast("int").as("n_phone"),
+          regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"))
+    }),
+
+    // Repetition scoring (the Gopher-style quality rule): fraction of
+    // duplicated word-3-grams and the top trigram's share — high
+    // values flag boilerplate/spam. Same explode+group shape as t05;
+    // the shuffle carries (doc, trigram) partial counts.
+    "t11_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tk) - 2),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+            |              ' ', element_at(tk, i + 2)))""".stripMargin)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tri"),
+          count(lit(1)).as("n_distinct_tri"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_share"),
+          (lit(1.0) - count(lit(1)).cast("double") / sum(col("c")))
+            .as("rep_ratio"))
+    }),
+
     "t05_ngrams" -> ((s, dir) => {
       docs(s, dir)
         .select(toks.as("tk")) // hoisted: split once per row, not per lambda element
@@ -234,6 +275,35 @@ object Text {
         |    x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num,
         |  CAST(len(pieces) AS DOUBLE) / n_words AS bpe_per_word
         |FROM p""".stripMargin,
+    "t10_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id
+        |      || '@example.com or +1-555-000-' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9][0-9-]{6,}[0-9]')) AS INTEGER) AS n_phone,
+        |  regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin,
+    "t11_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |tri AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    for i in generate_series(1, len(t) - 2)]) AS g FROM tk),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tri,
+        |  COUNT(*) AS n_distinct_tri,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS rep_ratio
+        |FROM cnt GROUP BY doc_id""".stripMargin,
     "t05_ngrams" ->
       """WITH tk AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
