@@ -336,15 +336,20 @@ object Dedup {
       e.select(col("u")).distinct().select(col("u"), col("u").as("lbl")))
     var converged = false
     while (!converged) {
+      // Own rows ride the same union tagged own=1, so the round's ONE
+      // aggregation yields both the new label (min over self +
+      // neighbors) and the previous one (the unique own row) — the
+      // convergence check is then a filter over the materialized
+      // result, not an extra join job per round.
       val next = graft.ops.Subplan.once(
         e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
-          .select(col("u"), col("lbl"))
-          .unionAll(labels)
-          .groupBy(col("u")).agg(min(col("lbl")).as("lbl")))
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.u") === col("o.u"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+          .select(col("u"), col("lbl"), lit(0).as("own"))
+          .unionAll(labels.select(col("u"), col("lbl"), lit(1).as("own")))
+          .groupBy(col("u"))
+          .agg(min(col("lbl")).as("lbl"),
+            max(when(col("own") === 1, col("lbl"))).as("prev")))
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select(col("u"), col("lbl"))
     }
     labels
   }
