@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.topKDescriptor)
+    e.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
   }
 }
 
@@ -39,9 +40,14 @@ object GraftExtensions {
         "top_k(expr, k) requires a literal integer k")
     })
 
+  val sortedIntersectCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimDescriptor, topKDescriptor).foreach { d =>
+    Seq(cosineSimDescriptor, topKDescriptor, sortedIntersectCountDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

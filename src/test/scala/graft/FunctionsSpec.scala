@@ -90,6 +90,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("sorted_intersect_count registers into SQL via extensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c")
+      .head()
+    assert(r.getInt(0) == 2)
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))
