@@ -121,4 +121,30 @@ object DocStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
+    * TOKEN estimates over the document stream, via the deduplicating
+    * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot
+    * pre-`distinct()` across triggers (unbounded state); KMV is the
+    * sketch answer — state per window is ≤ k longs plus the count,
+    * partial buffers merge across triggers, and the watermark retires
+    * windows. `(k−1)·2³² / kth_min` with an exact fallback for windows
+    * holding < k distinct hashes, exactly as batch t09. */
+  def windowedDistinctTokens(docs: DataFrame, k: Int = 64,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("ts"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.KmvAgg.kmvMins(col("h"), k).as("mins"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("wstart"), col("n_tokens"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) /
+            element_at(col("mins"), k))
+          .as("est_distinct"))
 }

@@ -98,6 +98,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2)
   }
 
+  test("kmv_mins dedups inside the buffer: matches t09's distinct+top_k path") {
+    // KMV proper (k smallest DISTINCT hashes) over the RAW token
+    // stream must equal the batch formulation that pre-distincts and
+    // heaps — the property that lets the streaming sketch skip the
+    // unbounded distinct.
+    val hashed = Tables(spark, sf, "documents")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val viaKmv = hashed.groupBy(col("source"))
+      .agg(graft.functions.KmvAgg.kmvMins(col("h"), 64).as("mins"))
+      .select(col("source"), col("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaDistinct = hashed.distinct().groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("h")).as("nh"), col("h")), 64).as("tops"))
+      .select(col("source"), col("tops"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[Long]("h"))).toMap
+    assert(viaKmv.nonEmpty && viaKmv == viaDistinct,
+      "kmv buffer dedup must reproduce the distinct+heap sketch exactly")
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))

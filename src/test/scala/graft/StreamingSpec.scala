@@ -174,6 +174,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed KMV distinct estimates replay to the batch sketch") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_kmv_stream").toString
+    // one doc per minute -> several 1-hour windows
+    val staticDocs = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id") * 60).as("ts"),
+        col("text"))
+    staticDocs.write.mode("append").parquet(srcDir)
+    // k=16 < the ~31 distinct tokens per window, so the ESTIMATE path
+    // runs, not just the small-window exact fallback. Complete mode:
+    // append would hold back the final windows (the watermark never
+    // advances past end-of-data), same as the tumbling-counts test.
+    val stream = DocStreams.windowedDistinctTokens(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir), k = 16)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("wstart"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("est_distinct"))
+      val got = spark.table("kmv_stream").collect().map(key).toSet
+      // same function, batch execution: watermark is a no-op, the
+      // windowed KmvAgg runs as a plain aggregate
+      val want = DocStreams.windowedDistinctTokens(staticDocs, k = 16).collect()
+        .map(key).toSet
+      assert(want.size > 1, "test must span multiple windows")
+      assert(want.exists(w => w._3 != math.floor(w._3)),
+        "at least one window must take the (k-1)*2^32/kth estimate path")
+      assert(got == want,
+        s"streamed sketch diverges: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel updates reduce to exactly the batch e07 summary") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(
