@@ -134,6 +134,31 @@ object Similarity {
         .filter(col("cos_sim") >= 0.99)
     }),
 
+    // Random-projection dimensionality reduction (64 → 16), the
+    // standard pre-ANN shrink: reduced_j = Σ_i v_i · sign(i,j) / √16
+    // with a ±1 matrix derived from md5(i:j) parity — deterministic
+    // and engine-portable, so unlike spark.ml's PCA/RP (JVM-internal
+    // floats) this IS oracle-checkable. Sparse sign projections are
+    // the classic JL construction; at 100 TB this is a map-only pass
+    // that shrinks the ANN corpus 4× before any index build. Output
+    // exploded to (vec_id, j, val) scalars — the verify harness
+    // row-sorts in pandas, which can't hash array cells (same
+    // discipline as m01).
+    "s04_random_projection" -> ((s, dir) => {
+      val e = emb(s, dir)
+      e.select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 15), j ->
+          |  aggregate(sequence(1, 64), cast(0.0 as double),
+          |    (acc, i) -> acc + element_at(v, i) *
+          |      (case when conv(substring(md5(concat(
+          |             cast(i as string), ':', cast(j as string))), 1, 1),
+          |             16, 10) % 2 = 0
+          |       then cast(1.0 as double) else cast(-1.0 as double) end))
+          |  / cast(4.0 as double))""".stripMargin)))
+        .select(col("vec_id"), col("pos").cast("int").as("j"),
+          col("col").as("val"))
+    }),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -300,6 +325,13 @@ object Similarity {
         |  JOIN al sa ON sa.vec_id = c.vec_a
         |  JOIN al sb ON sb.vec_id = c.vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
+    "s04_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  list_sum([v[i] * (CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+        |                    THEN 1.0 ELSE -1.0 END)
+        |            for i in generate_series(1, 64)]) / 4.0 AS val
+        |FROM e, unnest(generate_series(0, 15)) u(j)""".stripMargin,
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS qid, b.vec_id AS nn_id,

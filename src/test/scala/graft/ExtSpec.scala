@@ -15,6 +15,33 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("s04 random projection preserves planted near-duplicates") {
+    // The reduction's use case is dedup/ANN blocking in 16 dims: a
+    // vector and its 1.01-scaled twin (the d05 planting) must stay at
+    // reduced-space cosine ~1.
+    val reduceExpr = org.apache.spark.sql.functions.expr(
+      """transform(sequence(0, 15), j ->
+        |  aggregate(sequence(1, 64), cast(0.0 as double),
+        |    (acc, i) -> acc + element_at(v, i) *
+        |      (case when conv(substring(md5(concat(
+        |             cast(i as string), ':', cast(j as string))), 1, 1),
+        |             16, 10) % 2 = 0
+        |       then cast(1.0 as double) else cast(-1.0 as double) end))
+        |  / cast(4.0 as double))""".stripMargin)
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r1 = e.select(col("vec_id"), reduceExpr.as("r1"))
+    val r2 = e.select(col("vec_id"), transform(col("v"),
+        (x, i) => when(i === 0, x * 1.01).otherwise(x)).as("v"))
+      .select(col("vec_id"), reduceExpr.as("r2"))
+    val cos = r1.join(r2, "vec_id")
+      .select(graft.functions.CosineSimilarity.cosineSim(col("r1"), col("r2"))
+        .as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cos.nonEmpty && cos.forall(_ > 0.999),
+      s"reduced-space twin cosine degraded: min=${cos.min}")
+  }
+
   test("d07 clusters equal a driver-side union-find over the d02 pairs") {
     val pairs = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect()
