@@ -41,6 +41,26 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint-bucketed corpus dedups without any exchange") {
+    // The 100 TB ingest story for d01: land documents with their
+    // normalized-text fingerprint as a bucketed column, and every
+    // recurring exact-dedup groupBy(fp) reads the bucket layout
+    // instead of shuffling the corpus — dedup becomes a map-side
+    // aggregate over co-located buckets.
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    Sink.writeBucketed(docs, "docs_fp_b", 8, Seq("fp"))
+    val deduped = spark.table("docs_fp_b")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"scan must use the bucket layout:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"dedup over the bucketed corpus must not shuffle:\n$plan")
+    assert(deduped.count() == docs.select(col("fp")).distinct().count())
+  }
+
   test("bucketed product tables: segment join pixel runs with zero exchange") {
     // The J4-shaped product join (segment rows ⋈ per-pixel masks on the
     // pixel key) over tables landed with Sink.writeBucketed — the
