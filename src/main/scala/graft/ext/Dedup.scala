@@ -313,7 +313,28 @@ object Dedup {
       connectedComponents(
         jaccardPairsPrefix(shingles(s, dir), 0.5)
           .select(col("doc_a"), col("doc_b")))
-        .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
+        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))),
+
+    // Canonical selection: the dedup DECISION. Per near-dup cluster
+    // keep the best member — here "longest text" (the common keep
+    // heuristic), ties to the smallest doc_id. One partial-aggregating
+    // max(struct) per cluster; at 100 TB the scored corpus collapses
+    // map-side to one candidate per cluster per task.
+    "d08_canonical_docs" -> ((s, dir) => {
+      val clusters = connectedComponents(
+        jaccardPairsPrefix(shingles(s, dir), 0.5)
+          .select(col("doc_a"), col("doc_b")))
+        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      val scored = docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("int").as("score"))
+      clusters.join(scored, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nd"),
+            col("doc_id"))).as("best"),
+          count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+          col("best.score").as("score"), col("n_docs"))
+    })
   )
 
   /** Connected components of an undirected (doc_a, doc_b) pair graph:
@@ -522,6 +543,24 @@ object Dedup {
          |  SELECT DISTINCT u, u FROM edges
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
+         |SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    "d08_canonical_docs" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |scored AS (SELECT cl.cluster_id, d.doc_id,
+         |    CAST(length(d.text) AS INTEGER) AS score,
+         |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_docs,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, score, n_docs
+         |FROM scored WHERE rk = 1""".stripMargin
   )
 }
