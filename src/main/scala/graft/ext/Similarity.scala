@@ -145,16 +145,17 @@ object Similarity {
     // row-sorts in pandas, which can't hash array cells (same
     // discipline as m01).
     "s04_random_projection" -> ((s, dir) => {
+      // The sign matrix is a CONSTANT — fold it at plan-build time
+      // (JVM md5 of the same "i:j" strings the oracle hashes in SQL,
+      // so parity is by construction) instead of re-hashing 64×16
+      // md5s per row: the projection becomes 1,024 codegen'd
+      // multiply-adds per vector. Round-4 soak: 20.8 s → ~1 s at sf1.
       val e = emb(s, dir)
-      e.select(col("vec_id"), posexplode(expr(
-        """transform(sequence(0, 15), j ->
-          |  aggregate(sequence(1, 64), cast(0.0 as double),
-          |    (acc, i) -> acc + element_at(v, i) *
-          |      (case when conv(substring(md5(concat(
-          |             cast(i as string), ':', cast(j as string))), 1, 1),
-          |             16, 10) % 2 = 0
-          |       then cast(1.0 as double) else cast(-1.0 as double) end))
-          |  / cast(4.0 as double))""".stripMargin)))
+      val cols = (0 until 16).map { j =>
+        (1 to 64).map(i => element_at(col("v"), i) * lit(rpSign(i, j)))
+          .reduce(_ + _) / lit(4.0)
+      }
+      e.select(col("vec_id"), posexplode(array(cols: _*)))
         .select(col("vec_id"), col("pos").cast("int").as("j"),
           col("col").as("val"))
     }),
@@ -180,6 +181,16 @@ object Similarity {
           col("best.cos_sim").as("cos_sim"))
     })
   )
+
+  /** JL ±1 sign for projection output dim `j` (0-based) and input dim
+    * `i` (1-based): parity of the first hex char of md5("i:j") — the
+    * exact value the s04 oracle derives in SQL. */
+  private def rpSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+  }
 
   /** Per-vector int8 scalar quantization: [min,max] of each vector maps
     * linearly onto 0..255 (stored with its scale/offset). 4× smaller
