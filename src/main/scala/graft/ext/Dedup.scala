@@ -18,8 +18,11 @@ import graft.Tables
   * corpus size (times collision rate), not quadratically.
   *
   * Portability discipline: every hash is derived from md5 hex (identical
-  * in Spark and DuckDB), folded to ≤36-bit ints so the (a*x+b) mod p
-  * MinHash family stays inside exact Long arithmetic in both engines.
+  * in Spark and DuckDB). Hashes feeding the (a*x+b) mod p MinHash
+  * family fold to ≤36-bit ints so the multiply stays inside exact Long
+  * arithmetic in both engines; simhash token hashes (XOR/bit_count
+  * only, never multiplied) use the widest signed-64-safe prefix
+  * (60 bits = 15 hex chars).
   */
 object Dedup {
 
@@ -259,10 +262,10 @@ object Dedup {
       // so it is materialized exactly once (Subplan.once; round 3 ran
       // the whole shingle pipeline 4× here). GC releases the
       // checkpoint when the returned plan is dropped.
-      val sets = graft.ops.Subplan.once(shingles(s, dir)
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("x")).as("xs"))
-        .withColumn("n", size(col("xs"))))
+      val sets = graft.ops.Subplan.once(
+        gatherShingleSets(shingles(s, dir))
+          .select(col("doc_id"), col("raw").as("xs"),
+            size(col("raw")).as("n")))
       val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
         df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
       }
@@ -289,14 +292,15 @@ object Dedup {
     // Hamming-near pairs over 60-bit simhash signatures, banded (6
     // bands × 10 bits — total recall for hamming ≤ 5 by pigeonhole).
     // The corpus is exercised on planted near-dupes: each doc unions
-    // with a one-token-appended twin (doc_id + 100000), the d01/d05
+    // with a one-token-appended twin (doc_id + 10^9, clear of any
+      // realistic corpus id space), the d01/d05
     // self-union pattern for the signature regime; natural low-hamming
     // pairs surface too. The oracle is the exhaustive all-pairs
     // bit_count filter — banding must lose nothing at the threshold.
     "d06_simhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("text"))
-        .unionAll(d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
           concat(col("text"), lit(" qq")).as("text")))
       // Signatures feed both sides of the band self-join — materialize
       // once (Subplan.once), one row per doc.
@@ -309,11 +313,7 @@ object Dedup {
     // then one canonical doc per cluster (min doc_id). Components via
     // iterative min-label propagation ([[connectedComponents]]); the
     // DuckDB oracle walks the same graph with a recursive CTE.
-    "d07_dedup_clusters" -> ((s, dir) =>
-      connectedComponents(
-        jaccardPairsPrefix(shingles(s, dir), 0.5)
-          .select(col("doc_a"), col("doc_b")))
-        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))),
+    "d07_dedup_clusters" -> ((s, dir) => nearDupClusters(s, dir)),
 
     // Canonical selection: the dedup DECISION. Per near-dup cluster
     // keep the best member — here "longest text" (the common keep
@@ -321,10 +321,7 @@ object Dedup {
     // max(struct) per cluster; at 100 TB the scored corpus collapses
     // map-side to one candidate per cluster per task.
     "d08_canonical_docs" -> ((s, dir) => {
-      val clusters = connectedComponents(
-        jaccardPairsPrefix(shingles(s, dir), 0.5)
-          .select(col("doc_a"), col("doc_b")))
-        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      val clusters = nearDupClusters(s, dir)
       val scored = docs(s, dir)
         .select(col("doc_id"), length(col("text")).cast("int").as("score"))
       clusters.join(scored, "doc_id")
@@ -336,6 +333,16 @@ object Dedup {
           col("best.score").as("score"), col("n_docs"))
     })
   )
+
+  /** The d07/d08 shared cluster pipeline — ONE definition (threshold,
+    * pair projection, label renaming) so the registered clusters and
+    * the keep-decisions computed over them can never drift apart
+    * (the verifyJaccard discipline, applied one level up). */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      jaccardPairsPrefix(shingles(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
 
   /** Connected components of an undirected (doc_a, doc_b) pair graph:
     * returns (u, lbl) where lbl = the minimum doc id reachable from u
@@ -516,7 +523,7 @@ object Dedup {
     "d06_simhash_pairs" ->
       """WITH base AS (SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text || ' qq' AS text FROM documents),
+        |  SELECT doc_id + 1000000000 AS doc_id, text || ' qq' AS text FROM documents),
         |tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM base),

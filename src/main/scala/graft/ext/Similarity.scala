@@ -105,7 +105,7 @@ object Similarity {
     // sign-buckets handled by AQE skew join.
     "d05_embedding_neardup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val pert = e.select((col("vec_id") + lit(10000L)).as("vec_id"),
+      val pert = e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
       // Referenced 3× (banding + verify sa/sb): materialize once so
@@ -314,7 +314,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |pert AS (SELECT vec_id + 10000 AS vec_id,
+        |pert AS (SELECT vec_id + 1000000000 AS vec_id,
         |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
         |     for i in generate_series(1, len(v))] AS v
         |  FROM e),

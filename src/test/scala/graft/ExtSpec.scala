@@ -97,7 +97,7 @@ class ExtSpec extends AnyFunSuite {
     val n = Tables(spark, sf, "embeddings").count()
     assert(rows.length == n, s"expected $n planted pairs, got ${rows.length}")
     rows.foreach { r =>
-      assert(r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 10000L,
+      assert(r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 1000000000L,
         s"non-planted pair surfaced: $r")
       assert(r.getAs[Double]("cos_sim") >= 0.99)
     }
