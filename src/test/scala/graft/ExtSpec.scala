@@ -63,21 +63,6 @@ class ExtSpec extends AnyFunSuite {
       s"label propagation diverges from union-find on ${got.size} nodes")
   }
 
-  test("m01 sampled column: empty and NULL text both yield NULL (DuckDB parity)") {
-    // DuckDB's array_to_string([], ',') is NULL (not ''), and NULL text
-    // propagates NULL — the Spark branch must agree on both degenerate
-    // inputs even though the driver corpus never exercises them
-    // (ADVICE r2/r3: latent cross-engine divergence).
-    import spark.implicits._
-    val df = Seq((1L, "abc def"), (2L, ""), (3L, null: String))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), ext.Multimodal.sampledCol.as("sampled"))
-    val got = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
-    assert(got(1L).nonEmpty && got(1L).get.nonEmpty)
-    assert(got(2L).isEmpty, "empty text must sample to NULL, matching DuckDB")
-    assert(got(3L).isEmpty, "NULL text must propagate NULL")
-  }
-
   test("d01 exact dedup collapses the self-unioned corpus 2→1") {
     val df = SparkEntry.queries("d01_exact_dedup")(spark, sf)
     assert(df.filter(col("n_copies") =!= 2).count() == 0)
