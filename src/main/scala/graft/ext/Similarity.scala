@@ -40,6 +40,37 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** Axis-aligned sign-bit LSH bands over a 64-dim array<double> column:
+    * 4 structs of (band, sig) where sig is the 16-char '0'/'1' sign
+    * pattern of dims b·16+1 .. b·16+16. ONE definition shared by d05
+    * (near-dup pairs) and s05 (blocked NN-1) so the two queries' band
+    * keys can never drift — the hyperplanes are the coordinate axes,
+    * deterministic, so the DuckDB oracle replicates the exact candidate
+    * set bit-for-bit (d05 proved the construction in round 3/4).
+    * Band width is the scale knob: 16-bit bands = 65,536 buckets keep
+    * expected occupancy < 1 through ~10^6 vectors; widen (or add
+    * bands) as the corpus grows so bucket count tracks corpus size. */
+  private[graft] def signBandStructs(v: Column): Column =
+    array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("", (1 to 16).map(i =>
+          when(element_at(v, b * 16 + i) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*).as("sig"))
+    }: _*)
+
+  /** The planted-twin corpus the sign-LSH queries are exercised on: the
+    * random corpus (max natural pairwise cosine ~0.51 — no near-dups)
+    * unions with a deterministically perturbed copy of itself (dim 0
+    * scaled by 1.01, ids offset by 10^9, clear of any realistic corpus
+    * id space). A 1.01× scale never flips a sign, so every twin pair is
+    * sign-IDENTICAL — guaranteed band collisions for the blocking to
+    * find. Shared by d05 and s05. */
+  private def withPlantedTwins(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v")).unionAll(
+      e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
+
   /** Per-query top-k via the bounded-heap aggregate: partial
     * aggregation keeps ≤ k scored rows per query per task, where the
     * window formulation would shuffle-and-sort every scored row.
@@ -104,21 +135,10 @@ object Similarity {
     // (band, sig) keys, verification only on collisions, skewed
     // sign-buckets handled by AQE skew join.
     "d05_embedding_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val pert = e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
-        transform(col("v"), (x, i) =>
-          when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
       // Referenced 3× (banding + verify sa/sb): materialize once so
       // the corpus union isn't re-derived per reference (Subplan.once).
-      val all = graft.ops.Subplan.once(
-        e.select(col("vec_id"), col("v")).unionAll(pert))
-      val bandStructs = array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("", (1 to 16).map(i =>
-            when(element_at(col("v"), b * 16 + i) >= 0, lit("1"))
-              .otherwise(lit("0"))): _*).as("sig"))
-      }: _*)
-      val bands = all.select(col("vec_id"), explode(bandStructs).as("bs"))
+      val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+      val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
         .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -132,6 +152,47 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"),
           cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.99)
+    }),
+
+    // Blocked NN-1 — the SCALE path for per-vector nearest neighbor
+    // (s03 is the exact all-pairs baseline; its Scaladoc points here).
+    // Semantics: each vector's nearest neighbor AMONG ITS SIGN-BAND
+    // COLLISIONS — the deterministic axis-aligned blocking d05 proved
+    // hash-identical in DuckDB, so unlike annLsh/ivfKmeans (JVM-internal
+    // floats) this approximate NN-1 is fully oracle-checkable. Exercised
+    // on the planted-twin corpus so every vector has at least one
+    // collision (its sign-identical twin); natural collisions compete.
+    //
+    // 100 TB shape: candidates come from 4 narrow (band, sig) equi-joins
+    // — never a corpus broadcast, never all-pairs (PlanSpec pins
+    // no-NestedLoop / no-parquet-re-scan) — and the top-1 is the same
+    // partial-aggregating max(struct) as s03, collapsing candidates
+    // map-side. Cost tracks bucket-collision rate; the 16-bit band
+    // width is the documented corpus-tracking knob (see
+    // [[signBandStructs]]).
+    "s05_blocked_nn1" -> ((s, dir) => {
+      // Referenced 3× (banding + score sa/sb): materialize once.
+      val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+      val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // Both directions (=!=, not <): every vector needs ITS best
+      // neighbor, so pairs are not symmetric-deduped here.
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
+        .distinct()
+      cand.as("c")
+        .join(all.as("sa"), col("c.vec_id") === col("sa.vec_id"))
+        .join(all.as("sb"), col("c.nn_id") === col("sb.vec_id"))
+        .select(col("c.vec_id").as("vec_id"), col("c.nn_id").as("nn_id"),
+          cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"),
+          col("nn_id"))).as("best"))
+        .select(col("vec_id"), col("best.nn_id").as("nn_id"),
+          col("best.cos_sim").as("cos_sim"))
     }),
 
     // Random-projection dimensionality reduction (64 → 16), the
@@ -163,6 +224,10 @@ object Similarity {
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
+    // This is the EXACT all-pairs baseline: O(N²) compute with a
+    // full-corpus broadcast — correct at test SFs, but at 100× both
+    // sides die. The 100×-safe sibling is s05_blocked_nn1 (sign-band
+    // blocked candidates, same top-1 aggregate, oracle-checked).
     // Top-1 is a partial-aggregating max over an ordered struct —
     // map-side combine collapses the N² scored rows to one row per
     // vector per partition before any shuffle, where a window would
@@ -364,6 +429,35 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
          |FROM rk WHERE rk <= 3""".stripMargin,
+    // Same CTE skeleton as d05 (planted twins + 4×16-bit sign bands) —
+    // candidates in both directions, then rank-1 per vector.
+    "s05_blocked_nn1" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 1000000000 AS vec_id,
+        |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
+        |     for i in generate_series(1, len(v))] AS v
+        |  FROM e),
+        |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+        |bands AS (SELECT vec_id, b AS band,
+        |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY i) AS sig
+        |  FROM al, unnest(generate_series(0, 3)) u(b),
+        |           unnest(generate_series(1, 16)) w(i)
+        |  GROUP BY vec_id, b),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.vec_id, c.nn_id,
+        |    list_dot_product(sa.v, sb.v)
+        |      / (sqrt(list_dot_product(sa.v, sa.v))
+        |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+        |  FROM cand c
+        |  JOIN al sa ON sa.vec_id = c.vec_id
+        |  JOIN al sb ON sb.vec_id = c.nn_id),
+        |rk AS (SELECT vec_id, nn_id, cos_sim, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rk
+        |  FROM scored)
+        |SELECT vec_id, nn_id, cos_sim FROM rk WHERE rk = 1""".stripMargin,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -92,6 +92,18 @@ class PlanSpec extends AnyFunSuite {
       s"the gather stage is the single corpus evaluation — exactly one scan:\n$g")
   }
 
+  test("s05: blocked NN-1 bands, never broadcasts or nested-loops the corpus") {
+    val p = plan("s05_blocked_nn1")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from (band, sig) equi-joins, never all pairs:\n$p")
+    assert(!p.contains("IdentityBroadcastMode"),
+      s"s03's full-corpus broadcast is exactly what s05 exists to avoid:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"all sides must read the one materialized corpus:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"top-1 must partial-aggregate map-side:\n$p")
+  }
+
   test("d06: hamming pairs are a banded equi-join over materialized signatures") {
     val p = plan("d06_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
