@@ -293,9 +293,8 @@ object Dedup {
     // bands × 10 bits — total recall for hamming ≤ 5 by pigeonhole).
     // The corpus is exercised on planted near-dupes: each doc unions
     // with a one-token-appended twin (doc_id + 10^9, clear of any
-      // realistic corpus id space), the d01/d05
-    // self-union pattern for the signature regime; natural low-hamming
-    // pairs surface too. The oracle is the exhaustive all-pairs
+    // realistic corpus id space), the d01/d05 self-union pattern for
+    // the signature regime; natural low-hamming pairs surface too. The oracle is the exhaustive all-pairs
     // bit_count filter — banding must lose nothing at the threshold.
     "d06_simhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -346,40 +345,73 @@ object Dedup {
 
   /** Connected components of an undirected (doc_a, doc_b) pair graph:
     * returns (u, lbl) where lbl = the minimum doc id reachable from u
-    * (the cluster's canonical id). Iterative min-label propagation —
-    * each round every node takes the min of its own and its neighbors'
-    * labels, materialized per round ([[graft.ops.Subplan.once]]) so
-    * round k+1 reads round k's result, not a k-deep recomputed plan.
-    * Rounds = graph diameter; near-dup clusters are shallow (dupes of
-    * a common source), so this converges in a handful of rounds. At
-    * 100 TB the same loop runs with large-star/small-star contraction
-    * to force O(log d) rounds; the per-round topology (edge ⋈ labels,
-    * groupBy min) is identical. The driver-side loop carries only a
-    * converged? count per round — never data. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    val e = graft.ops.Subplan.once(edges)
-    var labels = graft.ops.Subplan.once(
-      e.select(col("u")).distinct().select(col("u"), col("u").as("lbl")))
+    * (the cluster's canonical id). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Large-star/small-star contraction (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round, LARGE-STAR relinks every node's larger neighbors to
+    * the minimum of its neighborhood (incl. itself), then SMALL-STAR
+    * relinks its smaller neighbors (and itself) to its minimum
+    * neighbor. The edge set contracts toward star graphs rooted at
+    * each component's minimum id in O(log n) rounds — round count no
+    * longer tracks graph DIAMETER, so one adversarial duplication
+    * chain can't force an unbounded driver loop (min-label propagation
+    * needs diameter rounds; ExtSpec pins a 1,000-node chain at
+    * ≤ 2·log₂ n rounds).
+    *
+    * Per-round topology: two groupBy-min + join passes over the
+    * materialized edge set ([[graft.ops.Subplan.once]] per round, so
+    * round k+1 reads round k's rows, never a k-deep recomputed plan).
+    * Neighborhood minima come from partial-aggregating groupBys — no
+    * collect_list, so a hot node (a million-duplicate cluster) never
+    * materializes its neighbor list in one row. The driver carries
+    * only a converged? boolean per round — never data. */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // Canonical undirected form: oriented (u > v), self-loops dropped,
+    // distinct — round-over-round equality of this form is convergence.
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var e = graft.ops.Subplan.once(
+      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var rounds = 0
     var converged = false
     while (!converged) {
-      // Own rows ride the same union tagged own=1, so the round's ONE
-      // aggregation yields both the new label (min over self +
-      // neighbors) and the previous one (the unique own row) — the
-      // convergence check is then a filter over the materialized
-      // result, not an extra join job per round.
-      val next = graft.ops.Subplan.once(
-        e.join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
-          .select(col("u"), col("lbl"), lit(0).as("own"))
-          .unionAll(labels.select(col("u"), col("lbl"), lit(1).as("own")))
-          .groupBy(col("u"))
-          .agg(min(col("lbl")).as("lbl"),
-            max(when(col("own") === 1, col("lbl"))).as("prev")))
-      converged = next.filter(col("lbl") < col("prev")).isEmpty
-      labels = next.select(col("u"), col("lbl"))
+      rounds += 1
+      // LARGE-STAR: for each node u, link every LARGER neighbor v to
+      // m(u) = min(N(u) ∪ {u}). m ≤ u < v, so output is canonical and
+      // self-loop-free by construction; canon() dedups.
+      val dir = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = graft.ops.Subplan.once(canon(
+        dir.join(lsMin, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))))
+      // SMALL-STAR: edges now oriented (u > v); for each node u, link
+      // every smaller neighbor (and u itself) to m(u) = min(N<(u)).
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = graft.ops.Subplan.once(canon(
+        ls.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
+          .unionAll(ssMin.select(col("u"), col("m").as("v")))))
+      // Fixpoint test over two materialized distinct sets: equal counts
+      // plus an empty one-sided difference ⟺ set equality.
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
     }
-    labels
+    // At the fixpoint every edge is (child, component-min root); roots
+    // label themselves. The groupBy-min is a no-op safety net (each
+    // child has exactly one root at a fixpoint) that keeps the output
+    // contract exact regardless.
+    val labels = e.select(col("u"), col("v").as("lbl"))
+      .unionAll(e.select(col("v").as("u"), col("v").as("lbl")))
+      .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+    (labels, rounds)
   }
 
   /** 60-bit SimHash signatures for a (doc_id, text) input: token hash

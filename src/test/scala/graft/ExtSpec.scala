@@ -124,6 +124,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: a 1,000-node chain converges in O(log n) rounds") {
+    // The adversarial case for min-label propagation: a single
+    // duplication CHAIN, diameter 999. Star contraction must collapse
+    // it to one cluster (labelled by the minimum id) in ~2·log₂(n)
+    // rounds, not ~n.
+    import spark.implicits._
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = ext.Dedup.connectedComponentsWithRounds(pairs)
+    val rows = labels.collect()
+    assert(rows.length == 1000, s"every chain node must be labelled, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 0L),
+      s"all labels must be the component min: ${rows.filter(_.getLong(1) != 0L).take(3).toSeq}")
+    assert(rounds <= 20, s"expected <= ~2*log2(1000) rounds, took $rounds")
+  }
+
+  test("connected components: disjoint clusters keep distinct min labels") {
+    import spark.implicits._
+    // two triangles + one pair, ids interleaved so orientation matters
+    val pairs = Seq((5L, 9L), (9L, 3L), (3L, 5L), (8L, 2L), (2L, 6L), (10L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = ext.Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      2L -> 2L, 6L -> 2L, 8L -> 2L, 4L -> 4L, 10L -> 4L))
+  }
+
   test("m01 sampled column is NULL for empty and NULL text (DuckDB parity)") {
     // DuckDB: array_to_string([], ',') = NULL and NULL text propagates;
     // the Spark branch must agree (ADVICE r2) even though the sf corpora
