@@ -153,6 +153,29 @@ object Multimodal {
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("mean_byte"), hex(col("head")).as("head_hex"))
+    }),
+
+    // The resize kernel under oracle check: the 2×2 truncating-average
+    // pool is exact integer math over the byte raster (all-ASCII corpus
+    // ⇒ byte values == code points), so DuckDB restates it as a nested
+    // list comprehension. Pixels emitted hex-encoded — the harness
+    // row-sorts in pandas, which can't hash array cells (m01's
+    // discipline).
+    "m03_resize2x" -> ((s, dir) => {
+      import s.implicits._
+      resizeMedia(s, dir)
+        .toDF("media_id", "ow", "oh", "pixels")
+        .select(col("media_id"), col("ow"), col("oh"),
+          hex(col("pixels")).as("px_hex"))
+    }),
+
+    // The frame-sampling kernel under oracle check: every 16th payload
+    // byte (video frame-stride shape), hex-encoded like m03.
+    "m04_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      mediaTable(s, dir).mapPartitions(StubDecoders.frameSample(16))
+        .toDF("media_id", "sampled")
+        .select(col("media_id"), hex(col("sampled")).as("sample_hex"))
     })
   )
 
@@ -173,6 +196,43 @@ object Multimodal {
         |              for i in generate_series(1, length(text)::INT, 1)]) AS DOUBLE)
         |            / octet_length(encode(text)) END AS mean_byte,
         |  hex(encode(substring(text, 1, 8))) AS head_hex
+        |FROM documents""".stripMargin,
+    // States StubDecoders.resize2x exactly: W=64 raster, h=⌈n/64⌉,
+    // ow=32 (0 if empty), oh=⌈h/2⌉; pixel p pools the ≤4 in-range
+    // source bytes at ((p//32)·2+dy)·64 + (p%32)·2+dx, truncating
+    // integer mean, 0 when no source byte exists. hex() is uppercase
+    // in both engines; empty pixel lists coalesce to '' (DuckDB's
+    // array_to_string([]) is NULL where Spark hex(empty) is '').
+    "m03_resize2x" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    octet_length(encode(text))::BIGINT AS n FROM documents),
+        |g AS (SELECT doc_id, text, n, (n + 63) // 64 AS h FROM d),
+        |dims AS (SELECT doc_id, text, n, h,
+        |    CASE WHEN h = 0 THEN 0 ELSE 32 END AS ow, (h + 1) // 2 AS oh FROM g),
+        |cells AS (SELECT doc_id, text, n, ow, oh,
+        |  [[CASE WHEN ((p // 32) * 2 + q // 2) * 64 + (p % 32) * 2 + q % 2 < n
+        |     THEN ascii(substring(text,
+        |          ((p // 32) * 2 + q // 2) * 64 + (p % 32) * 2 + q % 2 + 1, 1)) END
+        |    for q in generate_series(0, 3)]
+        |   for p in generate_series(0, ow * oh - 1)] AS cl
+        |  FROM dims),
+        |px AS (SELECT doc_id, ow, oh,
+        |  [CASE WHEN len(list_filter(c, x -> x IS NOT NULL)) = 0 THEN 0
+        |        ELSE list_sum(list_filter(c, x -> x IS NOT NULL))
+        |             // len(list_filter(c, x -> x IS NOT NULL)) END
+        |   for c in cl] AS pxs
+        |  FROM cells)
+        |SELECT doc_id AS media_id, CAST(ow AS INTEGER) AS ow,
+        |  CAST(oh AS INTEGER) AS oh,
+        |  COALESCE(array_to_string(
+        |    [lpad(hex(v), 2, '0') for v in pxs], ''), '') AS px_hex
+        |FROM px""".stripMargin,
+    "m04_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  COALESCE(array_to_string(
+        |    [lpad(hex(ascii(substring(text, i, 1))), 2, '0')
+        |     for i in generate_series(1, length(text)::INT, 16)], ''), '')
+        |  AS sample_hex
         |FROM documents""".stripMargin
   )
 }

@@ -204,6 +204,31 @@ object Text {
         .withColumn("u", u)
         .filter(col("u") < col("rate"))
         .select(col("doc_id"), col("source"), col("u"), col("rate"))
+    }),
+
+    // TF-IDF under hash check: spark.ml's IDF uses ln() (libm floats
+    // diverge cross-engine by ulps), so the oracle-checked variant uses
+    // the RATIONAL idf (N+1)/(df+1) — one IEEE division and one
+    // multiply, both correctly rounded, hence bit-identical in Spark
+    // and DuckDB. Same ranking monotonicity as ln-idf (both strictly
+    // decrease in df); [[tfidf]] remains the stock spark.ml path.
+    // N rides in as a broadcast single-row corpus count — never a
+    // driver-side collect. At 100 TB: one tokenize/groupBy for tf, one
+    // token-keyed df aggregate, one broadcast join — all partial-agg.
+    "t12_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            ((col("n_docs") + lit(1)).cast("double") /
+              (col("df") + lit(1)).cast("double"))).as("tfidf"))
     })
   )
 
@@ -343,6 +368,16 @@ object Text {
         |  FROM documents)
         |SELECT d.doc_id, d.source, d.u, r.rate
         |FROM drawn d JOIN rates r USING (source)
-        |WHERE d.u < r.rate""".stripMargin
+        |WHERE d.u < r.rate""".stripMargin,
+    "t12_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+        |FROM tf JOIN df USING (term), n""".stripMargin
   )
 }
