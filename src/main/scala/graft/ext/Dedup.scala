@@ -72,6 +72,36 @@ object Dedup {
           mhs(b * BandRows + r).cast("string")): _*).as("sig"))
     }: _*)
 
+  /** 60-bit token hashes (first 15 md5 hex chars) of a token-array
+    * column, as an array — the SAME token-hash function
+    * [[simhashSignatures]] applies after its explode, kept as one
+    * definition so the row-local and grouped simhash paths can't
+    * drift. Multiset semantics: NOT distinct (repeated tokens vote
+    * repeatedly, exactly as the grouped sum counts them). */
+  private[graft] def tokenHashesCol(tk: Column): Column =
+    transform(tk, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** Row-local 60-bit simhash over a token-hash array column: bit i =
+    * majority vote of the hashes' bit i. Pure row function (60
+    * aggregate folds) for the streaming twin
+    * (graft.streaming.DocStreams.simhashNearPairs), which cannot run
+    * batch [[simhashSignatures]]'s groupBy per document; ExtSpec pins
+    * row-local == grouped on the corpus. */
+  private[graft] def simhashOfTokenHashes(hs: Column): Column =
+    (0 until 60).map { i =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + shiftright(h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The 6 × 10-bit band keys of a 60-bit simhash column, as an array
+    * of (band, key) structs. ONE definition shared by batch
+    * [[simhashPairs]] (d06) and the streaming twin so the bucket keys
+    * can never drift (the [[minhashExpr]]/[[bandSigs]] discipline). */
+  private[graft] def simhashBandStructs(sig: Column): Column =
+    array((0 until 6).map(b => struct(lit(b).as("band"),
+      shiftright(sig, b * 10).bitwiseAND(lit(1023L)).as("key"))): _*)
+
   /** Distinct word-3-gram shingles per doc, as 36-bit md5-derived ints:
     * (doc_id, x). Joining/minhashing on a long instead of the shingle
     * string keeps shuffles narrow. `toks` is materialized as a column
@@ -479,9 +509,7 @@ object Dedup {
   def simhashPairs(signatures: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 5, "6-band pigeonhole guarantees recall only for hamming <= 5")
     val banded = signatures.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 6).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 10).bitwiseAND(lit(1023L)).as("key"))): _*))
-        .as("bs"))
+      explode(simhashBandStructs(col("simhash"))).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.key").as("key"))
     banded.as("a")

@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
 
 import graft.ext.Dedup
 
-/** Structured Streaming twin of the d03 MinHash-LSH near-dedup — a
-  * watermark-bounded near-duplicate filter over an unbounded document
-  * stream (the streaming sibling EventStreams.dedupEvents is to d01).
+/** Structured Streaming twins of the document near-dup family: the
+  * d03 MinHash-LSH filter ([[DocStreams.nearDupPairs]]) and the d06
+  * banded-simhash filter ([[DocStreams.simhashNearPairs]]) — both
+  * watermark-bounded over an unbounded document stream (the streaming
+  * sibling EventStreams.dedupEvents is to d01).
   *
   * Shape: shingle sets and all 32 minhashes are ROW-LOCAL column
   * algebra (one document's set needs no explode+gather — the exact
@@ -87,10 +89,15 @@ object DocStreams {
         val out = Seq.newBuilder[NearDupPair]
         arrived.foreach { d =>
           val m = micros(d.ts)
+          // Retention drops members more than ttl OLDER than the
+          // arrival; the pair comparison below is symmetric (abs) so a
+          // late arrival — up to watermarkDelay behind — never pairs
+          // with a member more than ttl NEWER than itself either
+          // (ADVICE r4: 'within ttl of each other' means both sides).
           val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
           val xs = d.xs.toSet
           live.foreach { b =>
-            if (b.docId != d.doc_id) {
+            if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
               val inter = b.xs.count(xs.contains)
               val j = inter.toDouble / (b.xs.size + xs.size - inter)
               if (j >= threshold)
@@ -118,6 +125,85 @@ object DocStreams {
       .withWatermark("ts", watermarkDelay)
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  case class SigBanded(band: Int, key: Long, doc_id: Long,
+      ts: Timestamp, simhash: Long)
+  case class SigMember(docId: Long, tsMicros: Long, simhash: Long)
+  case class SigBucketState(docs: List[SigMember], maxTsMicros: Long)
+  case class HammingPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** (band, key, doc_id, ts, simhash) rows for a (doc_id, ts, text)
+    * stream: the signature is the ROW-LOCAL
+    * [[Dedup.simhashOfTokenHashes]] fold (ExtSpec pins it equal to
+    * batch d04's grouped form) and the band keys are the exact
+    * [[Dedup.simhashBandStructs]] batch d06 joins on — keys can't
+    * drift. Row-local except the band explode (6 rows per doc). */
+  private[graft] def sigBanded(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        Dedup.simhashOfTokenHashes(
+          Dedup.tokenHashesCol(split(trim(col("text")), "\\s+"))).as("simhash"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(Dedup.simhashBandStructs(col("simhash"))).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.key").as("key"),
+        col("doc_id"), col("ts"), col("simhash"))
+
+  /** Streaming twin of batch d06 ([[Dedup.simhashPairs]]): hamming-near
+    * signature pairs between documents arriving within `ttl` of each
+    * other, per 10-bit simhash band bucket — the cheapest near-dup
+    * signal, the one an ingest stream runs. Same state bounds and
+    * per-bucket emission semantics as [[nearDupPairs]] (dedup multi-band
+    * collisions downstream); recall matches batch d06's pigeonhole
+    * guarantee for maxHamming ≤ 5. State per member is just (id, ts,
+    * 60-bit signature) — 24 bytes, an order cheaper than the minhash
+    * filter's shingle sets. */
+  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[HammingPair] = {
+    require(maxHamming <= 5,
+      "6-band pigeonhole guarantees recall only for hamming <= 5")
+    import docs.sparkSession.implicits._
+    val ttlUs = ttlMinutes * 60L * 1000000L
+
+    def update(key: (Int, Long), batch: Iterator[SigBanded],
+        state: GroupState[SigBucketState]): Iterator[HammingPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
+        var cur = state.getOption.getOrElse(SigBucketState(Nil, Long.MinValue))
+        val out = Seq.newBuilder[HammingPair]
+        arrived.foreach { d =>
+          val m = micros(d.ts)
+          // Same retention/symmetric-comparison split as nearDupPairs.
+          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
+          live.foreach { b =>
+            if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
+              val h = java.lang.Long.bitCount(b.simhash ^ d.simhash)
+              if (h <= maxHamming)
+                out += (if (b.docId < d.doc_id)
+                  HammingPair(b.docId, d.doc_id, h)
+                else HammingPair(d.doc_id, b.docId, h))
+            }
+          }
+          cur = SigBucketState(SigMember(d.doc_id, m, d.simhash) :: live,
+            math.max(cur.maxTsMicros, m))
+        }
+        state.update(cur)
+        val wm = scala.util.Try(state.getCurrentWatermarkMs())
+          .getOrElse(Long.MinValue)
+        state.setTimeoutTimestamp(
+          math.max(cur.maxTsMicros / 1000L + ttlUs / 1000L, wm + 1))
+        out.result().iterator
+      }
+    }
+
+    sigBanded(docs)
+      .withWatermark("ts", watermarkDelay)
+      .as[SigBanded]
+      .groupByKey(d => (d.band, d.key))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }

@@ -124,6 +124,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("row-local simhash fold equals the grouped d04 signature on the corpus") {
+    // The streaming twin computes signatures per row (no groupBy per
+    // doc); the two forms must be bit-identical or stream/batch band
+    // keys drift.
+    val base = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val grouped = ext.Dedup.simhashSignatures(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rowLocal = base.select(col("doc_id"),
+        ext.Dedup.simhashOfTokenHashes(ext.Dedup.tokenHashesCol(
+          split(trim(col("text")), "\\s+"))).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rowLocal == grouped,
+      s"diverging docs: ${(grouped.toSet -- rowLocal.toSet).take(3)}")
+  }
+
   test("connected components: a 1,000-node chain converges in O(log n) rounds") {
     // The adversarial case for min-label propagation: a single
     // duplication CHAIN, diameter 999. Star contraction must collapse

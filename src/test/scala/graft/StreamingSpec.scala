@@ -174,6 +174,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-pair filter replays to exactly the batch d06 pairs") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_simhash_stream").toString
+    // The batch d06 corpus: every doc plus its one-token-appended twin
+    // (id + 10^9). ts = 1 s per doc, twins sharing their original's
+    // second (id mod 10^9), so the whole corpus sits inside the 24 h
+    // ttl and the bounded filter must find every batch pair.
+    val d = Tables(spark, sf, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text")))
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % lit(1000000000L)).as("ts"),
+        col("text"))
+      .write.mode("append").parquet(srcDir)
+    val pairs = DocStreams.simhashNearPairs(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream").start()
+    try {
+      q.processAllAvailable()
+      // multi-band collisions emit once per bucket: dedup downstream,
+      // as the operator contract states
+      val got = spark.table("simhash_stream").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("hamming"))).toSet
+      val want = SparkEntry.queries("d06_simhash_pairs")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(want.nonEmpty, "corpus must contain hamming-near pairs")
+      assert(got == want,
+        s"streamed simhash pairs diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV distinct estimates replay to the batch sketch") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_kmv_stream").toString
