@@ -39,7 +39,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the JSON line as a file: the driver recovers `parsed`
+    // from a truncated stdout tail, so the machine-readable record must
+    // never depend on tail capture (VERDICT r4 #3). Best-effort — a
+    // read-only CWD must not fail the bench itself.
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("last.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench/last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
