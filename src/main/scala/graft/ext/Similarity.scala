@@ -233,6 +233,22 @@ object Similarity {
     // vector per partition before any shuffle, where a window would
     // shuffle and sort all N² rows. Tie-break matches the window form:
     // highest cosine, then lowest nn_id (via negated id in the struct).
+    // Int8 scalar quantization under oracle check ([[quantize]] is the
+    // library form; this emits its exact arithmetic as exploded
+    // scalars — the harness can't hash array cells). Every step is a
+    // single correctly-rounded IEEE op (array min/max are exact,
+    // subtraction/division/floor are exactly specified), so the codes
+    // hash-match DuckDB bit-for-bit. Map-only: the 4× storage shrink
+    // costs zero shuffles at any scale.
+    "s06_quantize" -> ((s, dir) => {
+      val e = emb(s, dir)
+      quantize(e.select(col("vec_id"), col("v")), "v")
+        .select(col("vec_id"), col("v_offset").as("offset"),
+          col("v_scale").as("scale"), posexplode(col("v_q8")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+          col("col").as("q8"), col("offset"), col("scale"))
+    }),
+
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
       val b = e.select(col("vec_id").as("nn_id"), col("v").as("bv"))
@@ -261,7 +277,14 @@ object Similarity {
     * linearly onto 0..255 (stored with its scale/offset). 4× smaller
     * embedding storage — at 100 TB the difference between an ANN corpus
     * that fits executor memory and one that doesn't. Pure column
-    * algebra, fully codegen'd. */
+    * algebra, fully codegen'd.
+    *
+    * Rounding is `floor(q + 0.5)` rather than `round()`: the codes are
+    * non-negative so the two agree everywhere except a sub-ulp
+    * boundary corner, and floor is a single exactly-specified IEEE op
+    * in every engine — which is what lets s06 put the kernel under the
+    * cross-engine hash check (Spark's round() goes through BigDecimal
+    * HALF_UP string semantics that no SQL engine replicates). */
   def quantize(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     df
@@ -270,7 +293,7 @@ object Similarity {
         (array_max(v) - col("__lo")) / lit(255.0))
       .withColumn(s"${vecCol}_q8", transform(v, x =>
         when(col("__scale") === 0.0, lit(0))
-          .otherwise(round((x - col("__lo")) / col("__scale")).cast("int"))))
+          .otherwise(floor((x - col("__lo")) / col("__scale") + lit(0.5)).cast("int"))))
       .withColumn(s"${vecCol}_offset", col("__lo").cast("double"))
       .withColumn(s"${vecCol}_scale", col("__scale").cast("double"))
       .drop(vecCol, "__lo", "__scale")
@@ -458,6 +481,16 @@ object Similarity {
         |    (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rk
         |  FROM scored)
         |SELECT vec_id, nn_id, cos_sim FROM rk WHERE rk = 1""".stripMargin,
+    "s06_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |rng AS (SELECT vec_id, v, list_min(v) AS lo,
+        |    (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |       ELSE floor((v[i] - lo) / scale + 0.5) END AS INTEGER) AS q8,
+        |  lo AS offset, scale
+        |FROM rng, unnest(generate_series(1, len(v))) u(i)""".stripMargin,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
