@@ -159,6 +159,23 @@ class PlanSpec extends AnyFunSuite {
       s"the tiny rates dim must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("t12: corpus count broadcasts; tf/df are partial aggregates") {
+    val p = plan("t12_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the single-row N must broadcast, never shuffle the tf side:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df must partial-aggregate map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"term-keyed df join should not force a corpus sort-merge when broadcastable:\n$p")
+  }
+
+  test("s06: quantization is map-only — no shuffle, no join") {
+    val p = plan("s06_quantize")
+    assert(!p.contains("Exchange"), s"the 4x shrink must cost zero shuffles:\n$p")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q24: pivot is one pass of conditional partial aggregates, not per-value scans") {
     val p = plan("q24_pivot")
     assert(p.contains("partial_"), p)
