@@ -208,6 +208,93 @@ object DocStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** The embeddings schema as a streaming source expects it (vectors
+    * already lifted to double, as batch `Similarity.emb` does). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("v", ArrayType(DoubleType))))
+
+  case class BandedVec(band: Int, sig: String, vec_id: Long,
+      ts: Timestamp, v: Seq[Double])
+  case class VecMember(vecId: Long, tsMicros: Long, v: Array[Double])
+  case class VecBucketState(docs: List[VecMember], maxTsMicros: Long)
+  case class CosPair(vec_a: Long, vec_b: Long, cos_sim: Double)
+
+  /** EXACTLY the fused CosineSimilarity expression's arithmetic (one
+    * left-to-right loop, dot/(√na·√nb)) so streamed cosines are
+    * bit-identical to batch d05's — fp multiplication is commutative,
+    * so member/arrival argument order can't flip a bit either. */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Streaming twin of batch d05: embedding near-dup pairs (exact
+    * cosine ≥ `threshold`) between vectors arriving within `ttl` of
+    * each other, per axis-aligned sign-LSH band bucket — the filter an
+    * embedding ingest stream runs before admitting a vector to the
+    * corpus. Band keys are the exact
+    * [[graft.ext.Similarity.signBandStructs]] batch d05/s05 block on
+    * (no drift); state, ttl, eviction, and per-bucket emission follow
+    * [[nearDupPairs]] (dedup multi-band collisions downstream). State
+    * per member is (id, ts, 64 doubles) ≈ 0.5 KB; the 16-bit band
+    * width keeps bucket occupancy — and so both compare cost and
+    * state — tracking real near-dup density, not corpus size. */
+  def embeddingNearDupPairs(vecs: DataFrame, threshold: Double = 0.99,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[CosPair] = {
+    import vecs.sparkSession.implicits._
+    val ttlUs = ttlMinutes * 60L * 1000000L
+
+    def update(key: (Int, String), batch: Iterator[BandedVec],
+        state: GroupState[VecBucketState]): Iterator[CosPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.vec_id))
+        var cur = state.getOption.getOrElse(VecBucketState(Nil, Long.MinValue))
+        val out = Seq.newBuilder[CosPair]
+        arrived.foreach { d =>
+          val m = micros(d.ts)
+          val dv = d.v.toArray
+          // Same retention/symmetric-comparison split as nearDupPairs.
+          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
+          live.foreach { b =>
+            if (b.vecId != d.vec_id && math.abs(m - b.tsMicros) <= ttlUs) {
+              val c = cosine(b.v, dv)
+              if (c >= threshold)
+                out += (if (b.vecId < d.vec_id) CosPair(b.vecId, d.vec_id, c)
+                        else CosPair(d.vec_id, b.vecId, c))
+            }
+          }
+          cur = VecBucketState(VecMember(d.vec_id, m, dv) :: live,
+            math.max(cur.maxTsMicros, m))
+        }
+        state.update(cur)
+        val wm = scala.util.Try(state.getCurrentWatermarkMs())
+          .getOrElse(Long.MinValue)
+        state.setTimeoutTimestamp(
+          math.max(cur.maxTsMicros / 1000L + ttlUs / 1000L, wm + 1))
+        out.result().iterator
+      }
+    }
+
+    vecs
+      .select(col("vec_id"), col("ts"), col("v"),
+        explode(graft.ext.Similarity.signBandStructs(col("v"))).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("vec_id"), col("ts"), col("v"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedVec]
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
     * TOKEN estimates over the document stream, via the deduplicating
     * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot

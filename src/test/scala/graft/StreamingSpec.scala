@@ -210,6 +210,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup filter replays to exactly the batch d05 pairs") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_embdup_stream").toString
+    // The batch d05 corpus: every vector plus its 1.01-dim0-scaled twin
+    // (id + 10^9, sign-identical), vectors lifted to double exactly as
+    // batch Similarity.emb does; ts inside the 24 h ttl as in the d06
+    // replay.
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.unionAll(e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
+      .select(col("vec_id"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L)).as("ts"),
+        col("v"))
+      .write.mode("append").parquet(srcDir)
+    val pairs = DocStreams.embeddingNearDupPairs(
+      spark.readStream.schema(DocStreams.embSchema).parquet(srcDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("embdup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("embdup_stream").distinct().collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+          r.getAs[Double]("cos_sim"))).toSet
+      val want = SparkEntry.queries("d05_embedding_neardup")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+          r.getAs[Double]("cos_sim"))).toSet
+      assert(want.nonEmpty, "corpus must contain planted near-dup pairs")
+      assert(got == want,
+        s"streamed embedding near-dups diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV distinct estimates replay to the batch sketch") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_kmv_stream").toString
