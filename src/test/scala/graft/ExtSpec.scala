@@ -124,6 +124,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s05 blocked NN-1 finds every vector's sign-identical planted twin") {
+    // A 1.01× dim-0 scale never flips a sign, so each vector's twin
+    // collides in ALL four bands — every one of the 2N vectors must
+    // surface with a best candidate at least as close as its twin
+    // (cos ≈ 0.9999; natural collisions on this random corpus top out
+    // ~0.51, so anything above 0.999 IS the twin or better).
+    val out = SparkEntry.queries("s05_blocked_nn1")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.length == 2 * n,
+      s"every corpus+twin vector needs a neighbor: ${out.length} vs ${2 * n}")
+    val minCos = out.map(_.getAs[Double]("cos_sim")).min
+    assert(minCos > 0.999, s"some vector missed its planted twin: min cos $minCos")
+    // and the pairing is the twin offset for every vector
+    assert(out.forall(r => math.abs(
+      r.getAs[Long]("nn_id") - r.getAs[Long]("vec_id")) == 1000000000L),
+      "best neighbor should be the planted twin on this corpus")
+  }
+
   test("row-local simhash fold equals the grouped d04 signature on the corpus") {
     // The streaming twin computes signatures per row (no groupBy per
     // doc); the two forms must be bit-identical or stream/batch band
