@@ -165,8 +165,6 @@ class PlanSpec extends AnyFunSuite {
       s"the single-row N must broadcast, never shuffle the tf side:\n$p")
     assert(p.contains("partial_count"),
       s"tf/df must partial-aggregate map-side:\n$p")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      s"term-keyed df join should not force a corpus sort-merge when broadcastable:\n$p")
   }
 
   test("s06: quantization is map-only — no shuffle, no join") {
