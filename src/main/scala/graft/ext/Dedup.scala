@@ -52,6 +52,18 @@ object Dedup {
       |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
       .stripMargin))
 
+  /** 36-bit md5-derived ids of ALL word-5-gram positions of a tokens
+    * column named `tk` — a MULTISET (every position counts), unlike the
+    * distinct 3-gram [[shingleSetCol]]: span-level dedup (d09) weighs
+    * each repeated position, so within-doc repeats keep their
+    * multiplicity. Same md5-hex-prefix portability discipline. */
+  private[graft] def span5Col: Column = expr(
+    """transform(sequence(1, size(tk) - 4),
+      |  i -> cast(conv(substring(md5(concat_ws(' ',
+      |         element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2),
+      |         element_at(tk, i + 3), element_at(tk, i + 4))), 1, 9), 16, 10)
+      |       as bigint))""".stripMargin)
+
   /** The i-th MinHash of a shingle-id array column: a row-local
     * array_min fold over the (a·x + b) mod P family. ONE definition
     * shared by batch d03 and the streaming filter so the band keys can
@@ -324,8 +336,9 @@ object Dedup {
     // The corpus is exercised on planted near-dupes: each doc unions
     // with a one-token-appended twin (doc_id + 10^9, clear of any
     // realistic corpus id space), the d01/d05 self-union pattern for
-    // the signature regime; natural low-hamming pairs surface too. The oracle is the exhaustive all-pairs
-    // bit_count filter — banding must lose nothing at the threshold.
+    // the signature regime; natural low-hamming pairs surface too. The
+    // oracle is the exhaustive all-pairs bit_count filter — banding
+    // must lose nothing at the threshold.
     "d06_simhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("text"))
@@ -360,6 +373,71 @@ object Dedup {
           count(lit(1)).as("n_docs"))
         .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
           col("best.score").as("score"), col("n_docs"))
+    }),
+
+    // Span-level dedup signal — the exact-substring dedup class (Lee
+    // et al., "Deduplicating Training Data Makes Language Models
+    // Better"): per doc, how much of it consists of word-5-gram spans
+    // that ALSO occur in another doc. Suffix arrays don't distribute;
+    // the Spark-native form is position-multiset 5-gram hashing — a
+    // document-frequency aggregate over one-row-per-(doc,gram) partial
+    // counts, then a per-doc roll-up. Every stage shuffles on a
+    // content-derived key (gram id, then doc id) with map-side
+    // combine; nothing is pairwise, so cost stays linear in corpus
+    // size at any scale. The corpus's natural cross-doc repetition is
+    // the signal (≈5% of distinct 5-grams are shared at sf0.01) — no
+    // planting needed.
+    "d09_repeated_spans" -> ((s, dir) => {
+      val spans = docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), explode(span5Col).as("x"))
+      // One row per (doc, gram) — read by BOTH the df aggregate and
+      // the per-doc roll-up, so it materializes exactly once
+      // (Subplan.once; PlanSpec pins zero parquet re-scans).
+      val perDoc = graft.ops.Subplan.once(
+        spans.groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c")))
+      val dfreq = perDoc.groupBy(col("x")).agg(count(lit(1)).as("df"))
+      perDoc.join(dfreq, Seq("x"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_spans"),
+          sum(when(col("df") >= 2, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_dup_spans"),
+          count(when(col("df") >= 2, 1)).as("n_dup_grams"))
+        .withColumn("dup_ratio",
+          col("n_dup_spans").cast("double") / col("n_spans"))
+    }),
+
+    // The end-to-end corpus-cleaning composition a training pipeline
+    // actually ships: quality gate → exact dedup among the survivors →
+    // one verdict per doc with its failure reason. Planted duplicate
+    // group: doc_id % 37 == 5 collapses to one shared boilerplate text
+    // (the t10/d06 deterministic-planting pattern), so the dedup stage
+    // has real work; the quality gate is a token floor (25 — the
+    // corpus's ~12th percentile). One fingerprint groupBy (partial-
+    // agg) + one fp equi-join; no stage is pairwise, and the verdict
+    // column makes the pipeline auditable (counts per reason) instead
+    // of silently dropping rows.
+    "d10_clean_corpus" -> ((s, dir) => {
+      val boiler = "graft boilerplate page about nothing at all " +
+        "repeated across mirrors of the same site with identical " +
+        "wording every single time it appears anywhere online today"
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 37 === 5, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      // (doc_id, n_tok, fp) is read by BOTH the keep aggregate and the
+      // verdict join — materialize once so the corpus scan+tokenize
+      // never runs twice (the d02/d03 Subplan.once discipline).
+      val scored = graft.ops.Subplan.once(
+        d.select(col("doc_id"), size(toks).as("n_tok"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")))
+      val keep = scored.filter(col("n_tok") >= 25)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      scored.join(keep, Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("n_tok") < 25, lit("low_quality"))
+            .when(col("doc_id") === col("keep_id"), lit("kept"))
+            .otherwise(lit("exact_dup")).as("verdict"))
     })
   )
 
@@ -628,6 +706,42 @@ object Dedup {
          |      ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
          |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
          |SELECT cluster_id, doc_id AS keep_id, score, n_docs
-         |FROM scored WHERE rk = 1""".stripMargin
+         |FROM scored WHERE rk = 1""".stripMargin,
+    "d09_repeated_spans" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+        |g AS (SELECT doc_id,
+        |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |      || ' ' || t[i+3] || ' ' || t[i+4]), 1, 9))::BIGINT
+        |      for i in generate_series(1, len(t) - 4)]) AS x
+        |  FROM tk),
+        |pd AS (SELECT doc_id, x, COUNT(*) AS c FROM g GROUP BY doc_id, x),
+        |dfq AS (SELECT x, COUNT(*) AS df FROM pd GROUP BY x)
+        |SELECT pd.doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+        |    AS dup_ratio
+        |FROM pd JOIN dfq USING (x)
+        |GROUP BY pd.doc_id""".stripMargin,
+    "d10_clean_corpus" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 5
+        |         THEN 'graft boilerplate page about nothing at all repeated across mirrors of the same site with identical wording every single time it appears anywhere online today'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM d),
+        |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM sc
+        |  WHERE n_tok >= 25 GROUP BY fp)
+        |SELECT sc.doc_id,
+        |  CASE WHEN sc.n_tok < 25 THEN 'low_quality'
+        |       WHEN sc.doc_id = keep.keep_id THEN 'kept'
+        |       ELSE 'exact_dup' END AS verdict
+        |FROM sc LEFT JOIN keep USING (fp)""".stripMargin
   )
 }

@@ -229,6 +229,53 @@ object Text {
           (col("tf").cast("double") *
             ((col("n_docs") + lit(1)).cast("double") /
               (col("df") + lit(1)).cast("double"))).as("tfidf"))
+    }),
+
+    // Benchmark decontamination: the pre-training pass that flags
+    // train docs sharing word-8-grams with a held-out eval set. The
+    // eval split is a deterministic md5 draw (1/8 of docs — the t08
+    // discipline, so the split is identical on every engine and
+    // cluster size); every doc also carries a planted 8-token canary
+    // keyed by doc_id % 25, so same-key train docs genuinely overlap
+    // the eval set (the t10/d06 planting pattern — natural 8-gram
+    // overlap is near zero on a synthetic corpus, 3 docs at sf0.01).
+    // Topology for 100 TB: the benchmark side of a decontamination is
+    // tiny (MBs of eval sets vs TBs of train), so the eval gram set
+    // BROADCASTS and the train corpus streams map-only into a
+    // per-doc partial agg — the corpus itself never shuffles wide.
+    // The per-doc gram frontier is computed once (Subplan.once) and
+    // feeds both split sides.
+    "t13_decontaminate" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" canary c"),
+        (col("doc_id") % 25).cast("string"),
+        lit(" alpha beta gamma delta epsilon zeta"))
+      val isEval = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":eval"))), 1, 8), 16, 10).cast("long") % 8 === 0
+      val gram8 = expr(
+        """transform(sequence(1, size(tk) - 7),
+          |  i -> cast(conv(substring(md5(concat_ws(' ',
+          |         element_at(tk, i), element_at(tk, i + 1),
+          |         element_at(tk, i + 2), element_at(tk, i + 3),
+          |         element_at(tk, i + 4), element_at(tk, i + 5),
+          |         element_at(tk, i + 6), element_at(tk, i + 7))),
+          |       1, 9), 16, 10) as bigint))""".stripMargin)
+      val sets = graft.ops.Subplan.once(docs(s, dir)
+        .select(col("doc_id"), isEval.as("is_eval"),
+          split(trim(planted), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("is_eval"),
+          array_distinct(gram8).as("xs")))
+      val evalGrams = sets.filter(col("is_eval"))
+        .select(explode(col("xs")).as("x")).distinct()
+        .withColumn("hit", lit(1))
+      sets.filter(!col("is_eval"))
+        .select(col("doc_id"), explode(col("xs")).as("x"))
+        .join(broadcast(evalGrams), Seq("x"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast("double") / count(lit(1)))
+            .as("contam_ratio"))
     })
   )
 
@@ -378,6 +425,29 @@ object Text {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |  tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
-        |FROM tf JOIN df USING (term), n""".stripMargin
+        |FROM tf JOIN df USING (term), n""".stripMargin,
+    "t13_decontaminate" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' canary c' || (doc_id % 25)
+        |      || ' alpha beta gamma delta epsilon zeta' AS text,
+        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+        |      AS is_eval
+        |  FROM documents),
+        |tk AS (SELECT doc_id, is_eval,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM p
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+        |g AS (SELECT doc_id, is_eval, unnest(list_distinct(
+        |    [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |      || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]
+        |      || ' ' || t[i+6] || ' ' || t[i+7]), 1, 9))::BIGINT
+        |      for i in generate_series(1, len(t) - 7)])) AS x
+        |  FROM tk),
+        |ev AS (SELECT DISTINCT x FROM g WHERE is_eval),
+        |tr AS (SELECT doc_id, x FROM g WHERE NOT is_eval)
+        |SELECT tr.doc_id, COUNT(*) AS n_grams,
+        |  COUNT(ev.x) AS n_hits,
+        |  CAST(COUNT(ev.x) AS DOUBLE) / COUNT(*) AS contam_ratio
+        |FROM tr LEFT JOIN ev ON tr.x = ev.x
+        |GROUP BY tr.doc_id""".stripMargin
   )
 }

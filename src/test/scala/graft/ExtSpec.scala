@@ -360,6 +360,84 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < all.length)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("d09 repeated spans match a driver-side 5-gram recompute") {
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // per doc: multiset of 36-bit 5-gram hashes (positions keep multiplicity)
+    val perDoc = texts.map { case (id, t) =>
+      val tk = t.trim.split("\\s+")
+      id -> tk.sliding(5).filter(_.length == 5)
+        .map(g => java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(9), 16))
+        .toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val dfreq = perDoc.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (x, docs) => x -> docs.size }
+    val want = perDoc.map { case (id, gs) =>
+      val dup = gs.count(x => dfreq(x) >= 2)
+      id -> ((gs.size.toLong, dup.toLong, gs.distinct.count(x => dfreq(x) >= 2).toLong))
+    }
+    val got = SparkEntry.queries("d09_repeated_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_dup_grams")))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "corpus should carry natural repeated spans")
+    assert(want.values.exists(_._2 == 0), "not every doc should be span-duplicated")
+  }
+
+  test("t13 decontamination flags exactly the train docs sharing eval 8-grams") {
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val grams = texts.map { case (id, t) =>
+      val planted = s"${t} canary c${id % 25} alpha beta gamma delta epsilon zeta"
+      val tk = planted.trim.split("\\s+")
+      (id, java.lang.Long.parseLong(md5hex(s"$id:eval").take(8), 16) % 8 == 0,
+        tk.sliding(8).filter(_.length == 8)
+          .map(g => java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(9), 16))
+          .toSet)
+    }
+    val evalSet = grams.filter(_._2).flatMap(_._3).toSet
+    val want = grams.collect { case (id, false, gs) =>
+      id -> ((gs.size.toLong, gs.count(evalSet).toLong))
+    }.toMap
+    val got = SparkEntry.queries("t13_decontaminate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits")))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "planted canaries must contaminate some train docs")
+    assert(want.nonEmpty && evalSet.nonEmpty)
+  }
+
+  test("d10 clean-corpus verdicts partition the corpus with correct reasons") {
+    val boiler = "graft boilerplate page about nothing at all " +
+      "repeated across mirrors of the same site with identical " +
+      "wording every single time it appears anywhere online today"
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val scored = texts.map { case (id, t0) =>
+      val t = if (id % 37 == 5) boiler else t0
+      (id, t.trim.split("\\s+").length,
+        md5hex(t.trim.replaceAll("\\s+", " ").toLowerCase))
+    }
+    val keep = scored.filter(_._2 >= 25).groupBy(_._3)
+      .map { case (fp, g) => fp -> g.map(_._1).min }
+    val want = scored.map { case (id, n, fp) =>
+      id -> (if (n < 25) "low_quality"
+             else if (keep(fp) == id) "kept" else "exact_dup")
+    }.toMap
+    val got = SparkEntry.queries("d10_clean_corpus")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == want)
+    val byVerdict = want.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byVerdict.getOrElse("exact_dup", 0) > 0, "planted dup group must dedup")
+    assert(byVerdict.getOrElse("low_quality", 0) > 0, "token floor must fire")
+    assert(byVerdict("kept") > byVerdict.getOrElse("exact_dup", 0))
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()

@@ -112,6 +112,33 @@ class PlanSpec extends AnyFunSuite {
       s"both join sides must read the one materialized signature set:\n$p")
   }
 
+  test("d09: span dedup is partial-agg over the one materialized gram frontier") {
+    val p = plan("d09_repeated_spans")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"df aggregate and roll-up must both read the materialized (doc,gram) rows:\n$p")
+    assert(p.contains("partial_"), s"gram df must combine map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("t13: eval gram set broadcasts; the train corpus never shuffles wide") {
+    val p = plan("t13_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the held-out gram set is the small side of a decontamination — broadcast it:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge would shuffle the full train gram stream:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"eval and train sides must split the one materialized gram frontier:\n$p")
+    assert(p.contains("partial_"), s"per-doc roll-up must combine map-side:\n$p")
+  }
+
+  test("d10: clean-corpus pipeline is one materialized scan, equi-joined verdicts") {
+    val p = plan("d10_clean_corpus")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"quality gate and dedup keep-set must share the one scored scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), s"keep-id per fp must combine map-side:\n$p")
+  }
+
   test("e06: as-of join is a single-shuffle window plan, not a range join") {
     val p = plan("e06_asof_join")
     assert(!p.contains("Join"), // no BroadcastNestedLoop/SortMerge range join
