@@ -22,6 +22,32 @@ object Text {
   /** Whitespace tokens of `text`, after trim. */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** 36-bit md5-derived word-8-gram hashes of a tokens column named
+    * `tk` — ONE definition shared by batch t13 and the streaming
+    * decontamination filter (graft.streaming.DocStreams.decontaminate)
+    * so stream and batch gram sets can never drift (the
+    * Dedup.shingleSetCol discipline). */
+  private[graft] def gram8Col: Column = expr(
+    """transform(sequence(1, size(tk) - 7),
+      |  i -> cast(conv(substring(md5(concat_ws(' ',
+      |         element_at(tk, i), element_at(tk, i + 1),
+      |         element_at(tk, i + 2), element_at(tk, i + 3),
+      |         element_at(tk, i + 4), element_at(tk, i + 5),
+      |         element_at(tk, i + 6), element_at(tk, i + 7))),
+      |       1, 9), 16, 10) as bigint))""".stripMargin)
+
+  /** t13's deterministic fixture: the planted 8-token canary keyed by
+    * doc_id % 25 (appended to `text`), and the md5 eval-split flag
+    * (1/8 of docs). Shared with the streaming spec so the fixture the
+    * twin replays is bit-identical to the batch one. */
+  private[graft] def canaryText: Column = concat(col("text"),
+    lit(" canary c"), (col("doc_id") % 25).cast("string"),
+    lit(" alpha beta gamma delta epsilon zeta"))
+
+  private[graft] def isEvalCol: Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":eval"))), 1, 8), 16, 10).cast("long") % 8 === 0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + non-space char stats.
     "t01_token_stats" -> ((s, dir) => {
@@ -246,25 +272,12 @@ object Text {
     // The per-doc gram frontier is computed once (Subplan.once) and
     // feeds both split sides.
     "t13_decontaminate" -> ((s, dir) => {
-      val planted = concat(col("text"), lit(" canary c"),
-        (col("doc_id") % 25).cast("string"),
-        lit(" alpha beta gamma delta epsilon zeta"))
-      val isEval = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":eval"))), 1, 8), 16, 10).cast("long") % 8 === 0
-      val gram8 = expr(
-        """transform(sequence(1, size(tk) - 7),
-          |  i -> cast(conv(substring(md5(concat_ws(' ',
-          |         element_at(tk, i), element_at(tk, i + 1),
-          |         element_at(tk, i + 2), element_at(tk, i + 3),
-          |         element_at(tk, i + 4), element_at(tk, i + 5),
-          |         element_at(tk, i + 6), element_at(tk, i + 7))),
-          |       1, 9), 16, 10) as bigint))""".stripMargin)
       val sets = graft.ops.Subplan.once(docs(s, dir)
-        .select(col("doc_id"), isEval.as("is_eval"),
-          split(trim(planted), "\\s+").as("tk"))
+        .select(col("doc_id"), isEvalCol.as("is_eval"),
+          split(trim(canaryText), "\\s+").as("tk"))
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), col("is_eval"),
-          array_distinct(gram8).as("xs")))
+          array_distinct(gram8Col).as("xs")))
       val evalGrams = sets.filter(col("is_eval"))
         .select(explode(col("xs")).as("x")).distinct()
         .withColumn("hit", lit(1))

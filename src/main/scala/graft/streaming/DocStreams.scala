@@ -295,6 +295,37 @@ object DocStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming twin of batch t13: ingest-time benchmark
+    * decontamination. A benchmark suite is FIXED at pipeline-build
+    * time, so the held-out side is a STATIC relation `evalGrams`
+    * (one column `x` of 36-bit gram hashes) and Spark plans a
+    * stream-static BroadcastHashJoin — the stream never shuffles for
+    * the join and there is no pairing state at all: a doc's verdict
+    * depends only on itself and the static set. The per-doc roll-up
+    * is a watermarked (doc_id, ts)-keyed aggregate whose state the
+    * watermark retires; the 8-grams are the exact
+    * [[graft.ext.Text.gram8Col]] batch t13 hashes, so stream and
+    * batch gram sets can never drift. Returns one row per train doc:
+    * (doc_id, ts, n_grams, n_hits, contam_ratio) — a downstream
+    * filter on n_hits == 0 admits clean docs to the corpus. */
+  def decontaminate(docs: DataFrame, evalGrams: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val grams = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(graft.ext.Text.gram8Col)).as("x"))
+    grams
+      .join(broadcast(evalGrams.select(col("x")).distinct()
+        .withColumn("hit", lit(1))), Seq("x"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"),
+        (count(col("hit")).cast("double") / count(lit(1)))
+          .as("contam_ratio"))
+  }
+
   /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
     * TOKEN estimates over the document stream, via the deduplicating
     * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot

@@ -245,6 +245,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination replays to exactly the batch t13 verdicts") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_decontam_stream").toString
+    // The batch t13 fixture, split by the SAME md5 eval flag: eval docs
+    // become the static held-out gram set, train docs become the stream.
+    val withCanary = Tables(spark, sf, "documents")
+      .select(col("doc_id"), ext.Text.canaryText.as("text"))
+    val evalGrams = withCanary.filter(ext.Text.isEvalCol)
+      .select(split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(explode(array_distinct(ext.Text.gram8Col)).as("x"))
+    withCanary.filter(!ext.Text.isEvalCol)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+      .write.mode("append").parquet(srcDir)
+    // Complete mode: the (doc_id, ts) aggregate would be held back by a
+    // never-advancing end-of-data watermark in append, as with the KMV
+    // windows.
+    val stream = DocStreams.decontaminate(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir), evalGrams)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_hits"), r.getAs[Double]("contam_ratio"))
+      val got = spark.table("decontam_stream").collect().map(key).toSet
+      val want = SparkEntry.queries("t13_decontaminate")(spark, sf).collect()
+        .map(key).toSet
+      assert(want.exists(_._3 > 0), "fixture must contain contaminated train docs")
+      assert(got == want,
+        s"streamed verdicts diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV distinct estimates replay to the batch sketch") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_kmv_stream").toString
