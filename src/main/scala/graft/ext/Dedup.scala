@@ -418,6 +418,68 @@ object Dedup {
     // agg) + one fp equi-join; no stage is pairwise, and the verdict
     // column makes the pipeline auditable (counts per reason) instead
     // of silently dropping rows.
+    // Incremental dedup — the shape production ingest actually runs:
+    // dedup a small NEW batch against the big EXISTING corpus, not a
+    // corpus self-join. Batch docs get a verdict: exact_dup (normalized
+    // fingerprint already in the corpus), near_dup (minhash-LSH band
+    // collision with a corpus doc verified at jaccard ≥ 0.5 — the d03
+    // candidate semantics, asymmetric), else new. The asymmetry IS the
+    // scale story: every join broadcasts the BATCH side (a day's ingest
+    // is MBs-GBs against a 100 TB corpus), so the corpus is never
+    // shuffled — band/fingerprint keys stream map-side through the
+    // broadcast hash tables, and only colliding corpus docs reach the
+    // verify. Fixture: batch = doc_id % 8 == 0; docs with
+    // doc_id % 20 == 4 share one planted text, so ids ≡ 24 (mod 40)
+    // are guaranteed cross-split exact dups; natural cross-split
+    // near-dup pairs exercise the LSH path.
+    "d11_incremental_dedup" -> ((s, dir) => {
+      val plant = "shared press release body reused verbatim by every " +
+        "mirror site in the batch and the corpus alike for this test"
+      val base = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 8 === 0).as("is_batch"),
+        when(col("doc_id") % 20 === 4, lit(plant))
+          .otherwise(col("text")).as("text"))
+      // One materialized frontier: per-doc fingerprint + shingle set,
+      // read by the exact path, both band sides, and the verify.
+      val sets = graft.ops.Subplan.once(base
+        .select(col("doc_id"), col("is_batch"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+          toks.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("is_batch"), col("fp"),
+          shingleSetCol.as("xs"))
+        .withColumn("n", size(col("xs"))))
+      val batchFp = sets.filter(col("is_batch"))
+        .select(col("doc_id").as("batch_id"), col("fp"))
+      val exact = sets.filter(!col("is_batch")).select(col("fp"))
+        .join(broadcast(batchFp), Seq("fp"))
+        .select(col("batch_id")).distinct()
+      val withMh = (0 until NumHashes).foldLeft(
+        sets.select(col("doc_id"), col("is_batch"), col("xs"))) { (df, i) =>
+        df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
+      }
+      val bands = withMh.select(col("doc_id"), col("is_batch"),
+        explode(bandSigs((0 until NumHashes).map(i => col(s"mh$i")))).as("bs"))
+        .select(col("doc_id"), col("is_batch"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.filter(!col("is_batch")).as("c")
+        .join(broadcast(bands.filter(col("is_batch")).as("b")),
+          col("c.band") === col("b.band") && col("c.sig") === col("b.sig"))
+        .select(col("b.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+        .distinct()
+      val near = verifyJaccard(cand, sets, 0.5)
+        .select(col("doc_a").as("batch_id")).distinct()
+      sets.filter(col("is_batch")).select(col("doc_id"))
+        .join(broadcast(exact.withColumnRenamed("batch_id", "doc_id")
+          .withColumn("is_exact", lit(1))), Seq("doc_id"), "left")
+        .join(broadcast(near.withColumnRenamed("batch_id", "doc_id")
+          .withColumn("is_near", lit(1))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1, lit("exact_dup"))
+            .when(col("is_near") === 1, lit("near_dup"))
+            .otherwise(lit("new")).as("verdict"))
+    }),
+
     "d10_clean_corpus" -> ((s, dir) => {
       val boiler = "graft boilerplate page about nothing at all " +
         "repeated across mirrors of the same site with identical " +
@@ -726,6 +788,61 @@ object Dedup {
         |    AS dup_ratio
         |FROM pd JOIN dfq USING (x)
         |GROUP BY pd.doc_id""".stripMargin,
+    // Mirror of the Spark plan's semantics: exact = fingerprint ∈
+    // corpus; near = exhaustive cross-split jaccard ≥ 0.5 restricted
+    // to band-collision candidates (the d03 oracle pattern,
+    // asymmetric). is_batch is modular, so both engines derive it
+    // without md5.
+    "d11_incremental_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 4
+        |         THEN 'shared press release body reused verbatim by every mirror site in the batch and the corpus alike for this test'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM p
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, x FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 9))::BIGINT AS x
+        |  FROM tk, unnest(generate_series(1, len(t) - 2)) u(i))),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |mh AS (SELECT doc_id, i,
+        |    MIN(((67108879 + 65537 * i) * x + 1000003 * i + 12345)
+        |        % 2305843009213693951) AS mh
+        |  FROM sh, unnest(generate_series(0, 31)) u(i)
+        |  GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS sig
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM bands b JOIN bands c
+        |    ON b.band = c.band AND b.sig = c.sig
+        |    AND b.doc_id % 8 = 0 AND c.doc_id % 8 <> 0),
+        |jac AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.x = b.x AND a.doc_id % 8 = 0 AND b.doc_id % 8 <> 0
+        |  JOIN sz sa ON sa.doc_id = a.doc_id
+        |  JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near AS (SELECT DISTINCT j.batch_id FROM jac j
+        |  WHERE j.j >= 0.5 AND EXISTS (SELECT 1 FROM cand c
+        |    WHERE c.batch_id = j.batch_id AND c.corpus_id = j.corpus_id)),
+        |fpv AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM p),
+        |cfp AS (SELECT DISTINCT fp FROM fpv WHERE doc_id % 8 <> 0),
+        |ex AS (SELECT DISTINCT f.doc_id FROM fpv f JOIN cfp USING (fp)
+        |  WHERE f.doc_id % 8 = 0)
+        |SELECT f.doc_id,
+        |  CASE WHEN f.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+        |       WHEN f.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup'
+        |       ELSE 'new' END AS verdict
+        |FROM fpv f
+        |WHERE f.doc_id % 8 = 0 AND f.doc_id IN (SELECT doc_id FROM tk)""".stripMargin,
     "d10_clean_corpus" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 37 = 5

@@ -412,6 +412,57 @@ class ExtSpec extends AnyFunSuite {
     assert(want.nonEmpty && evalSet.nonEmpty)
   }
 
+  test("d11 incremental dedup verdicts match a full driver-side recompute") {
+    val plant = "shared press release body reused verbatim by every " +
+      "mirror site in the batch and the corpus alike for this test"
+    val P = 2305843009213693951L
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        id -> (if (id % 20 == 4) plant else r.getAs[String]("text"))
+      }
+    def shingleSet(t: String): Set[Long] = {
+      val tk = t.trim.split("\\s+")
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).filter(_.length == 3)
+        .map(g => java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(9), 16))
+        .toSet
+    }
+    val sets = texts.map { case (id, t) => (id, id % 8 == 0, shingleSet(t)) }
+      .filter(_._3.nonEmpty)
+    def bandSig(xs: Set[Long]): Seq[(Int, String)] = {
+      val mhs = (0 until 32).map(i =>
+        xs.map(x => ((67108879L + 65537L * i) * x + 1000003L * i + 12345L) % P).min)
+      (0 until 8).map(b => b -> (b * 4 until b * 4 + 4).map(mhs).mkString("_"))
+    }
+    val batch = sets.filter(_._2)
+    val corpus = sets.filterNot(_._2)
+    val corpusBands = corpus.flatMap { case (id, _, xs) =>
+      bandSig(xs).map { case (b, s) => (b, s) -> id }
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val i = (a intersect b).size
+      i.toDouble / (a.size + b.size - i)
+    }
+    val corpusSets = corpus.map(c => c._1 -> c._3).toMap
+    val corpusFps = corpus.map(c => md5hex(
+      texts.toMap.apply(c._1).trim.replaceAll("\\s+", " ").toLowerCase)).toSet
+    val want = batch.map { case (id, _, xs) =>
+      val fp = md5hex(texts.toMap.apply(id).trim.replaceAll("\\s+", " ").toLowerCase)
+      val candIds = bandSig(xs).flatMap(bs =>
+        corpusBands.getOrElse(bs, Seq.empty[Long])).distinct
+      val isNear = candIds.exists(c => jac(xs, corpusSets(c)) >= 0.5)
+      id -> (if (corpusFps(fp)) "exact_dup" else if (isNear) "near_dup" else "new")
+    }.toMap
+    val got = SparkEntry.queries("d11_incremental_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == want,
+      s"diverging verdicts: ${(want.toSet -- got.toSet).take(3)}")
+    assert(want.values.exists(_ == "exact_dup"),
+      "ids = 24 mod 40 are planted cross-split exact dups")
+    assert(want.values.count(_ == "new") > want.size / 2)
+  }
+
   test("d10 clean-corpus verdicts partition the corpus with correct reasons") {
     val boiler = "graft boilerplate page about nothing at all " +
       "repeated across mirrors of the same site with identical " +

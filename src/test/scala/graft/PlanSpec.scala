@@ -131,6 +131,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"per-doc roll-up must combine map-side:\n$p")
   }
 
+  test("d11: every join broadcasts the batch side; the corpus never shuffles") {
+    val p = plan("d11_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the new batch is the small side of an incremental dedup — broadcast it:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from band/fingerprint equi-joins, never all pairs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"exact, band, and verify paths must share the one materialized frontier:\n$p")
+  }
+
   test("d10: clean-corpus pipeline is one materialized scan, equi-joined verdicts") {
     val p = plan("d10_clean_corpus")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
