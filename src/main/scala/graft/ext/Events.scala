@@ -185,6 +185,31 @@ object Events {
         .join(pur, Seq("cell"), "left")
         .groupBy(col("e_id"))
         .agg(count(when(abs(col("em") - col("pm")) <= w, 1)).as("n_nearby"))
+    }),
+
+    // Cohort retention: users cohorted by first-active day (epoch-
+    // aligned 1-day bucket, the e02 window/time_bucket parity), then
+    // distinct active users per (cohort, day-offset ≤ 7) — the
+    // product-analytics matrix every events warehouse serves. Shape:
+    // the distinct (user, day) frontier materializes ONCE and feeds
+    // both the per-user min (cohort assignment) and the offset join;
+    // both sides of that join are hash-partitioned by user_id, so the
+    // join adds no exchange, and the final count_distinct partial-
+    // aggregates per (cohort, offset). Nothing is per-event after the
+    // first distinct — state tracks users, not events.
+    "e09_cohort_retention" -> ((s, dir) => {
+      val days = graft.ops.Subplan.once(ev(s, dir)
+        .select(col("user_id"),
+          window(col("ts"), "1 day").getField("start").as("day"))
+        .distinct())
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
     })
   )
 
@@ -269,6 +294,19 @@ object Events {
         |  SELECT epoch_us(ts) AS pm FROM events WHERE event_type = 'purchase')
         |SELECT e.e_id, COUNT(p.pm) AS n_nearby
         |FROM e LEFT JOIN p ON abs(p.pm - e.em) <= 1800000000
-        |GROUP BY e.e_id""".stripMargin
+        |GROUP BY e.e_id""".stripMargin,
+    "e09_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    time_bucket(INTERVAL '1 day', ts) AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(day) AS cohort_day
+        |  FROM days GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_active
+        |FROM days d JOIN coh c USING (user_id)
+        |WHERE date_diff('day', c.cohort_day, d.day) <= 7
+        |GROUP BY c.cohort_day, day_offset""".stripMargin
   )
 }

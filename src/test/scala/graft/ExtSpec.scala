@@ -203,6 +203,32 @@ class ExtSpec extends AnyFunSuite {
     assert(v.numNonzeros > 0)
   }
 
+  test("e09 cohort retention matches a brute-force first-day cohort walk") {
+    val dayUs = 86400L * 1000000L
+    val events = Tables(spark, sf, "events").select("user_id", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getAs[Long]("user_id"), Math.floorDiv(micros, dayUs))
+      }
+    val byUser = events.distinct.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).toSet
+    }
+    val want = byUser.toSeq.flatMap { case (u, ds) =>
+      val c = ds.min
+      ds.toSeq.map(d => (c, (d - c).toInt)).filter(_._2 <= 7).map(k => (k, u))
+    }.groupBy(_._1).map { case (k, us) => k -> us.map(_._2).distinct.size.toLong }
+    val got = SparkEntry.queries("e09_cohort_retention")(spark, sf).collect()
+      .map { r =>
+        val cd = r.getAs[java.sql.Timestamp]("cohort_day")
+        ((Math.floorDiv(cd.getTime, 1000L) * 1000000L / dayUs,
+          r.getAs[Int]("day_offset")), r.getAs[Long]("n_active"))
+      }.toMap
+    assert(got == want,
+      s"retention matrix diverges: ${(want.toSet -- got.toSet).take(3)}")
+    assert(want.exists(_._1._2 > 0), "some cohort must retain past day 0")
+  }
+
   test("e04 sessions never overlap and gaps exceed 30min between sessions") {
     val df = SparkEntry.queries("e04_sessionize")(spark, sf)
       .orderBy(col("user_id"), col("sess")).collect()

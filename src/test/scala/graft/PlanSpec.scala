@@ -141,6 +141,14 @@ class PlanSpec extends AnyFunSuite {
       s"exact, band, and verify paths must share the one materialized frontier:\n$p")
   }
 
+  test("e09: retention matrix reads the one materialized (user, day) frontier") {
+    val p = plan("e09_cohort_retention")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"cohort assignment and offset join must share the distinct frontier:\n$p")
+    assert(p.contains("partial_"), s"retention counts must combine map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("d10: clean-corpus pipeline is one materialized scan, equi-joined verdicts") {
     val p = plan("d10_clean_corpus")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
