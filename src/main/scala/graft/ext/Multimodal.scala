@@ -49,6 +49,20 @@ object Multimodal {
         (r.media_id, r.payload.indices.by(stride).map(r.payload).toArray)
       }
 
+    /** "Frame energy" = per fixed-length frame of the payload, the sum
+      * of squared sample bytes (the audio windowed-energy/RMS kernel
+      * shape; integer-exact so it can hash-match). Last frame short. */
+    def frameEnergy(frame: Int)(rows: Iterator[MediaRow])
+        : Iterator[(Long, Int, Int, Long)] = {
+      require(frame > 0, s"frameEnergy requires a positive frame length, got $frame")
+      rows.flatMap { r =>
+        r.payload.grouped(frame).zipWithIndex.map { case (chunk, i) =>
+          (r.media_id, i, chunk.length,
+            chunk.foldLeft(0L)((a, b) => a + (b & 0xff).toLong * (b & 0xff)))
+        }
+      }
+    }
+
     /** "Resize" = interpret the payload as a row-major width×H byte
       * raster (deterministic fake geometry: fixed width, H = ⌈n/W⌉,
       * short last row) and 2×2 average-pool it — the image-resize
@@ -176,6 +190,16 @@ object Multimodal {
       mediaTable(s, dir).mapPartitions(StubDecoders.frameSample(16))
         .toDF("media_id", "sampled")
         .select(col("media_id"), hex(col("sampled")).as("sample_hex"))
+    }),
+
+    // The windowed-energy kernel under oracle check: 64-byte frames,
+    // per-frame sum of squared bytes — exact integer math (all-ASCII
+    // corpus ⇒ byte values == code points), emitted one row per frame
+    // so no array cells reach the row-sorting harness.
+    "m05_frame_energy" -> ((s, dir) => {
+      import s.implicits._
+      mediaTable(s, dir).mapPartitions(StubDecoders.frameEnergy(64))
+        .toDF("media_id", "frame", "n_samples", "energy")
     })
   )
 
@@ -233,6 +257,21 @@ object Multimodal {
         |    [lpad(hex(ascii(substring(text, i, 1))), 2, '0')
         |     for i in generate_series(1, length(text)::INT, 16)], ''), '')
         |  AS sample_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // States StubDecoders.frameEnergy(64) exactly: frames of 64 bytes
+    // (last short), energy = sum of squared byte values.
+    "m05_frame_energy" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    octet_length(encode(text))::BIGINT AS n FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, text, n, u.frame
+        |  FROM d, unnest(generate_series(0, ((n + 63) // 64) - 1)) u(frame))
+        |SELECT doc_id AS media_id, CAST(frame AS INTEGER) AS frame,
+        |  CAST(LEAST(64, n - frame * 64) AS INTEGER) AS n_samples,
+        |  CAST(list_sum([ascii(substring(text, (frame * 64 + i)::INT, 1))
+        |      * ascii(substring(text, (frame * 64 + i)::INT, 1))
+        |    for i in generate_series(1, LEAST(64, n - frame * 64)::INT)])
+        |    AS BIGINT) AS energy
+        |FROM f""".stripMargin
   )
 }

@@ -515,6 +515,23 @@ class ExtSpec extends AnyFunSuite {
     assert(byVerdict("kept") > byVerdict.getOrElse("exact_dup", 0))
   }
 
+  test("m05 frame energies agree with a driver-side recompute") {
+    val rows = SparkEntry.queries("m05_frame_energy")(spark, sf).collect()
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").getBytes("UTF-8"))
+      .toMap
+    val want = texts.toSeq.flatMap { case (id, bytes) =>
+      bytes.grouped(64).zipWithIndex.map { case (c, i) =>
+        (id, i, c.length, c.foldLeft(0L)((a, b) => a + (b & 0xff).toLong * (b & 0xff)))
+      }
+    }.toSet
+    val got = rows.map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame"),
+      r.getAs[Int]("n_samples"), r.getAs[Long]("energy"))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 > 0), "multi-frame payloads must exist")
+    assert(want.exists(_._3 < 64), "a short last frame must exist")
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
