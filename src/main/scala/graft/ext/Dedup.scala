@@ -44,25 +44,34 @@ object Dedup {
     * function. The hash is md5-hex-prefix in BOTH engines, so any
     * (vanishingly rare) collision is identical on both sides and
     * parity holds. */
-  private[graft] def shingleSetCol: Column = array_distinct(expr(
-    """transform(sequence(1, size(tk) - 2),
-      |  i -> cast(conv(substring(md5(concat(
-      |         element_at(tk, i), ' ',
-      |         element_at(tk, i + 1), ' ',
-      |         element_at(tk, i + 2))), 1, 9), 16, 10) as bigint))"""
-      .stripMargin))
+  private[graft] def shingleSetCol: Column = array_distinct(ngramIdCol(3))
 
-  /** 36-bit md5-derived ids of ALL word-5-gram positions of a tokens
-    * column named `tk` — a MULTISET (every position counts), unlike the
-    * distinct 3-gram [[shingleSetCol]]: span-level dedup (d09) weighs
-    * each repeated position, so within-doc repeats keep their
-    * multiplicity. Same md5-hex-prefix portability discipline. */
-  private[graft] def span5Col: Column = expr(
-    """transform(sequence(1, size(tk) - 4),
-      |  i -> cast(conv(substring(md5(concat_ws(' ',
-      |         element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2),
-      |         element_at(tk, i + 3), element_at(tk, i + 4))), 1, 9), 16, 10)
-      |       as bigint))""".stripMargin)
+  /** 36-bit md5-derived ids of ALL word-n-gram positions of a tokens
+    * column named `tk` — the ONE n-gram-hash template behind the
+    * distinct 3-gram [[shingleSetCol]], the position-multiset 5-gram
+    * (d09), and the 8-gram decontamination set (Text.gram8Col):
+    * parameterizing the width keeps the hash discipline (space-joined
+    * gram → first 9 md5 hex chars → 36-bit long) in one place, so a
+    * change can never be applied to one width and missed on another.
+    * Callers apply `array_distinct` where set semantics are wanted. */
+  private[graft] def ngramIdCol(n: Int): Column = {
+    val elems = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
+    expr(
+      s"""transform(sequence(1, size(tk) - ${n - 1}),
+         |  i -> cast(conv(substring(md5(concat_ws(' ', $elems)),
+         |       1, 9), 16, 10) as bigint))""".stripMargin)
+  }
+
+  /** The d09 position-multiset word-5-gram ids (see [[ngramIdCol]]). */
+  private[graft] def span5Col: Column = ngramIdCol(5)
+
+  /** Normalized-text exact-dedup fingerprint: md5 of the whitespace-
+    * collapsed, trimmed, lowercased text. ONE definition for d01, the
+    * d10 pipeline, and d11's exact path (and the t04 oracle states the
+    * same expression) — a normalization tweak must change every
+    * exact-dedup decision together or none. */
+  private[graft] def fingerprintCol: Column =
+    md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
 
   /** The i-th MinHash of a shingle-id array column: a row-local
     * array_min fold over the (a·x + b) mod P family. ONE definition
@@ -276,8 +285,7 @@ object Dedup {
     "d01_exact_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       d.unionAll(d)
-        .select(col("doc_id"),
-          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        .select(col("doc_id"), fingerprintCol.as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
@@ -408,16 +416,6 @@ object Dedup {
           col("n_dup_spans").cast("double") / col("n_spans"))
     }),
 
-    // The end-to-end corpus-cleaning composition a training pipeline
-    // actually ships: quality gate → exact dedup among the survivors →
-    // one verdict per doc with its failure reason. Planted duplicate
-    // group: doc_id % 37 == 5 collapses to one shared boilerplate text
-    // (the t10/d06 deterministic-planting pattern), so the dedup stage
-    // has real work; the quality gate is a token floor (25 — the
-    // corpus's ~12th percentile). One fingerprint groupBy (partial-
-    // agg) + one fp equi-join; no stage is pairwise, and the verdict
-    // column makes the pipeline auditable (counts per reason) instead
-    // of silently dropping rows.
     // Incremental dedup — the shape production ingest actually runs:
     // dedup a small NEW batch against the big EXISTING corpus, not a
     // corpus self-join. Batch docs get a verdict: exact_dup (normalized
@@ -428,10 +426,13 @@ object Dedup {
     // is MBs-GBs against a 100 TB corpus), so the corpus is never
     // shuffled — band/fingerprint keys stream map-side through the
     // broadcast hash tables, and only colliding corpus docs reach the
-    // verify. Fixture: batch = doc_id % 8 == 0; docs with
-    // doc_id % 20 == 4 share one planted text, so ids ≡ 24 (mod 40)
-    // are guaranteed cross-split exact dups; natural cross-split
-    // near-dup pairs exercise the LSH path.
+    // verify. EVERY batch doc gets a verdict: the exact path needs no
+    // shingles, so the 3-token floor applies only to the LSH side (a
+    // 2-token doc can still be an exact_dup, never a near_dup).
+    // Fixture: batch = doc_id % 8 == 0; docs with doc_id % 20 == 4
+    // share one planted text, so ids ≡ 24 (mod 40) are guaranteed
+    // cross-split exact dups; natural cross-split near-dup pairs
+    // exercise the LSH path.
     "d11_incremental_dedup" -> ((s, dir) => {
       val plant = "shared press release body reused verbatim by every " +
         "mirror site in the batch and the corpus alike for this test"
@@ -439,15 +440,15 @@ object Dedup {
         (col("doc_id") % 8 === 0).as("is_batch"),
         when(col("doc_id") % 20 === 4, lit(plant))
           .otherwise(col("text")).as("text"))
-      // One materialized frontier: per-doc fingerprint + shingle set,
-      // read by the exact path, both band sides, and the verify.
+      // One materialized frontier over ALL docs: per-doc fingerprint +
+      // shingle set (empty below the 3-token shingle floor), read by
+      // the exact path, both band sides, the verify, and the verdict.
       val sets = graft.ops.Subplan.once(base
-        .select(col("doc_id"), col("is_batch"),
-          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+        .select(col("doc_id"), col("is_batch"), fingerprintCol.as("fp"),
           toks.as("tk"))
-        .filter(size(col("tk")) >= 3)
         .select(col("doc_id"), col("is_batch"), col("fp"),
-          shingleSetCol.as("xs"))
+          when(size(col("tk")) >= 3, shingleSetCol)
+            .otherwise(array().cast("array<bigint>")).as("xs"))
         .withColumn("n", size(col("xs"))))
       val batchFp = sets.filter(col("is_batch"))
         .select(col("doc_id").as("batch_id"), col("fp"))
@@ -455,7 +456,8 @@ object Dedup {
         .join(broadcast(batchFp), Seq("fp"))
         .select(col("batch_id")).distinct()
       val withMh = (0 until NumHashes).foldLeft(
-        sets.select(col("doc_id"), col("is_batch"), col("xs"))) { (df, i) =>
+        sets.filter(col("n") > 0)
+          .select(col("doc_id"), col("is_batch"), col("xs"))) { (df, i) =>
         df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
       }
       val bands = withMh.select(col("doc_id"), col("is_batch"),
@@ -480,6 +482,16 @@ object Dedup {
             .otherwise(lit("new")).as("verdict"))
     }),
 
+    // The end-to-end corpus-cleaning composition a training pipeline
+    // actually ships: quality gate → exact dedup among the survivors →
+    // one verdict per doc with its failure reason. Planted duplicate
+    // group: doc_id % 37 == 5 collapses to one shared boilerplate text
+    // (the t10/d06 deterministic-planting pattern), so the dedup stage
+    // has real work; the quality gate is a token floor (25 — the
+    // corpus's ~12th percentile). One fingerprint groupBy (partial-
+    // agg) + one fp equi-join; no stage is pairwise, and the verdict
+    // column makes the pipeline auditable (counts per reason) instead
+    // of silently dropping rows.
     "d10_clean_corpus" -> ((s, dir) => {
       val boiler = "graft boilerplate page about nothing at all " +
         "repeated across mirrors of the same site with identical " +
@@ -492,7 +504,7 @@ object Dedup {
       // never runs twice (the d02/d03 Subplan.once discipline).
       val scored = graft.ops.Subplan.once(
         d.select(col("doc_id"), size(toks).as("n_tok"),
-          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")))
+          fingerprintCol.as("fp")))
       val keep = scored.filter(col("n_tok") >= 25)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       scored.join(keep, Seq("fp"), "left")
@@ -800,8 +812,7 @@ object Dedup {
         |         ELSE text END AS text
         |  FROM documents),
         |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM p
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |  FROM p),
         |sh AS (SELECT DISTINCT doc_id, x FROM (
         |  SELECT doc_id,
         |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 9))::BIGINT AS x
@@ -842,7 +853,7 @@ object Dedup {
         |       WHEN f.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup'
         |       ELSE 'new' END AS verdict
         |FROM fpv f
-        |WHERE f.doc_id % 8 = 0 AND f.doc_id IN (SELECT doc_id FROM tk)""".stripMargin,
+        |WHERE f.doc_id % 8 = 0""".stripMargin,
     "d10_clean_corpus" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 37 = 5

@@ -23,18 +23,11 @@ object Text {
   private def toks: Column = split(trim(col("text")), "\\s+")
 
   /** 36-bit md5-derived word-8-gram hashes of a tokens column named
-    * `tk` — ONE definition shared by batch t13 and the streaming
-    * decontamination filter (graft.streaming.DocStreams.decontaminate)
-    * so stream and batch gram sets can never drift (the
-    * Dedup.shingleSetCol discipline). */
-  private[graft] def gram8Col: Column = expr(
-    """transform(sequence(1, size(tk) - 7),
-      |  i -> cast(conv(substring(md5(concat_ws(' ',
-      |         element_at(tk, i), element_at(tk, i + 1),
-      |         element_at(tk, i + 2), element_at(tk, i + 3),
-      |         element_at(tk, i + 4), element_at(tk, i + 5),
-      |         element_at(tk, i + 6), element_at(tk, i + 7))),
-      |       1, 9), 16, 10) as bigint))""".stripMargin)
+    * `tk` — the [[Dedup.ngramIdCol]] template at width 8, ONE
+    * definition shared by batch t13 and the streaming decontamination
+    * filter (graft.streaming.DocStreams.decontaminate) so stream and
+    * batch gram sets can never drift. */
+  private[graft] def gram8Col: Column = Dedup.ngramIdCol(8)
 
   /** t13's deterministic fixture: the planted 8-token canary keyed by
     * doc_id % 25 (appended to `text`), and the md5 eval-split flag

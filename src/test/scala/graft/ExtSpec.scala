@@ -470,11 +470,12 @@ class ExtSpec extends AnyFunSuite {
       val i = (a intersect b).size
       i.toDouble / (a.size + b.size - i)
     }
+    val byId = texts.toMap
     val corpusSets = corpus.map(c => c._1 -> c._3).toMap
     val corpusFps = corpus.map(c => md5hex(
-      texts.toMap.apply(c._1).trim.replaceAll("\\s+", " ").toLowerCase)).toSet
+      byId(c._1).trim.replaceAll("\\s+", " ").toLowerCase)).toSet
     val want = batch.map { case (id, _, xs) =>
-      val fp = md5hex(texts.toMap.apply(id).trim.replaceAll("\\s+", " ").toLowerCase)
+      val fp = md5hex(byId(id).trim.replaceAll("\\s+", " ").toLowerCase)
       val candIds = bandSig(xs).flatMap(bs =>
         corpusBands.getOrElse(bs, Seq.empty[Long])).distinct
       val isNear = candIds.exists(c => jac(xs, corpusSets(c)) >= 0.5)

@@ -135,6 +135,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("d11_incremental_dedup")
     assert(p.contains("BroadcastHashJoin"),
       s"the new batch is the small side of an incremental dedup — broadcast it:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge would shuffle the corpus side — the regression the batch " +
+        s"broadcast exists to prevent:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"candidates must come from band/fingerprint equi-joins, never all pairs:\n$p")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
