@@ -236,4 +236,65 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class RetentionState(firstDay: Long, seen: Long)
+  case class RetentionHit(cohort_day: Timestamp, day_offset: Int,
+      user_id: Long)
+
+  /** Streaming twin of e09_cohort_retention: per-user cohort (first
+    * active epoch-aligned day) and retention-day tracking. Emits ONE
+    * RetentionHit per (user, day_offset ≤ maxOffset) — the increments
+    * a counting sink aggregates into the batch operator's
+    * (cohort_day, day_offset, n_active) matrix; the once-per-offset
+    * guarantee is a per-user seen-offset BITMASK, so re-activity
+    * within a day emits nothing. State per user is two longs; an
+    * event-time timeout retires it once the watermark passes the last
+    * emittable offset (firstDay + maxOffset + 1 days), so state is
+    * O(users active within the retention horizon), never all-time.
+    *
+    * Cohort is the minimum day seen SO FAR: an event arriving later
+    * than the watermark delay after a user's true first day can
+    * mis-cohort that user (the batch operator sees all history; a
+    * stream cannot) — size `watermarkDelay` to the tolerated cohort
+    * skew. Days before the current cohort within the watermark are
+    * ignored rather than re-cohorted (offsets already emitted can't
+    * be retracted in append mode). */
+  def cohortRetention(events: Dataset[EventIn], maxOffset: Int = 7,
+      watermarkDelay: String = "1 day"): Dataset[RetentionHit] = {
+    require(maxOffset >= 0 && maxOffset < 63,
+      s"seen-offset bitmask holds offsets 0..62, got $maxOffset")
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+
+    def update(userId: Long, batch: Iterator[EventIn],
+        state: GroupState[RetentionState]): Iterator[RetentionHit] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val days = batch.map(e => Math.floorDiv(micros(e.ts), dayUs))
+          .toSeq.distinct.sorted
+        var cur = state.getOption.getOrElse(RetentionState(days.head, 0L))
+        val out = Seq.newBuilder[RetentionHit]
+        days.foreach { d =>
+          val off = d - cur.firstDay
+          if (off >= 0 && off <= maxOffset && (cur.seen & (1L << off)) == 0L) {
+            cur = cur.copy(seen = cur.seen | (1L << off))
+            out += RetentionHit(new Timestamp(cur.firstDay * 86400000L),
+              off.toInt, userId)
+          }
+        }
+        state.update(cur)
+        val wm = scala.util.Try(state.getCurrentWatermarkMs())
+          .getOrElse(Long.MinValue)
+        state.setTimeoutTimestamp(math.max(
+          (cur.firstDay + maxOffset + 1) * 86400000L, wm + 1))
+        out.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

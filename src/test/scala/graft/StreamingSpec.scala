@@ -353,6 +353,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retention increments aggregate to exactly the batch e09 matrix") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val srcDir = Files.createTempDirectory("graft_retention_replay").toString
+    Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("append").parquet(srcDir)
+    val hits = EventStreams.cohortRetention(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.EventIn])
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("retention_replay").start()
+    try {
+      q.processAllAvailable()
+      // each hit is unique per (user, offset) by the state bitmask, so
+      // counting hits per (cohort, offset) IS count_distinct(user)
+      val got = spark.table("retention_replay").collect()
+        .groupBy(r => (r.getAs[java.sql.Timestamp]("cohort_day"),
+          r.getAs[Int]("day_offset")))
+        .map { case (k, g) => k -> g.length.toLong }
+      val want = SparkEntry.queries("e09_cohort_retention")(spark, sf).collect()
+        .map(r => ((r.getAs[java.sql.Timestamp]("cohort_day"),
+          r.getAs[Int]("day_offset")), r.getAs[Long]("n_active"))).toMap
+      assert(want.nonEmpty && got == want,
+        s"streamed retention diverges: missing=${(want.toSet -- got.toSet).take(3)} " +
+          s"extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on timeout") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
