@@ -108,6 +108,13 @@ object Multimodal {
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables(s, dir, "documents")
+      // A NULL payload is "no media", not an empty one: the typed
+      // MediaRow contract (payload: Array[Byte]) can't carry null, and
+      // every decode kernel would NPE on it. Dropped HERE so all
+      // mapPartitions consumers (m02-m05) agree; their oracles state
+      // the same `text IS NOT NULL` guard. (The sf corpora are
+      // null-free — this pins the contract, not current data.)
+      .filter(col("text").isNotNull)
       .select(col("doc_id").as("media_id"), col("source").as("kind"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
@@ -220,7 +227,7 @@ object Multimodal {
         |              for i in generate_series(1, length(text)::INT, 1)]) AS DOUBLE)
         |            / octet_length(encode(text)) END AS mean_byte,
         |  hex(encode(substring(text, 1, 8))) AS head_hex
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // States StubDecoders.resize2x exactly: W=64 raster, h=⌈n/64⌉,
     // ow=32 (0 if empty), oh=⌈h/2⌉; pixel p pools the ≤4 in-range
     // source bytes at ((p//32)·2+dy)·64 + (p%32)·2+dx, truncating
@@ -229,7 +236,8 @@ object Multimodal {
     // array_to_string([]) is NULL where Spark hex(empty) is '').
     "m03_resize2x" ->
       """WITH d AS (SELECT doc_id, text,
-        |    octet_length(encode(text))::BIGINT AS n FROM documents),
+        |    octet_length(encode(text))::BIGINT AS n FROM documents
+        |  WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, text, n, (n + 63) // 64 AS h FROM d),
         |dims AS (SELECT doc_id, text, n, h,
         |    CASE WHEN h = 0 THEN 0 ELSE 32 END AS ow, (h + 1) // 2 AS oh FROM g),
@@ -257,7 +265,7 @@ object Multimodal {
         |    [lpad(hex(ascii(substring(text, i, 1))), 2, '0')
         |     for i in generate_series(1, length(text)::INT, 16)], ''), '')
         |  AS sample_hex
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // States StubDecoders.frameEnergy(64) exactly: frames of 64 bytes
     // (last short), energy = sum of squared byte values.
     "m05_frame_energy" ->

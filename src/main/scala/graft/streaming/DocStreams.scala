@@ -24,9 +24,11 @@ import graft.ext.Dedup
   * ONLY against its colliding bucket's members — the same
   * candidates-are-collisions topology as batch d03, incrementalized.
   *
-  * State is bounded two ways: members older than `ttl` are dropped on
-  * every bucket visit, and idle buckets are evicted wholesale by an
-  * event-time timeout once the watermark passes their newest member's
+  * State is bounded two ways: members the watermark has aged out of
+  * pairing range (ts < watermark − ttl, so no admissible arrival can
+  * still pair with them) are dropped on every bucket visit, and idle
+  * buckets are evicted wholesale by an event-time timeout once the
+  * watermark passes their newest member's
   * ts + ttl — so state ∝ documents-per-retention-window, never
   * all-time corpus size (the unbounded-dedup-state OOM, as with
   * dedupEvents). At 100 TB/day the per-bucket member lists stay short
@@ -87,14 +89,26 @@ object DocStreams {
         val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
         var cur = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[NearDupPair]
+        // Retention is WATERMARK-based, not arrival-based: a member is
+        // dead only once no admissible future arrival (ts ≥ watermark)
+        // can sit within ttl of it — b.ts < wm − ttl. Evicting relative
+        // to the current arrival instead would drop a member that a
+        // late-but-valid doc (≥ watermark, ≤ ttl away) still needs,
+        // losing that pair where batch d03 emits it. The symmetric abs
+        // comparison below (ADVICE r4) keeps out-of-ttl pairs out, so
+        // keeping members longer can only add recall, never false
+        // positives. No watermark (batch replay) ⇒ keep everything.
+        val wmCut = {
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
+        }
+        // One retention pass per trigger: in-batch appends all sit at
+        // or above the watermark, so they can never be below the cut.
+        var live = cur.docs.filter(b => b.tsMicros >= wmCut)
+        var maxTs = cur.maxTsMicros
         arrived.foreach { d =>
           val m = micros(d.ts)
-          // Retention drops members more than ttl OLDER than the
-          // arrival; the pair comparison below is symmetric (abs) so a
-          // late arrival — up to watermarkDelay behind — never pairs
-          // with a member more than ttl NEWER than itself either
-          // (ADVICE r4: 'within ttl of each other' means both sides).
-          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
           val xs = d.xs.toSet
           live.foreach { b =>
             if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
@@ -106,9 +120,10 @@ object DocStreams {
                 else NearDupPair(d.doc_id, b.docId, j))
             }
           }
-          cur = BucketState(BucketDoc(d.doc_id, m, d.xs) :: live,
-            math.max(cur.maxTsMicros, m))
+          live = BucketDoc(d.doc_id, m, d.xs) :: live
+          maxTs = math.max(maxTs, m)
         }
+        cur = BucketState(live, maxTs)
         state.update(cur)
         // Evict the idle bucket once the watermark passes its newest
         // member + ttl (clamped above the current watermark, as in
@@ -143,6 +158,11 @@ object DocStreams {
     * drift. Row-local except the band explode (6 rows per doc). */
   private[graft] def sigBanded(docs: DataFrame): DataFrame =
     docs
+      // Batch d04 drops null-text docs (explode of a null token array
+      // emits no rows); without this filter the row-local fold would
+      // give them simhash 0 — colliding in every (band, 0) bucket and
+      // emitting spurious hamming-0 pairs batch d06 never produces.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("ts"),
         Dedup.simhashOfTokenHashes(
           Dedup.tokenHashesCol(split(trim(col("text")), "\\s+"))).as("simhash"))
@@ -175,10 +195,17 @@ object DocStreams {
         val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
         var cur = state.getOption.getOrElse(SigBucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[HammingPair]
+        // Watermark-based retention + symmetric comparison, exactly as
+        // nearDupPairs (see the rationale there).
+        val wmCut = {
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
+        }
+        var live = cur.docs.filter(b => b.tsMicros >= wmCut)
+        var maxTs = cur.maxTsMicros
         arrived.foreach { d =>
           val m = micros(d.ts)
-          // Same retention/symmetric-comparison split as nearDupPairs.
-          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
           live.foreach { b =>
             if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
               val h = java.lang.Long.bitCount(b.simhash ^ d.simhash)
@@ -188,9 +215,10 @@ object DocStreams {
                 else HammingPair(d.doc_id, b.docId, h))
             }
           }
-          cur = SigBucketState(SigMember(d.doc_id, m, d.simhash) :: live,
-            math.max(cur.maxTsMicros, m))
+          live = SigMember(d.doc_id, m, d.simhash) :: live
+          maxTs = math.max(maxTs, m)
         }
+        cur = SigBucketState(live, maxTs)
         state.update(cur)
         val wm = scala.util.Try(state.getCurrentWatermarkMs())
           .getOrElse(Long.MinValue)
@@ -258,11 +286,18 @@ object DocStreams {
         val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.vec_id))
         var cur = state.getOption.getOrElse(VecBucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[CosPair]
+        // Watermark-based retention + symmetric comparison, exactly as
+        // nearDupPairs (see the rationale there).
+        val wmCut = {
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
+        }
+        var live = cur.docs.filter(b => b.tsMicros >= wmCut)
+        var maxTs = cur.maxTsMicros
         arrived.foreach { d =>
           val m = micros(d.ts)
           val dv = d.v.toArray
-          // Same retention/symmetric-comparison split as nearDupPairs.
-          val live = cur.docs.filter(b => m - b.tsMicros <= ttlUs)
           live.foreach { b =>
             if (b.vecId != d.vec_id && math.abs(m - b.tsMicros) <= ttlUs) {
               val c = cosine(b.v, dv)
@@ -271,9 +306,10 @@ object DocStreams {
                         else CosPair(d.vec_id, b.vecId, c))
             }
           }
-          cur = VecBucketState(VecMember(d.vec_id, m, dv) :: live,
-            math.max(cur.maxTsMicros, m))
+          live = VecMember(d.vec_id, m, dv) :: live
+          maxTs = math.max(maxTs, m)
         }
+        cur = VecBucketState(live, maxTs)
         state.update(cur)
         val wm = scala.util.Try(state.getCurrentWatermarkMs())
           .getOrElse(Long.MinValue)

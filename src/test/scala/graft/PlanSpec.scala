@@ -100,8 +100,9 @@ class PlanSpec extends AnyFunSuite {
       s"s03's full-corpus broadcast is exactly what s05 exists to avoid:\n$p")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
       s"all sides must read the one materialized corpus:\n$p")
-    assert(p.contains("partial_max") || p.contains("partial_"),
-      s"top-1 must partial-aggregate map-side:\n$p")
+    assert(p.contains("partial_max"),
+      s"top-1 must partial-aggregate max(struct) map-side — a window/rank " +
+        s"rewrite would shuffle every scored candidate row:\n$p")
   }
 
   test("d06: hamming pairs are a banded equi-join over materialized signatures") {

@@ -148,6 +148,9 @@ class StreamingSpec extends AnyFunSuite {
     // documents with a synthetic ingestion ts, 1 s apart — all inside
     // the default 24 h ttl, so the bounded filter must find every pair
     // batch d03 finds (identical shingle/minhash/band expressions).
+    assert(Tables(spark, sf, "documents").count() <= 86400L,
+      "ts packs 1 doc/second — a larger fixture would push real pairs past " +
+        "the 24 h ttl and break replay equality by design, not by bug")
     Tables(spark, sf, "documents")
       .select(col("doc_id"),
         timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
@@ -182,6 +185,9 @@ class StreamingSpec extends AnyFunSuite {
     // second (id mod 10^9), so the whole corpus sits inside the 24 h
     // ttl and the bounded filter must find every batch pair.
     val d = Tables(spark, sf, "documents")
+    assert(d.count() <= 86400L,
+      "ts packs 1 doc/second (twins share their original's second) — a larger " +
+        "fixture would push pairs past the 24 h ttl by design, not by bug")
     d.select(col("doc_id"), col("text"))
       .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
         concat(col("text"), lit(" qq")).as("text")))
@@ -219,6 +225,9 @@ class StreamingSpec extends AnyFunSuite {
     // replay.
     val e = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    assert(e.count() <= 86400L,
+      "ts packs 1 vector/second (twins share their original's second) — a " +
+        "larger fixture would push pairs past the 24 h ttl by design, not by bug")
     e.unionAll(e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
