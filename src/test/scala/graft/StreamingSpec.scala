@@ -177,6 +177,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-but-valid arrival still pairs with a member eager eviction would drop") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    // The watermark-retention regression case: doc 1 (t=0) and doc 3
+    // (t=24h+60s) arrive in batch 1 — their gap exceeds the 24 h ttl,
+    // so no pair, but an arrival-relative eviction would also DROP
+    // doc 1 from the bucket. Doc 2 then arrives late (t=23h30m, above
+    // batch 1's ~23h01m watermark): it must still pair with doc 1
+    // (gap 23.5 h ≤ ttl). Identical texts put all three in one bucket.
+    val srcDir = Files.createTempDirectory("graft_late_pair").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t0 = 1700000000L
+    def batch(rows: (Long, Long)*) = rows.toSeq
+      .map { case (id, s) => (id, new java.sql.Timestamp((t0 + s) * 1000L), text) }
+      .toDF("doc_id", "ts", "text")
+    val pairs = DocStreams.nearDupPairs(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir),
+      watermarkDelay = "1 hour")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("late_pair").start()
+    try {
+      batch(1L -> 0L, 3L -> (24L * 3600 + 60)).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      batch(2L -> (23L * 3600 + 1800)).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.table("late_pair").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got.contains((1L, 2L)),
+        s"late doc 2 must still pair with doc 1 (gap 23.5h <= 24h ttl): got $got")
+      assert(got.contains((2L, 3L)), s"docs 2 and 3 are 37.5min apart: got $got")
+      assert(!got.contains((1L, 3L)), "docs 1 and 3 exceed the ttl — no pair")
+    } finally q.stop()
+  }
+
   test("streaming simhash near-pair filter replays to exactly the batch d06 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_simhash_stream").toString
