@@ -250,6 +250,30 @@ object Text {
               (col("df") + lit(1)).cast("double"))).as("tfidf"))
     }),
 
+    // Sequence packing — the step between a clean corpus and a
+    // trainer: documents concatenate in deterministic (source,
+    // doc_id) order and cut into fixed 512-token training sequences,
+    // docs spanning cut points (the standard GPT-style packing). Each
+    // doc's placement is closed-form off ONE windowed running token
+    // sum: global start offset, first and last sequence touched. The
+    // window partitions by source, so packing parallelizes across
+    // sources with no global sort; at 100 TB the partition key is
+    // (source, shard) — same shape, narrower partitions — because a
+    // single running sum per giant source would serialize. Exact
+    // integer arithmetic end to end, so it hash-matches.
+    "t14_sequence_pack" -> ((s, dir) => {
+      val b = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), size(toks).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("cum") - col("n_tok")).as("tok_start"),
+          expr(s"(cum - n_tok) div $b").as("seq_start"),
+          expr(s"(cum - 1) div $b").as("seq_end"))
+    }),
+
     // Benchmark decontamination: the pre-training pass that flags
     // train docs sharing word-8-grams with a held-out eval set. The
     // eval split is a deterministic md5 draw (1/8 of docs — the t08
@@ -432,6 +456,19 @@ object Text {
         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |  tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
         |FROM tf JOIN df USING (term), n""".stripMargin,
+    "t14_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(cum - n_tok AS BIGINT) AS tok_start,
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_start,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS seq_end
+        |FROM c""".stripMargin,
     "t13_decontaminate" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' canary c' || (doc_id % 25)

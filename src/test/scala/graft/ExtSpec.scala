@@ -352,6 +352,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 sequence packing matches a driver-side running-sum recompute") {
+    val rows = SparkEntry.queries("t14_sequence_pack")(spark, sf).collect()
+    val docsArr = Tables(spark, sf, "documents").select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").length))
+    val want = docsArr.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val start = cum; cum += n
+        id -> ((src, n, start, start / 512, (cum - 1) / 512))
+      }
+    }.toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("source"), r.getAs[Int]("n_tok"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("seq_start"),
+        r.getAs[Long]("seq_end")))).toMap
+    assert(got == want)
+    assert(want.values.exists(v => v._5 > v._4),
+      "some doc must span a sequence cut point")
+  }
+
   test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
     val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
