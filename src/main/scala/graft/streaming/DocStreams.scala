@@ -41,7 +41,12 @@ import graft.ext.Dedup
   * (doc_a, doc_b), or the consumer's sink upsert) — batch d03 does the
   * same with its candidate `.distinct()`.
   */
-object DocStreams {
+// Serializable: the stateful-update closures may capture the module
+// (scalac passes it as `$this` when a lambda calls private members
+// like [[wmCutMicros]]); the object is stateless, so shipping it to
+// executors is free — without this the closure cleaner rejects the
+// whole streaming query with NotSerializableException.
+object DocStreams extends Serializable {
 
   /** The documents schema as a streaming source expects it (ingestion
     * ts attached upstream). */
@@ -58,6 +63,20 @@ object DocStreams {
 
   private def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** The watermark retention cut in microseconds: a bucket member is
+    * dead only when ts < watermark − ttl — no admissible future
+    * arrival (ts ≥ watermark) can still sit within ttl of it. ONE
+    * definition for all three pair filters so the cut semantics (ms→µs
+    * conversion, no-watermark sentinel ⇒ keep everything) can't drift.
+    * Evicting relative to the current arrival instead would drop a
+    * member that a late-but-valid doc still needs, losing that pair
+    * where the batch twin emits it (StreamingSpec pins the case).
+    * Takes the raw watermark millis (not the GroupState) so the
+    * stateful-update closures stay free of module references Spark's
+    * closure cleaner can't serialize. */
+  private def wmCutMicros(wmMs: Long, ttlUs: Long): Long =
+    if (wmMs == Long.MinValue) Long.MinValue else wmMs * 1000L - ttlUs
 
   /** (band, sig, doc_id, ts, xs) rows for a (doc_id, ts, text) stream —
     * entirely row-local except the band explode (8 rows per doc). */
@@ -89,22 +108,13 @@ object DocStreams {
         val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
         var cur = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[NearDupPair]
-        // Retention is WATERMARK-based, not arrival-based: a member is
-        // dead only once no admissible future arrival (ts ≥ watermark)
-        // can sit within ttl of it — b.ts < wm − ttl. Evicting relative
-        // to the current arrival instead would drop a member that a
-        // late-but-valid doc (≥ watermark, ≤ ttl away) still needs,
-        // losing that pair where batch d03 emits it. The symmetric abs
-        // comparison below (ADVICE r4) keeps out-of-ttl pairs out, so
-        // keeping members longer can only add recall, never false
-        // positives. No watermark (batch replay) ⇒ keep everything.
-        val wmCut = {
-          val wm = scala.util.Try(state.getCurrentWatermarkMs())
-            .getOrElse(Long.MinValue)
-          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
-        }
-        // One retention pass per trigger: in-batch appends all sit at
-        // or above the watermark, so they can never be below the cut.
+        // Watermark-based retention ([[wmCutMicros]]); the symmetric
+        // abs comparison below (ADVICE r4) keeps out-of-ttl pairs out,
+        // so retaining members longer only adds recall, never false
+        // positives. One retention pass per trigger: in-batch appends
+        // all sit at or above the watermark, never below the cut.
+        val wmCut = wmCutMicros(scala.util.Try(
+          state.getCurrentWatermarkMs()).getOrElse(Long.MinValue), ttlUs)
         var live = cur.docs.filter(b => b.tsMicros >= wmCut)
         var maxTs = cur.maxTsMicros
         arrived.foreach { d =>
@@ -196,12 +206,9 @@ object DocStreams {
         var cur = state.getOption.getOrElse(SigBucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[HammingPair]
         // Watermark-based retention + symmetric comparison, exactly as
-        // nearDupPairs (see the rationale there).
-        val wmCut = {
-          val wm = scala.util.Try(state.getCurrentWatermarkMs())
-            .getOrElse(Long.MinValue)
-          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
-        }
+        // nearDupPairs ([[wmCutMicros]]).
+        val wmCut = wmCutMicros(scala.util.Try(
+          state.getCurrentWatermarkMs()).getOrElse(Long.MinValue), ttlUs)
         var live = cur.docs.filter(b => b.tsMicros >= wmCut)
         var maxTs = cur.maxTsMicros
         arrived.foreach { d =>
@@ -287,12 +294,9 @@ object DocStreams {
         var cur = state.getOption.getOrElse(VecBucketState(Nil, Long.MinValue))
         val out = Seq.newBuilder[CosPair]
         // Watermark-based retention + symmetric comparison, exactly as
-        // nearDupPairs (see the rationale there).
-        val wmCut = {
-          val wm = scala.util.Try(state.getCurrentWatermarkMs())
-            .getOrElse(Long.MinValue)
-          if (wm == Long.MinValue) Long.MinValue else wm * 1000L - ttlUs
-        }
+        // nearDupPairs ([[wmCutMicros]]).
+        val wmCut = wmCutMicros(scala.util.Try(
+          state.getCurrentWatermarkMs()).getOrElse(Long.MinValue), ttlUs)
         var live = cur.docs.filter(b => b.tsMicros >= wmCut)
         var maxTs = cur.maxTsMicros
         arrived.foreach { d =>

@@ -247,10 +247,14 @@ object EventStreams {
     * a counting sink aggregates into the batch operator's
     * (cohort_day, day_offset, n_active) matrix; the once-per-offset
     * guarantee is a per-user seen-offset BITMASK, so re-activity
-    * within a day emits nothing. State per user is two longs; an
-    * event-time timeout retires it once the watermark passes the last
-    * emittable offset (firstDay + maxOffset + 1 days), so state is
-    * O(users active within the retention horizon), never all-time.
+    * within a day emits nothing. State is two longs per user EVER
+    * seen, monotone, never evicted — the funnelStages discipline
+    * (O(users), 16 bytes each), deliberately NOT a timeout: evicting
+    * a user's state once their retention window closes would
+    * RE-COHORT them on their next activity (empty state ⇒ "first day
+    * seen") and emit a phantom offset-0 hit with a wrong cohort_day —
+    * trigger-timing-dependent output the batch matrix never contains.
+    * The exhausted state is the tombstone that prevents exactly that.
     *
     * Cohort is the minimum day seen SO FAR: an event arriving later
     * than the watermark delay after a user's true first day can
@@ -268,33 +272,26 @@ object EventStreams {
 
     def update(userId: Long, batch: Iterator[EventIn],
         state: GroupState[RetentionState]): Iterator[RetentionHit] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
-        val days = batch.map(e => Math.floorDiv(micros(e.ts), dayUs))
-          .toSeq.distinct.sorted
-        var cur = state.getOption.getOrElse(RetentionState(days.head, 0L))
-        val out = Seq.newBuilder[RetentionHit]
-        days.foreach { d =>
-          val off = d - cur.firstDay
-          if (off >= 0 && off <= maxOffset && (cur.seen & (1L << off)) == 0L) {
-            cur = cur.copy(seen = cur.seen | (1L << off))
-            out += RetentionHit(new Timestamp(cur.firstDay * 86400000L),
-              off.toInt, userId)
-          }
+      val days = batch.map(e => Math.floorDiv(micros(e.ts), dayUs))
+        .toSeq.distinct.sorted
+      var cur = state.getOption.getOrElse(RetentionState(days.head, 0L))
+      val out = Seq.newBuilder[RetentionHit]
+      days.foreach { d =>
+        val off = d - cur.firstDay
+        if (off >= 0 && off <= maxOffset && (cur.seen & (1L << off)) == 0L) {
+          cur = cur.copy(seen = cur.seen | (1L << off))
+          out += RetentionHit(new Timestamp(cur.firstDay * 86400000L),
+            off.toInt, userId)
         }
-        state.update(cur)
-        val wm = scala.util.Try(state.getCurrentWatermarkMs())
-          .getOrElse(Long.MinValue)
-        state.setTimeoutTimestamp(math.max(
-          (cur.firstDay + maxOffset + 1) * 86400000L, wm + 1))
-        out.result().iterator
       }
+      state.update(cur)
+      out.result().iterator
     }
 
     events.withWatermark("ts", watermarkDelay)
       .as[EventIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -145,6 +145,17 @@ class PlanSpec extends AnyFunSuite {
       s"exact, band, and verify paths must share the one materialized frontier:\n$p")
   }
 
+  test("t14: packing is one per-source window pass, never a global sort") {
+    val p = plan("t14_sequence_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"a global (range-partitioned) sort would serialize packing across " +
+        s"sources — the window must sort within source partitions only:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"one hash exchange on source feeds the window; anything more is a " +
+        s"regression:\n$p")
+  }
+
   test("e09: retention matrix reads the one materialized (user, day) frontier") {
     val p = plan("e09_cohort_retention")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),

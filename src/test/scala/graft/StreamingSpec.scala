@@ -428,6 +428,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cohort retention never re-cohorts a user after their window closes") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    // Two microbatches a month apart: the day-30 activity is past the
+    // user's offset-0..7 window, so it must emit NOTHING — never a
+    // phantom offset-0 hit re-cohorted at day 30 (the failure mode of
+    // evicting exhausted user state).
+    val schema = org.apache.spark.sql.types.StructType(
+      EventStreams.eventSchema.filterNot(_.name == "props"))
+    val srcDir = Files.createTempDirectory("graft_recohort").toString
+    def batch(secs: Long*) = secs.toSeq.zipWithIndex
+      .map { case (s, i) => (i.toLong, new java.sql.Timestamp(s * 1000L),
+        7L, "click", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hits = EventStreams.cohortRetention(
+      spark.readStream.schema(schema).parquet(srcDir)
+        .as[EventStreams.EventIn])
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("recohort").start()
+    try {
+      val day = 86400L
+      batch(0L, 1L * day + 60).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      batch(30L * day).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.table("recohort").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("cohort_day").getTime / 1000L / day,
+          r.getAs[Int]("day_offset"))).toSet
+      assert(got == Set((0L, 0), (0L, 1)),
+        s"expected only the day-0 cohort's offsets 0 and 1, got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions on timeout") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
