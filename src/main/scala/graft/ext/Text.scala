@@ -253,26 +253,12 @@ object Text {
     // Sequence packing — the step between a clean corpus and a
     // trainer: documents concatenate in deterministic (source,
     // doc_id) order and cut into fixed 512-token training sequences,
-    // docs spanning cut points (the standard GPT-style packing). Each
-    // doc's placement is closed-form off ONE windowed running token
-    // sum: global start offset, first and last sequence touched. The
-    // window partitions by source, so packing parallelizes across
-    // sources with no global sort; at 100 TB the partition key is
-    // (source, shard) — same shape, narrower partitions — because a
-    // single running sum per giant source would serialize. Exact
-    // integer arithmetic end to end, so it hash-matches.
-    "t14_sequence_pack" -> ((s, dir) => {
-      val b = 512
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), col("source"), size(toks).as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          (col("cum") - col("n_tok")).as("tok_start"),
-          expr(s"(cum - n_tok) div $b").as("seq_start"),
-          expr(s"(cum - 1) div $b").as("seq_end"))
-    }),
+    // docs spanning cut points (the standard GPT-style packing).
+    // Implemented as [[sequencePack]]'s two-level (source, shard)
+    // prefix sum so one giant source can never serialize into a
+    // single window task; the output is shard-width-independent and
+    // hash-matches the one-window oracle exactly.
+    "t14_sequence_pack" -> ((s, dir) => sequencePack(s, dir)),
 
     // Benchmark decontamination: the pre-training pass that flags
     // train docs sharing word-8-grams with a held-out eval set. The
@@ -308,6 +294,54 @@ object Text {
             .as("contam_ratio"))
     })
   )
+
+  /** GPT-style sequence packing via a two-level (source, shard)
+    * prefix sum. Docs concatenate in (source, doc_id) order and cut
+    * into fixed `block`-token training sequences; each doc's placement
+    * (global token offset, first/last sequence touched) is closed-form
+    * off its running token sum.
+    *
+    * A single running sum per source serializes: one window task per
+    * source, however big the source. Here the sum is decomposed
+    * exactly — shard = doc_id div `shardWidth` splits each source into
+    * contiguous doc_id ranges, a per-(source, shard) window computes
+    * local running sums in parallel, and a second, shard-count-sized
+    * prefix sum over the per-shard totals supplies each shard's
+    * starting offset, broadcast back onto the local sums. cum =
+    * shard_offset + local_cum is the identical integer, so the result
+    * is independent of `shardWidth` (ExtSpec pins this) and
+    * hash-matches DuckDB's one-window formulation.
+    *
+    * Scale: the narrow (doc_id, source, n_tok) frontier is tokenized
+    * once (Subplan.once — ~20 bytes/doc, not the text) and feeds both
+    * levels; the big side sees ONE hash exchange on (source, shard)
+    * and per-shard window sorts bounded by `shardWidth` docs. The
+    * offsets side is rows/shardWidth — at 100 TB pick shardWidth
+    * ~2^20 so a 10^11-doc corpus yields ~10^5 offset rows (an easy
+    * broadcast) and ~10^6-doc window partitions. The test default 128
+    * keeps every fixture tier genuinely multi-shard. */
+  def sequencePack(s: SparkSession, dir: String, block: Int = 512,
+      shardWidth: Long = 128L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val frontier = graft.ops.Subplan.once(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        size(toks).as("n_tok"), expr(s"doc_id div $shardWidth").as("shard")))
+    val offsets = frontier
+      .groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .select(col("source"), col("shard"),
+        (sum(col("shard_tok")).over(
+          w.partitionBy(col("source")).orderBy(col("shard")))
+          - col("shard_tok")).as("shard_off"))
+    frontier
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("shard_off") + sum(col("n_tok")).over(
+        w.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        expr(s"(cum - n_tok) div $block").as("seq_start"),
+        expr(s"(cum - 1) div $block").as("seq_end"))
+  }
 
   /** TF-IDF document vectors via the spark.ml path SURVEY.md §2.8b
     * names (Tokenizer → HashingTF → IDF). Float idf weights are

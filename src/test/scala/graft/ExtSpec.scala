@@ -374,6 +374,18 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("t14 packing is shard-width independent (two-level sum is exact)") {
+    val defaultRun = SparkEntry.queries("t14_sequence_pack")(spark, sf)
+    // default width 128 must genuinely exercise the two-level path
+    assert(defaultRun.select(expr("doc_id div 128")).distinct().count() > 1,
+      "fixture must span multiple shards at the registered width")
+    def rows(w: Long) = ext.Text.sequencePack(spark, sf, shardWidth = w)
+      .collect().map(_.toSeq).toSet
+    // width 7: many tiny shards; width 1e9: degenerate single shard
+    // (the old one-window-per-source plan). Identical integers.
+    assert(rows(7L) == rows(1000000000L))
+  }
+
   test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
     val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)

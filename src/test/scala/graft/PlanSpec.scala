@@ -145,15 +145,29 @@ class PlanSpec extends AnyFunSuite {
       s"exact, band, and verify paths must share the one materialized frontier:\n$p")
   }
 
-  test("t14: packing is one per-source window pass, never a global sort") {
+  test("t14: packing is a two-level shard prefix sum, never a global sort") {
     val p = plan("t14_sequence_pack")
-    assert(p.contains("Window"), p)
     assert(!p.contains("rangepartitioning"),
       s"a global (range-partitioned) sort would serialize packing across " +
-        s"sources — the window must sort within source partitions only:\n$p")
-    assert("Exchange".r.findAllIn(p).size == 1,
-      s"one hash exchange on source feeds the window; anything more is a " +
-        s"regression:\n$p")
+        s"sources — windows must sort within their hash partitions only:\n$p")
+    assert("windowspecdefinition".r.findAllIn(p).size == 2,
+      s"two prefix sums: per-(source, shard) local + per-source shard " +
+        s"offsets:\n$p")
+    assert("""\], \[source#\d+, shard#\d+L\], \[doc_id#\d+L ASC""".r
+      .findAllIn(p).nonEmpty,
+      s"the big window must partition by (source, shard) — partitioning by " +
+        s"source alone serializes a giant source into one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets are rows/shardWidth — they broadcast back onto the " +
+        s"local sums:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      s"one big exchange on (source, shard) + two shard-count-sized ones " +
+        s"on the offsets branch; anything more is a regression:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"both levels must read the one tokenized frontier:\n$p")
+    assert(p.contains("partial_sum"),
+      s"shard totals must combine map-side:\n$p")
   }
 
   test("e09: retention matrix reads the one materialized (user, day) frontier") {
