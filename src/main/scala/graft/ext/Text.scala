@@ -260,6 +260,85 @@ object Text {
     // hash-matches the one-window oracle exactly.
     "t14_sequence_pack" -> ((s, dir) => sequencePack(s, dir)),
 
+    // Packing diagnostics — the sanity report a trainer reads before
+    // consuming packed sequences: per 512-token sequence, how many
+    // docs it draws from, how many docs BEGIN in it, and its filled
+    // token count (== 512 everywhere but each source's final partial
+    // sequence; ExtSpec pins that invariant). Explode factor is
+    // tokens/512 rows — linear in corpus; the groupBy is partial-agg.
+    "t15_pack_stats" -> ((s, dir) => {
+      val b = 512
+      sequencePack(s, dir)
+        .select(col("source"), col("tok_start"), col("seq_start"),
+          (col("tok_start") + col("n_tok")).as("tok_end"),
+          explode(sequence(col("seq_start"), col("seq_end"))).as("seq"))
+        .groupBy(col("source"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("seq_start") === col("seq"), 1)).as("n_starts"),
+          sum(least(col("tok_end"), (col("seq") + 1) * b) -
+            greatest(col("tok_start"), col("seq") * b)).as("tok_filled"))
+    }),
+
+    // Vocabulary coverage: the top-K corpus vocabulary (global token
+    // frequency, ties broken by token — a total order, so the cut is
+    // deterministic) broadcast back over the per-source token counts;
+    // per source, the fraction of running tokens the vocab covers —
+    // the coverage curve a tokenizer-budget decision reads. The
+    // (source, token, count) frontier aggregates ONCE (Subplan.once)
+    // and feeds both the vocab top-k and the coverage roll-up; its
+    // size is distinct (source, token) pairs, not corpus tokens. The
+    // top-k is TakeOrdered (every task keeps K rows, no global sort)
+    // and K rows broadcast — at 100 TB the corpus shuffles once into
+    // the count frontier and never again.
+    "t16_vocab_coverage" -> ((s, dir) => {
+      val k = 16
+      val counts = graft.ops.Subplan.once(
+        docs(s, dir).select(col("source"), explode(toks).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt")))
+      val vocab = counts.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(k)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      val covered = sum(when(col("in_vocab").isNotNull, col("cnt"))
+        .otherwise(lit(0L)))
+      counts.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tok"), covered.as("n_covered"),
+          (covered.cast("double") / sum(col("cnt"))).as("coverage"))
+    }),
+
+    // Token-budget source mixing — the data-mixing step that rescales
+    // each source to a target token budget: per-source budgets are a
+    // deterministic md5 weight (the t08 discipline), and each doc
+    // survives an EXACT integer draw u32 · tokens_src < budget · 2³²
+    // (acceptance probability = budget/tokens with zero float drift,
+    // so the kept set is identical on every engine and cluster size).
+    // The (doc, source, n_tok) frontier tokenizes once; per-source
+    // totals are one tiny broadcast row per source; the corpus itself
+    // streams map-only into the verdict + partial-agg roll-up. At
+    // deploy scale the u32·tokens product wants 128-bit math once a
+    // single source exceeds 2³¹ tokens — DECIMAL(38,0) drop-in.
+    "t17_budget_mix" -> ((s, dir) => {
+      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
+        .cast("long")
+      val fr = graft.ops.Subplan.once(docs(s, dir)
+        .select(col("doc_id"), col("source"), size(toks).as("n_tok")))
+      val tot = fr.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tok_total"))
+        .withColumn("budget", (srcHash % 2 + 1) * lit(1500L))
+      val u32 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":mix"))), 1, 8), 16, 10).cast("long")
+      fr.join(broadcast(tot), "source")
+        .withColumn("keep",
+          u32 * col("tok_total") < col("budget") * lit(4294967296L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          max(col("tok_total")).as("tok_total"),
+          max(col("budget")).as("budget"),
+          sum(when(col("keep"), col("n_tok")).otherwise(lit(0)))
+            .as("tok_kept"))
+    }),
+
     // Benchmark decontamination: the pre-training pass that flags
     // train docs sharing word-8-grams with a held-out eval set. The
     // eval split is a deterministic md5 draw (1/8 of docs — the t08
@@ -503,6 +582,64 @@ object Text {
         |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_start,
         |  CAST((cum - 1) // 512 AS BIGINT) AS seq_end
         |FROM c""".stripMargin,
+    "t15_pack_stats" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |p AS (SELECT source,
+        |    CAST(cum - n_tok AS BIGINT) AS tok_start,
+        |    CAST(cum AS BIGINT) AS tok_end,
+        |    CAST((cum - n_tok) // 512 AS BIGINT) AS seq_start,
+        |    CAST((cum - 1) // 512 AS BIGINT) AS seq_end
+        |  FROM c),
+        |ex AS (SELECT source, tok_start, tok_end, seq_start,
+        |    unnest(range(seq_start, seq_end + 1)) AS seq FROM p)
+        |SELECT source, CAST(seq AS BIGINT) AS seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN seq_start = seq THEN 1 END) AS BIGINT)
+        |    AS n_starts,
+        |  CAST(SUM(LEAST(tok_end, (seq + 1) * 512)
+        |    - GREATEST(tok_start, seq * 512)) AS BIGINT) AS tok_filled
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+    "t16_vocab_coverage" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT source, tok, COUNT(*) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT tok FROM (
+        |    SELECT tok, SUM(cnt) AS tf FROM counts GROUP BY 1)
+        |  ORDER BY tf DESC, tok LIMIT 16)
+        |SELECT c.source, CAST(SUM(c.cnt) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.cnt ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  SUM(CASE WHEN v.tok IS NOT NULL THEN c.cnt ELSE 0 END)::DOUBLE
+        |    / SUM(c.cnt) AS coverage
+        |FROM counts c LEFT JOIN vocab v ON c.tok = v.tok
+        |GROUP BY c.source""".stripMargin,
+    "t17_budget_mix" ->
+      """WITH fr AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tok)::BIGINT AS tok_total,
+        |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 2 + 1) * 1500
+        |      AS budget
+        |  FROM fr GROUP BY source),
+        |k AS (SELECT f.source, f.n_tok, t.tok_total, t.budget,
+        |    ('0x' || substr(md5(f.doc_id || ':mix'), 1, 8))::BIGINT
+        |      * t.tok_total < t.budget * 4294967296 AS keep
+        |  FROM fr f JOIN tot t USING (source))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(MAX(tok_total) AS BIGINT) AS tok_total,
+        |  CAST(MAX(budget) AS BIGINT) AS budget,
+        |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tok_kept
+        |FROM k GROUP BY source""".stripMargin,
     "t13_decontaminate" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' canary c' || (doc_id % 25)

@@ -374,6 +374,62 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("t15 pack stats: every non-final sequence is exactly 512 tokens full") {
+    val rows = SparkEntry.queries("t15_pack_stats")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_starts"),
+        r.getAs[Long]("tok_filled")))
+    val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    rows.foreach { case (src, seq, nDocs, nStarts, filled) =>
+      assert(nDocs >= 1 && nStarts <= nDocs)
+      if (seq < lastSeq(src))
+        assert(filled == 512L, s"$src seq $seq filled $filled != 512")
+      else assert(filled >= 1L && filled <= 512L)
+    }
+    // per-source filled tokens reconcile with the corpus token count
+    val wantTok = Tables(spark, sf, "documents")
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    val gotTok = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(gotTok == wantTok)
+  }
+
+  test("t16 vocab coverage: the 16-token cut leaves real uncovered mass") {
+    val rows = SparkEntry.queries("t16_vocab_coverage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov <= 1.0)
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_tok"))
+    }
+    assert(rows.exists(_.getAs[Double]("coverage") < 1.0),
+      "vocab cut must genuinely exclude tokens at this fixture's 31-word " +
+        "vocabulary — a trivial 1.0 everywhere means the top-k is not cutting")
+  }
+
+  test("t17 budget mix: unclipped sources keep everything, clipped ones don't") {
+    val rows = SparkEntry.queries("t17_budget_mix")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tok_total"),
+        r.getAs[Long]("budget"), r.getAs[Long]("tok_kept")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nKept, tokTotal, budget, tokKept) =>
+      assert(nKept <= nDocs && tokKept <= tokTotal)
+      if (budget >= tokTotal)
+        assert(nKept == nDocs, s"$src under budget must keep all docs")
+    }
+    val clipped = rows.filter { case (_, _, _, tt, b, _) => b < tt }
+    assert(clipped.nonEmpty, "fixture must exercise a clipped source")
+    assert(clipped.exists { case (_, nDocs, nKept, _, _, _) => nKept < nDocs },
+      "a clipped source must actually drop docs")
+    // the exact-integer draw targets budget/tok_total acceptance: kept
+    // tokens land within ±50% of budget (Bernoulli noise at 25 docs)
+    clipped.foreach { case (src, _, _, _, b, tk) =>
+      assert(tk > b / 2 && tk < b * 3 / 2, s"$src kept $tk vs budget $b")
+    }
+  }
+
   test("t14 packing is shard-width independent (two-level sum is exact)") {
     val defaultRun = SparkEntry.queries("t14_sequence_pack")(spark, sf)
     // default width 128 must genuinely exercise the two-level path

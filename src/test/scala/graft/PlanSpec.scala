@@ -170,6 +170,30 @@ class PlanSpec extends AnyFunSuite {
       s"shard totals must combine map-side:\n$p")
   }
 
+  test("t16: vocab broadcasts back over the one materialized count frontier") {
+    val p = plan("t16_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k vocab cut must keep k rows per task, not sort globally:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"k vocab rows are tiny — they broadcast onto the counts:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"vocab top-k and coverage roll-up must share the one (source, token, " +
+        s"count) frontier:\n$p")
+    assert(p.contains("partial_"), s"coverage sums must combine map-side:\n$p")
+  }
+
+  test("t17: per-source totals broadcast; the corpus streams map-only") {
+    val p = plan("t17_budget_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"one row per source — the totals side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"totals and verdicts must share the one tokenized frontier:\n$p")
+    assert(p.contains("partial_"), s"mix roll-up must combine map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("e09: retention matrix reads the one materialized (user, day) frontier") {
     val p = plan("e09_cohort_retention")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
