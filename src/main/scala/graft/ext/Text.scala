@@ -339,6 +339,25 @@ object Text {
             .as("tok_kept"))
     }),
 
+    // Greedy budget prefix — the deterministic sibling of t17's
+    // probabilistic mixing: each source contributes its FIRST docs in
+    // (source, doc_id) order until its token budget is crossed; every
+    // doc from the crossing on is dropped (the running sum only
+    // grows, so the kept set is a true prefix). Rides t14's two-level
+    // exact running sum — the verdict is closed-form off tok_start,
+    // no new shuffle beyond the packing itself. The streaming twin
+    // (DocStreams.budgetPrefix) is the ingest admission gate: same
+    // verdicts in arrival order with ONE long of state per source.
+    "t18_budget_prefix" -> ((s, dir) => {
+      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
+        .cast("long")
+      sequencePack(s, dir)
+        .withColumn("budget", (srcHash % 2 + 1) * lit(1500L))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("tok_start"), col("budget"),
+          (col("tok_start") + col("n_tok") <= col("budget")).as("kept"))
+    }),
+
     // Benchmark decontamination: the pre-training pass that flags
     // train docs sharing word-8-grams with a held-out eval set. The
     // eval split is a deterministic md5 draw (1/8 of docs — the t08
@@ -621,6 +640,21 @@ object Text {
         |    / SUM(c.cnt) AS coverage
         |FROM counts c LEFT JOIN vocab v ON c.tok = v.tok
         |GROUP BY c.source""".stripMargin,
+    "t18_budget_prefix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 2 + 1) * 1500
+        |      AS budget
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(cum - n_tok AS BIGINT) AS tok_start,
+        |  CAST(budget AS BIGINT) AS budget,
+        |  cum <= budget AS kept
+        |FROM c""".stripMargin,
     "t17_budget_mix" ->
       """WITH fr AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok

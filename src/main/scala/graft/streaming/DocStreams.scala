@@ -372,6 +372,71 @@ object DocStreams extends Serializable {
           .as("contam_ratio"))
   }
 
+  /** The documents schema with a source column, as the budget gate
+    * expects it (ingestion ts attached upstream). */
+  val srcDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Per-source md5 token-budget weight — the exact batch t17/t18
+    * formula ((first-8-hex-digits of md5(source)) % 2 + 1) · unit in
+    * JVM arithmetic, so stream and batch budgets can never drift. */
+  def budgetOf(source: String, unit: Long = 1500L): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(source.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) % 2 + 1) * unit
+  }
+
+  case class SrcDoc(source: String, doc_id: Long, ts: Timestamp,
+      n_tok: Int)
+  case class BudgetUsed(used: Long)
+  case class Admission(source: String, doc_id: Long, n_tok: Int,
+      tok_start: Long, budget: Long, kept: Boolean)
+
+  /** Streaming twin of batch t18: the ingest-time token-budget
+    * admission gate. Docs are admitted in event-time arrival order
+    * per source until the source's budget is crossed; from the
+    * crossing on everything is dropped — the running count includes
+    * dropped docs' tokens (exactly batch t18's semantics, where the
+    * prefix sum runs over ALL docs). When arrival order matches the
+    * batch (source, doc_id) order, the verdicts replay bit-for-bit
+    * (StreamingSpec pins a two-microbatch split); under reordering
+    * the gate is still exact for whatever order the stream delivered
+    * — an admission can't be revoked, so arrival order IS the
+    * semantics of an ingest gate.
+    *
+    * State is ONE long per source (tokens seen), deliberately never
+    * timed out: a corpus-build budget lives as long as the build, and
+    * O(#sources) longs is bounded by construction — the one stateful
+    * operator here whose state does not need watermark eviction. */
+  def budgetPrefix(docs: DataFrame, budgetUnit: Long = 1500L,
+      watermarkDelay: String = "1 hour"): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    def update(src: String, batch: Iterator[SrcDoc],
+        state: GroupState[BudgetUsed]): Iterator[Admission] = {
+      val budget = budgetOf(src, budgetUnit)
+      var used = state.getOption.map(_.used).getOrElse(0L)
+      val out = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id)).map { d =>
+        val adm = Admission(src, d.doc_id, d.n_tok, used, budget,
+          used + d.n_tok <= budget)
+        used += d.n_tok
+        adm
+      }
+      state.update(BudgetUsed(used))
+      out.iterator
+    }
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("source"), col("doc_id"), col("ts"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .as[SrcDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
     * TOKEN estimates over the document stream, via the deduplicating
     * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot

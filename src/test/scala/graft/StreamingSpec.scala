@@ -326,6 +326,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming budget gate replays to exactly the batch t18 prefix") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_budget_stream").toString
+    // ts ascending in doc_id, so per-source arrival order matches the
+    // batch (source, doc_id) prefix order; split into two microbatches
+    // so the budget state must carry across triggers.
+    val staged = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    val stream = DocStreams.budgetPrefix(
+      spark.readStream.schema(DocStreams.srcDocSchema).parquet(srcDir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("budget_stream").start()
+    try {
+      staged.filter(col("doc_id") < 250).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      staged.filter(col("doc_id") >= 250).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Int]("n_tok"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("budget"), r.getAs[Boolean]("kept"))
+      val got = spark.table("budget_stream").collect().map(key).toSet
+      val want = SparkEntry.queries("t18_budget_prefix")(spark, sf).collect()
+        .map(key).toSet
+      assert(want.exists(!_._6), "fixture must contain dropped docs")
+      assert(want.exists(_._6), "fixture must contain admitted docs")
+      assert(got == want,
+        s"streamed admissions diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV distinct estimates replay to the batch sketch") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_kmv_stream").toString
