@@ -63,6 +63,31 @@ object Multimodal {
       }
     }
 
+    /** "Perceptual hash" = the aHash construction over the payload:
+      * 60 equal byte ranges (cell i covers [⌊i·n/60⌋, ⌊(i+1)·n/60⌋)),
+      * truncating-mean each cell, bit i set iff cell_i·60 > Σcells —
+      * the exact-integer restatement of "cell above average". 60 bits
+      * (not 64) so the hash obeys the house signed-64 XOR/bit_count
+      * rule and rides d06's banded hamming machinery unchanged. */
+    def ahash60(rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
+      rows.map { r =>
+        val n = r.payload.length
+        val cells = new Array[Long](60)
+        var i = 0
+        while (i < 60) {
+          val lo = (i.toLong * n / 60).toInt
+          val hi = ((i + 1).toLong * n / 60).toInt
+          var s = 0L; var j = lo
+          while (j < hi) { s += r.payload(j) & 0xff; j += 1 }
+          cells(i) = if (hi > lo) s / (hi - lo) else 0L
+          i += 1
+        }
+        val tot = cells.sum
+        var h = 0L; i = 0
+        while (i < 60) { if (cells(i) * 60 > tot) h |= 1L << i; i += 1 }
+        (r.media_id, h)
+      }
+
     /** "Resize" = interpret the payload as a row-major width×H byte
       * raster (deterministic fake geometry: fixed width, H = ⌈n/W⌉,
       * short last row) and 2×2 average-pool it — the image-resize
@@ -207,6 +232,36 @@ object Multimodal {
       import s.implicits._
       mediaTable(s, dir).mapPartitions(StubDecoders.frameEnergy(64))
         .toDF("media_id", "frame", "n_samples", "energy")
+    }),
+
+    // Media near-dup — perceptual-hash dedup, the image-pipeline
+    // sibling of d06: the aHash kernel (mapPartitions, the decode
+    // shape) signs every payload, then the EXACT d06 banded-hamming
+    // machinery pairs signatures (6 × 10-bit band equi-joins, exact
+    // bit_count on collisions only — provably lossless ≤ hamming 5).
+    // Planted twins are an in-place single-byte edit (media_id + 10⁹;
+    // same length, so cell boundaries don't shift and the twin lands
+    // within a few bits — the d06 planting pattern adapted to a
+    // position-sensitive hash). The oracle recomputes the hash and
+    // pairs exhaustively, so banding must lose nothing.
+    "m06_ahash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val twin = concat(lit("q"), expr("substr(text, 2)"))
+      val base = d
+        .select(col("doc_id").as("media_id"), col("source").as("kind"),
+          col("text"))
+        .unionAll(d.select(
+          (col("doc_id") + lit(1000000000L)).as("media_id"),
+          col("source").as("kind"), twin.as("text")))
+        .select(col("media_id"), col("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRow]
+      val sig = graft.ops.Subplan.once(
+        base.mapPartitions(StubDecoders.ahash60).toDF("doc_id", "simhash"))
+      Dedup.simhashPairs(sig, 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
     })
   )
 
@@ -280,6 +335,39 @@ object Multimodal {
         |      * ascii(substring(text, (frame * 64 + i)::INT, 1))
         |    for i in generate_series(1, LEAST(64, n - frame * 64)::INT)])
         |    AS BIGINT) AS energy
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // States StubDecoders.ahash60 exactly: 60 byte-range cells,
+    // truncating means, bit i iff cell_i*60 > sum(cells); pairs are
+    // the exhaustive all-pairs bit_count filter (banding must lose
+    // nothing at hamming <= 3).
+    "m06_ahash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |    WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS media_id,
+        |    'q' || substring(text, 2) AS text FROM documents
+        |    WHERE text IS NOT NULL),
+        |d AS (SELECT media_id, text,
+        |    octet_length(encode(text))::BIGINT AS n FROM base),
+        |cells AS (SELECT media_id,
+        |  [CASE WHEN (i + 1) * n // 60 > i * n // 60
+        |     THEN list_sum([ascii(substring(text, j, 1))
+        |            for j in generate_series((i * n // 60)::INT + 1,
+        |                                     ((i + 1) * n // 60)::INT)])
+        |          // ((i + 1) * n // 60 - i * n // 60)
+        |     ELSE 0 END
+        |   for i in generate_series(0, 59)] AS cl
+        |  FROM d),
+        |sig AS (SELECT media_id,
+        |    CAST(list_sum([CASE WHEN cl[i + 1] * 60 > list_sum(cl)
+        |                   THEN (1::BIGINT << i) ELSE 0 END
+        |                   for i in generate_series(0, 59)]) AS BIGINT)
+        |      AS simhash
+        |  FROM cells)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   )
 }

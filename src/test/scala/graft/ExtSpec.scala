@@ -374,6 +374,36 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("m06 ahash twins land near their originals; banding loses nothing") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("m06_ahash_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Int]("hamming")))
+    assert(rows.nonEmpty && rows.forall(_._3 <= 3))
+    assert(rows.exists(_._3 == 0), "some in-place edit must not move the hash")
+    assert(rows.exists(_._3 > 0), "some in-place edit must flip bits")
+    // recall vs the exhaustive filter: recompute signatures through the
+    // same kernel and brute-force all pairs at <= 3
+    val d = Tables(spark, sf, "documents").filter(col("text").isNotNull)
+    val base = d.select(col("doc_id").as("media_id"),
+        col("source").as("kind"), col("text"))
+      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("media_id"),
+        col("source").as("kind"),
+        concat(lit("q"), expr("substr(text, 2)")).as("text")))
+      .select(col("media_id"), col("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[ext.Multimodal.MediaRow]
+    val sigs = base.mapPartitions(ext.Multimodal.StubDecoders.ahash60)
+      .collect()
+    val want = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(rows.toSet == want,
+      s"banding diverged from exhaustive: missing=${(want -- rows).take(3)} " +
+        s"extra=${(rows.toSet -- want).take(3)}")
+  }
+
   test("t15 pack stats: every non-final sequence is exactly 512 tokens full") {
     val rows = SparkEntry.queries("t15_pack_stats")(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq"),

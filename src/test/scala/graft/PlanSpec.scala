@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite {
       s"both join sides must read the one materialized signature set:\n$p")
   }
 
+  test("m06: ahash pairing is d06's banded topology over the kernel output") {
+    val p = plan("m06_ahash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"perceptual-hash pairing must band-bucket, never compare all pairs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"both join sides must read the one materialized signature set:\n$p")
+    assert(p.contains("bit_count"),
+      s"the exact hamming check runs on band collisions only:\n$p")
+  }
+
   test("d09: span dedup is partial-agg over the one materialized gram frontier") {
     val p = plan("d09_repeated_spans")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
