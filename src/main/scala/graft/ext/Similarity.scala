@@ -249,6 +249,45 @@ object Similarity {
           col("col").as("q8"), col("offset"), col("scale"))
     }),
 
+    // Quantized ANN rerank — top-k over the s06 int8 codes: the
+    // memory-bound ANN path at 100 TB (4× smaller resident corpus,
+    // SIMD-able integer inner loops). The dot product is RECONSTRUCTED
+    // from the affine codes — x = lo + sc·q, so dot(a, c) = (sc·qsc)·Σqaqc
+    // + (qlo·sc)·Σqc + (lo·qsc)·Σqa + d·(lo·qlo) — where the three code
+    // sums are exact int64 (the heavy, per-pair work) and the float
+    // combination is four correctly-rounded terms in a parenthesization
+    // stated identically in DuckDB, so scores hash-match. Topology =
+    // s01 (broadcast query side, bounded-heap top-k partial agg);
+    // codes computed once (Subplan.once) feed corpus and query sides.
+    "s07_quantized_topk" -> ((s, dir) => {
+      val codes = graft.ops.Subplan.once(
+        quantize(emb(s, dir).select(col("vec_id"), col("v")), "v")
+          .select(col("vec_id"), col("v_q8").cast("array<long>").as("q"),
+            col("v_offset").as("lo"), col("v_scale").as("sc"))
+          .withColumn("qsum",
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x)))
+      val q = codes.select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("lo").as("qlo"), col("sc").as("qsc"), col("qsum").as("qqsum"))
+        .filter(col("qid") < 10)
+      val scored = codes.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .withColumn("idot",
+          aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          ((col("sc") * col("qsc")) * col("idot") +
+            (col("qlo") * col("sc")) * col("qsum") +
+            (col("lo") * col("qsc")) * col("qqsum") +
+            size(col("q")).cast("double") * (col("lo") * col("qlo")))
+            .as("qdot"))
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topK(
+          struct(col("qdot"), (-col("nn_id")).as("neg_id"), col("nn_id")), 5)
+          .as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.nn_id").as("nn_id"),
+          col("col.qdot").as("qdot"), (col("pos") + 1).cast("int").as("rk"))
+    }),
+
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
       val b = e.select(col("vec_id").as("nn_id"), col("v").as("bv"))
@@ -501,6 +540,30 @@ object Similarity {
         |       ELSE floor((v[i] - lo) / scale + 0.5) END AS INTEGER) AS q8,
         |  lo AS offset, scale
         |FROM rng, unnest(generate_series(1, len(v))) u(i)""".stripMargin,
+    "s07_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |rng AS (SELECT vec_id, v, list_min(v) AS lo,
+        |    (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM e),
+        |q8 AS (SELECT vec_id, lo, scale,
+        |    [CASE WHEN scale = 0 THEN 0
+        |          ELSE CAST(floor((x - lo) / scale + 0.5) AS BIGINT) END
+        |     for x in v] AS q
+        |  FROM rng),
+        |cs AS (SELECT vec_id, lo, scale, q,
+        |    CAST(list_sum(q) AS BIGINT) AS qsum FROM q8),
+        |scored AS (SELECT qv.vec_id AS qid, c.vec_id AS nn_id,
+        |    (c.scale * qv.scale) * CAST(list_sum([c.q[i] * qv.q[i]
+        |        for i in generate_series(1, len(c.q))]) AS BIGINT)
+        |      + (qv.lo * c.scale) * c.qsum
+        |      + (c.lo * qv.scale) * qv.qsum
+        |      + CAST(len(c.q) AS DOUBLE) * (c.lo * qv.lo) AS qdot
+        |  FROM cs c JOIN cs qv ON qv.vec_id < 10 AND qv.vec_id <> c.vec_id),
+        |rk AS (SELECT qid, nn_id, qdot, ROW_NUMBER() OVER
+        |    (PARTITION BY qid ORDER BY qdot DESC, nn_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, nn_id, qdot, CAST(rk AS INTEGER) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -374,6 +374,27 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
+    val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("qdot"), r.getAs[Int]("rk")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1, 2, 3, 4, 5))
+      // descending reconstructed dot with id tie-break
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+    }
+    // the int8 rerank should mostly agree with the float-cosine top-5
+    // on a unit-norm corpus (quantization error ≤ scale/2 per element)
+    val cos = SparkEntry.queries("s01_ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"))).toSet
+    val overlap = rows.count(r => cos.contains((r._1, r._2)))
+    assert(overlap >= 35, s"only $overlap/50 quantized picks in the exact top-5")
+  }
+
   test("m06 ahash twins land near their originals; banding loses nothing") {
     import spark.implicits._
     val rows = SparkEntry.queries("m06_ahash_pairs")(spark, sf).collect()

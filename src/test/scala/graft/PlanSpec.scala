@@ -123,6 +123,17 @@ class PlanSpec extends AnyFunSuite {
       s"the exact hamming check runs on band collisions only:\n$p")
   }
 
+  test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
+    val p = plan("s07_quantized_topk")
+    assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
+    assert(p.contains("partial_top_k"),
+      s"heaps must merge map-side — the shuffle carries k rows per task, " +
+        s"not every scored pair:\n$p")
+    assert(!p.contains("Window"), s"window would shuffle+sort all scores:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"corpus and query sides must share the one quantized-code set:\n$p")
+  }
+
   test("d09: span dedup is partial-agg over the one materialized gram frontier") {
     val p = plan("d09_repeated_spans")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
