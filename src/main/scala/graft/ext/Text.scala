@@ -339,6 +339,30 @@ object Text {
             .as("tok_kept"))
     }),
 
+    // Inverted-index build — the retrieval side of a training-data
+    // pipeline (dedup provenance lookups, contamination tracing,
+    // search-over-corpus). Emits BLOCKED postings: one row per (term,
+    // doc_id-block of 128), postings = "doc:tf" entries sorted by
+    // doc_id — the sharded physical layout an index at 100 TB needs
+    // anyway (a hot term's postings can exceed any single row/task;
+    // blocking bounds row size by construction and makes the gather
+    // partial-agg-friendly). Exactly two shuffles: (term, doc) tf
+    // counts, then (term, block) gathers; both content-keyed.
+    "t19_inverted_index" -> ((s, dir) => {
+      val b = 128
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.withColumn("block", expr(s"doc_id div $b"))
+        .groupBy(col("term"), col("block"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tf")).cast("long").as("n_occ"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+              e.getField("tf").cast("string"))), ",").as("postings"))
+    }),
+
     // Greedy budget prefix — the deterministic sibling of t17's
     // probabilistic mixing: each source contributes its FIRST docs in
     // (source, doc_id) order until its token budget is crossed; every
@@ -640,6 +664,16 @@ object Text {
         |    / SUM(c.cnt) AS coverage
         |FROM counts c LEFT JOIN vocab v ON c.tok = v.tok
         |GROUP BY c.source""".stripMargin,
+    "t19_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(doc_id // 128 AS BIGINT) AS block,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tf) AS BIGINT) AS n_occ,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term, doc_id // 128""".stripMargin,
     "t18_budget_prefix" ->
       """WITH t AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok

@@ -374,6 +374,31 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("t19 inverted index: blocked postings are sorted, block-local, df-complete") {
+    val rows = SparkEntry.queries("t19_inverted_index")(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("block"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+        r.getAs[String]("postings")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, block, nDocs, nOcc, postings) =>
+      val entries = postings.split(",").map { e =>
+        val Array(d, t) = e.split(":"); (d.toLong, t.toLong)
+      }
+      assert(entries.length == nDocs && entries.map(_._2).sum == nOcc)
+      assert(entries.map(_._1).toSeq == entries.map(_._1).sorted.toSeq,
+        s"$term/$block postings out of doc order")
+      assert(entries.forall(_._1 / 128 == block),
+        s"$term/$block holds a doc outside its block")
+    }
+    assert(rows.map(_._2).distinct.length > 1,
+      "fixture must span multiple blocks at width 128")
+    // per-term doc counts reconcile with t06's document frequency
+    val df6 = SparkEntry.queries("t06_term_stats")(spark, sf).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("df")).toMap
+    val dfIdx = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(dfIdx == df6)
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),

@@ -123,6 +123,15 @@ class PlanSpec extends AnyFunSuite {
       s"the exact hamming check runs on band collisions only:\n$p")
   }
 
+  test("t19: index build is two content-keyed shuffles, both partial-agg") {
+    val p = plan("t19_inverted_index")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"(term, doc) tf counts then (term, block) gathers — two shuffles:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf counts must combine map-side:\n$p")
+    assert(!p.contains("rangepartitioning") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
