@@ -339,6 +339,84 @@ object Text {
             .as("tok_kept"))
     }),
 
+    // The END-TO-END corpus build — every pre-training data stage as
+    // ONE Catalyst plan with per-doc verdict provenance, the audit
+    // artifact a data pipeline actually ships: eval holdout (t13's
+    // md5 split) → quality gate (d10's token floor) → exact dedup
+    // (d01's normalized fingerprint, min-id keeps) → benchmark
+    // decontamination (t13's broadcast eval-gram set) → token-budget
+    // prefix (t18's closed-form verdict over the SURVIVING sequence)
+    // → 512-token packing coordinates (t14) for what ships. Fixture:
+    // d10's boiler plant (doc_id % 37 = 5) gives the dedup stage real
+    // groups; the canary class is doc_id % 199 so only the ~30% of
+    // train classes an eval doc covers get contaminated. One
+    // tokenized frontier feeds every stage; the eval-gram set and
+    // per-source budgets broadcast; the packing sum is the two-level
+    // shard form. The DuckDB oracle restates the whole chain.
+    "t20_corpus_pipeline" -> ((s, dir) => {
+      val boiler = "graft boilerplate page about nothing at all " +
+        "repeated across mirrors of the same site with identical " +
+        "wording every single time it appears anywhere online today"
+      val w = org.apache.spark.sql.expressions.Window
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 37 === 5, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      val ctext = concat(col("text"),
+        lit(" canary c"), (col("doc_id") % 199).cast("string"),
+        lit(" alpha beta gamma delta epsilon zeta"))
+      val fr = graft.ops.Subplan.once(planted
+        .select(col("doc_id"), col("source"), col("text"),
+          split(trim(ctext), "\\s+").as("tk"), isEvalCol.as("is_eval"))
+        .select(col("doc_id"), col("source"), col("is_eval"),
+          size(col("tk")).as("n_tok"), Dedup.fingerprintCol.as("fp"),
+          when(size(col("tk")) >= 8, array_distinct(gram8Col))
+            .otherwise(array().cast("array<bigint>")).as("xs")))
+      val evalGrams = fr.filter(col("is_eval"))
+        .select(explode(col("xs")).as("x")).distinct()
+        .withColumn("hit", lit(1))
+      val keep = fr.filter(!col("is_eval") && col("n_tok") >= 25)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val contam = fr.filter(!col("is_eval"))
+        .select(col("doc_id"), explode(col("xs")).as("x"))
+        .join(broadcast(evalGrams), Seq("x"), "left")
+        .groupBy(col("doc_id")).agg(count(col("hit")).as("n_hits"))
+      val staged = graft.ops.Subplan.once(fr
+        .join(keep, Seq("fp"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          when(col("is_eval"), lit("eval_holdout"))
+            .when(col("n_tok") < 25, lit("low_quality"))
+            .when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+            .when(col("n_hits") > 0, lit("contaminated"))
+            .otherwise(lit("survivor")).as("stage")))
+      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
+        .cast("long")
+      val surv = staged.filter(col("stage") === "survivor")
+        .withColumn("shard", expr("doc_id div 128"))
+      val offsets = surv.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tok")).as("stok"))
+        .select(col("source"), col("shard"),
+          (sum(col("stok")).over(
+            w.partitionBy(col("source")).orderBy(col("shard")))
+            - col("stok")).as("shard_off"))
+      val inBudget = col("cum") <= col("budget")
+      val packed = surv.join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("cum", col("shard_off") + sum(col("n_tok")).over(
+          w.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))))
+        .withColumn("budget", (srcHash % 2 + 1) * lit(1000L))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          when(inBudget, lit("packed")).otherwise(lit("over_budget"))
+            .as("stage"),
+          when(inBudget, col("cum") - col("n_tok")).as("tok_start"),
+          when(inBudget, expr("(cum - n_tok) div 512")).as("seq_start"),
+          when(inBudget, expr("(cum - 1) div 512")).as("seq_end"))
+      packed.unionByName(staged.filter(col("stage") =!= "survivor")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("stage"),
+          lit(null).cast("long").as("tok_start"),
+          lit(null).cast("long").as("seq_start"),
+          lit(null).cast("long").as("seq_end")))
+    }),
+
     // Inverted-index build — the retrieval side of a training-data
     // pipeline (dedup provenance lookups, contamination tracing,
     // search-over-corpus). Emits BLOCKED postings: one row per (term,
@@ -664,6 +742,63 @@ object Text {
         |    / SUM(c.cnt) AS coverage
         |FROM counts c LEFT JOIN vocab v ON c.tok = v.tok
         |GROUP BY c.source""".stripMargin,
+    "t20_corpus_pipeline" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 37 = 5 THEN 'graft boilerplate page about nothing at all repeated across mirrors of the same site with identical wording every single time it appears anywhere online today'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, text,
+        |    text || ' canary c' || (doc_id % 199)
+        |      || ' alpha beta gamma delta epsilon zeta' AS ctext,
+        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+        |      AS is_eval
+        |  FROM planted),
+        |fr AS (SELECT doc_id, source, is_eval,
+        |    len(regexp_split_to_array(trim(ctext), '\s+'))::BIGINT AS n_tok,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    regexp_split_to_array(trim(ctext), '\s+') AS t
+        |  FROM p),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |      || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]
+        |      || ' ' || t[i+6] || ' ' || t[i+7]), 1, 9))::BIGINT
+        |      for i in generate_series(1, len(t) - 7)])) AS x
+        |  FROM fr WHERE len(t) >= 8),
+        |ev AS (SELECT DISTINCT g.x FROM g JOIN fr USING (doc_id)
+        |  WHERE fr.is_eval),
+        |hits AS (SELECT g.doc_id, COUNT(ev.x) AS n_hits
+        |  FROM g JOIN fr USING (doc_id) LEFT JOIN ev ON g.x = ev.x
+        |  WHERE NOT fr.is_eval GROUP BY g.doc_id),
+        |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fr
+        |  WHERE NOT is_eval AND n_tok >= 25 GROUP BY fp),
+        |staged AS (SELECT fr.doc_id, fr.source, fr.n_tok,
+        |    CASE WHEN fr.is_eval THEN 'eval_holdout'
+        |         WHEN fr.n_tok < 25 THEN 'low_quality'
+        |         WHEN fr.doc_id <> k.keep_id THEN 'exact_dup'
+        |         WHEN COALESCE(h.n_hits, 0) > 0 THEN 'contaminated'
+        |         ELSE 'survivor' END AS stage
+        |  FROM fr LEFT JOIN keep k ON fr.fp = k.fp
+        |  LEFT JOIN hits h ON fr.doc_id = h.doc_id),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 2 + 1) * 1000
+        |      AS budget
+        |  FROM staged WHERE stage = 'survivor')
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CASE WHEN cum <= budget THEN 'packed' ELSE 'over_budget' END
+        |    AS stage,
+        |  CASE WHEN cum <= budget THEN CAST(cum - n_tok AS BIGINT) END
+        |    AS tok_start,
+        |  CASE WHEN cum <= budget THEN CAST((cum - n_tok) // 512 AS BIGINT)
+        |    END AS seq_start,
+        |  CASE WHEN cum <= budget THEN CAST((cum - 1) // 512 AS BIGINT) END
+        |    AS seq_end
+        |FROM c
+        |UNION ALL
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, stage,
+        |  NULL, NULL, NULL
+        |FROM staged WHERE stage <> 'survivor'""".stripMargin,
     "t19_inverted_index" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term

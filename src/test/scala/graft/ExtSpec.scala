@@ -374,6 +374,36 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("t20 corpus pipeline: every doc gets one verdict; packed is a budgeted prefix") {
+    val rows = SparkEntry.queries("t20_corpus_pipeline")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tok"), r.getAs[String]("stage"),
+        Option(r.getAs[java.lang.Long]("tok_start")).map(_.toLong)))
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    val stages = rows.map(_._4).toSet
+    assert(stages == Set("eval_holdout", "low_quality", "exact_dup",
+      "contaminated", "over_budget", "packed"),
+      s"every pipeline stage must fire on the fixture: $stages")
+    // dropped docs carry no packing coordinates; packed docs all do
+    rows.foreach { case (id, _, _, stage, start) =>
+      assert(start.isDefined == (stage == "packed"), s"doc $id $stage")
+    }
+    // per source: packed docs form a contiguous token prefix within budget
+    rows.filter(_._4 == "packed").groupBy(_._2).foreach { case (src, g) =>
+      val byStart = g.sortBy(_._5.get)
+      assert(byStart.head._5.get == 0L, s"$src prefix must start at 0")
+      byStart.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.get + a._3 == b._5.get, s"$src packing has a gap")
+        case _ =>
+      }
+      val last = byStart.last
+      assert(last._5.get + last._3 <=
+        graft.streaming.DocStreams.budgetOf(src, 1000L),
+        s"$src packed tokens exceed the budget")
+    }
+  }
+
   test("t19 inverted index: blocked postings are sorted, block-local, df-complete") {
     val rows = SparkEntry.queries("t19_inverted_index")(spark, sf).collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("block"),

@@ -123,6 +123,18 @@ class PlanSpec extends AnyFunSuite {
       s"the exact hamming check runs on band collisions only:\n$p")
   }
 
+  test("t20: the corpus pipeline is one plan over materialized frontiers") {
+    val p = plan("t20_corpus_pipeline")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"all six stages must share the staged frontier — a re-scan re-runs " +
+        s"the tokenize/fingerprint/gram work:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets broadcast back onto the survivor sums:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"packing must stay within hash partitions, no global sort:\n$p")
+  }
+
   test("t19: index build is two content-keyed shuffles, both partial-agg") {
     val p = plan("t19_inverted_index")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
