@@ -333,6 +333,22 @@ object Relational {
     // order-date order. The ROWS UNBOUNDED PRECEDING frame over exact
     // decimals is deterministic because (o_orderdate, o_orderkey) is a
     // total order; one hash shuffle on the partition key.
+    // lag/lead window functions (§2.5): per customer, days since the
+    // previous order and the next order's key, both over ONE window
+    // spec (one hash exchange on customer, in-partition sort) with a
+    // total order (date, then key) so offsets are deterministic.
+    "q27_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("gap_days"),
+          col("next_key"))
+    }),
+
     "q25_running_total" -> ((s, dir) => {
       val byCust = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -520,6 +536,15 @@ object Relational {
         |    SELECT 1 FROM orders o2
         |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
         |      AND o2.o_totalprice < 2000)""".stripMargin,
+    "q27_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |    o_orderdate) AS INTEGER) AS gap_days,
+        |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_key
+        |FROM orders""".stripMargin,
     "q25_running_total" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -160,14 +160,17 @@ object DocStreams extends Serializable {
   case class SigBucketState(docs: List[SigMember], maxTsMicros: Long)
   case class HammingPair(doc_a: Long, doc_b: Long, hamming: Int)
 
-  /** (band, key, doc_id, ts, simhash) rows for a (doc_id, ts, text)
-    * stream: the signature is the ROW-LOCAL
-    * [[Dedup.simhashOfTokenHashes]] fold (ExtSpec pins it equal to
-    * batch d04's grouped form) and the band keys are the exact
-    * [[Dedup.simhashBandStructs]] batch d06 joins on — keys can't
-    * drift. Row-local except the band explode (6 rows per doc). */
-  private[graft] def sigBanded(docs: DataFrame): DataFrame =
-    docs
+  /** Streaming twin of batch d06 ([[Dedup.simhashPairs]]): hamming-near
+    * signature pairs between documents arriving within `ttl` of each
+    * other, per 10-bit simhash band bucket — the cheapest near-dup
+    * signal, the one an ingest stream runs. The signature is the
+    * ROW-LOCAL [[Dedup.simhashOfTokenHashes]] fold (ExtSpec pins it
+    * equal to batch d04's grouped form); pairing is the shared
+    * [[bandedHammingPairs]] state machine. */
+  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[HammingPair] =
+    bandedHammingPairs(docs
       // Batch d04 drops null-text docs (explode of a null token array
       // emits no rows); without this filter the row-local fold would
       // give them simhash 0 — colliding in every (band, 0) bucket and
@@ -175,27 +178,26 @@ object DocStreams extends Serializable {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("ts"),
         Dedup.simhashOfTokenHashes(
-          Dedup.tokenHashesCol(split(trim(col("text")), "\\s+"))).as("simhash"))
-      .select(col("doc_id"), col("ts"), col("simhash"),
-        explode(Dedup.simhashBandStructs(col("simhash"))).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.key").as("key"),
-        col("doc_id"), col("ts"), col("simhash"))
+          Dedup.tokenHashesCol(split(trim(col("text")), "\\s+")))
+          .as("simhash")),
+      maxHamming, watermarkDelay, ttlMinutes)
 
-  /** Streaming twin of batch d06 ([[Dedup.simhashPairs]]): hamming-near
-    * signature pairs between documents arriving within `ttl` of each
-    * other, per 10-bit simhash band bucket — the cheapest near-dup
-    * signal, the one an ingest stream runs. Same state bounds and
-    * per-bucket emission semantics as [[nearDupPairs]] (dedup multi-band
-    * collisions downstream); recall matches batch d06's pigeonhole
-    * guarantee for maxHamming ≤ 5. State per member is just (id, ts,
-    * 60-bit signature) — 24 bytes, an order cheaper than the minhash
-    * filter's shingle sets. */
-  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3,
+  /** Banded hamming pairing over ANY (doc_id, ts, simhash) 60-bit
+    * signature stream — the ONE state machine behind the d06 text
+    * twin ([[simhashNearPairs]]) and the m06 media twin
+    * ([[ahashNearPairs]]), so bucket keys, retention, and emission
+    * semantics can't drift between signature families. Band keys are
+    * the exact [[Dedup.simhashBandStructs]] the batch pair joins use;
+    * state bounds and per-bucket emission follow [[nearDupPairs]]
+    * (dedup multi-band collisions downstream); recall matches the
+    * batch pigeonhole guarantee for maxHamming ≤ 5. State per member
+    * is (id, ts, signature) — 24 bytes. */
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int = 3,
       watermarkDelay: String = "1 hour",
       ttlMinutes: Int = 24 * 60): Dataset[HammingPair] = {
     require(maxHamming <= 5,
       "6-band pigeonhole guarantees recall only for hamming <= 5")
-    import docs.sparkSession.implicits._
+    import sigs.sparkSession.implicits._
     val ttlUs = ttlMinutes * 60L * 1000000L
 
     def update(key: (Int, Long), batch: Iterator[SigBanded],
@@ -235,12 +237,50 @@ object DocStreams extends Serializable {
       }
     }
 
-    sigBanded(docs)
+    sigs
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(Dedup.simhashBandStructs(col("simhash"))).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.key").as("key"),
+        col("doc_id"), col("ts"), col("simhash"))
       .withWatermark("ts", watermarkDelay)
       .as[SigBanded]
       .groupByKey(d => (d.band, d.key))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** The media schema as a streaming source expects it (ingestion ts
+    * attached upstream; payload is the opaque binary column). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType)))
+
+  case class TsMediaRow(media_id: Long, ts: Timestamp, kind: String,
+      payload: Array[Byte])
+
+  /** Streaming twin of batch m06: perceptual-hash media near-dup
+    * pairs on an ingest stream. The aHash kernel
+    * ([[graft.ext.Multimodal.StubDecoders.ahash60]] — the exact batch
+    * signature, a row-local integer fold over the payload) signs each
+    * arriving payload; pairing is the shared [[bandedHammingPairs]]
+    * machine, so media and text near-dup streams share retention and
+    * emission semantics verbatim. */
+  def ahashNearPairs(media: DataFrame, maxHamming: Int = 3,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[HammingPair] = {
+    import media.sparkSession.implicits._
+    val sigs = media.filter(col("payload").isNotNull).as[TsMediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, h) = graft.ext.Multimodal.StubDecoders.ahash60(Iterator(
+            graft.ext.Multimodal.MediaRow(r.media_id, r.kind, r.payload)))
+            .next()
+          (r.media_id, r.ts, h)
+        }
+      }.toDF("doc_id", "ts", "simhash")
+    bandedHammingPairs(sigs, maxHamming, watermarkDelay, ttlMinutes)
   }
 
   /** The embeddings schema as a streaming source expects it (vectors

@@ -123,6 +123,16 @@ class PlanSpec extends AnyFunSuite {
       s"the exact hamming check runs on band collisions only:\n$p")
   }
 
+  test("q27: lag and lead share one window spec — a single exchange + sort") {
+    val p = plan("q27_lag_lead")
+    assert("Window \\[".r.findAllIn(p).size == 1 &&
+      "windowspecdefinition".r.findAllIn(p).size == 2,
+      s"both offsets must ride ONE Window operator over one spec:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one hash exchange on customer feeds both offset functions:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort:\n$p")
+  }
+
   test("t20: the corpus pipeline is one plan over materialized frontiers") {
     val p = plan("t20_corpus_pipeline")
     assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),

@@ -326,6 +326,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ahash filter replays to exactly the batch m06 pairs") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_ahash_stream").toString
+    // the batch m06 base: originals + in-place-edited twins at +1e9,
+    // payloads = utf-8 text bytes, ts 1 s apart inside the ttl
+    val d = Tables(spark, sf, "documents").filter(col("text").isNotNull)
+    d.select(col("doc_id").as("media_id"), col("source").as("kind"),
+        col("text"))
+      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("media_id"),
+        col("source").as("kind"),
+        concat(lit("q"), expr("substr(text, 2)")).as("text")))
+      .select(col("media_id"),
+        timestamp_seconds(lit(1700000000L) + col("media_id") % lit(1000000000L))
+          .as("ts"),
+        col("kind"), encode(col("text"), "UTF-8").as("payload"))
+      .write.mode("append").parquet(srcDir)
+    val pairs = DocStreams.ahashNearPairs(
+      spark.readStream.schema(DocStreams.mediaSchema).parquet(srcDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("ahash_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ahash_stream").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("hamming"))).toSet
+      val want = SparkEntry.queries("m06_ahash_pairs")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(want.nonEmpty, "corpus must contain ahash near-dup pairs")
+      assert(got == want,
+        s"streamed media near-dups diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming budget gate replays to exactly the batch t18 prefix") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_budget_stream").toString
