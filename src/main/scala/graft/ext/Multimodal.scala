@@ -70,23 +70,27 @@ object Multimodal {
       * (not 64) so the hash obeys the house signed-64 XOR/bit_count
       * rule and rides d06's banded hamming machinery unchanged. */
     def ahash60(rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
-      rows.map { r =>
-        val n = r.payload.length
-        val cells = new Array[Long](60)
-        var i = 0
-        while (i < 60) {
-          val lo = (i.toLong * n / 60).toInt
-          val hi = ((i + 1).toLong * n / 60).toInt
-          var s = 0L; var j = lo
-          while (j < hi) { s += r.payload(j) & 0xff; j += 1 }
-          cells(i) = if (hi > lo) s / (hi - lo) else 0L
-          i += 1
-        }
-        val tot = cells.sum
-        var h = 0L; i = 0
-        while (i < 60) { if (cells(i) * 60 > tot) h |= 1L << i; i += 1 }
-        (r.media_id, h)
+      rows.map(r => (r.media_id, ahash60Of(r.payload)))
+
+    /** Payload-level aHash — the allocation-free form the streaming
+      * twin calls per row (the iterator form above delegates here). */
+    def ahash60Of(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val cells = new Array[Long](60)
+      var i = 0
+      while (i < 60) {
+        val lo = (i.toLong * n / 60).toInt
+        val hi = ((i + 1).toLong * n / 60).toInt
+        var s = 0L; var j = lo
+        while (j < hi) { s += payload(j) & 0xff; j += 1 }
+        cells(i) = if (hi > lo) s / (hi - lo) else 0L
+        i += 1
       }
+      val tot = cells.sum
+      var h = 0L; i = 0
+      while (i < 60) { if (cells(i) * 60 > tot) h |= 1L << i; i += 1 }
+      h
+    }
 
     /** "Resize" = interpret the payload as a row-major width×H byte
       * raster (deterministic fake geometry: fixed width, H = ⌈n/W⌉,
@@ -246,24 +250,33 @@ object Multimodal {
     // pairs exhaustively, so banding must lose nothing.
     "m06_ahash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val twin = concat(lit("q"), expr("substr(text, 2)"))
-      val base = d
-        .select(col("doc_id").as("media_id"), col("source").as("kind"),
-          col("text"))
-        .unionAll(d.select(
-          (col("doc_id") + lit(1000000000L)).as("media_id"),
-          col("source").as("kind"), twin.as("text")))
-        .select(col("media_id"), col("kind"),
-          encode(col("text"), "UTF-8").as("payload"))
-        .as[MediaRow]
       val sig = graft.ops.Subplan.once(
-        base.mapPartitions(StubDecoders.ahash60).toDF("doc_id", "simhash"))
+        m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
+          .toDF("doc_id", "simhash"))
       Dedup.simhashPairs(sig, 3)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
     })
   )
+
+  /** m06's fixture base: originals plus an in-place single-byte-edited
+    * twin at media_id + 10⁹ (same length, so aHash cell boundaries
+    * don't shift). ONE definition shared with ExtSpec's brute-force
+    * recall check and StreamingSpec's twin replay, so the tests always
+    * validate the registered fixture. */
+  private[graft] def m06Base(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    d.select(col("doc_id").as("media_id"), col("source").as("kind"),
+        col("text"))
+      .unionAll(d.select(
+        (col("doc_id") + lit(1000000000L)).as("media_id"),
+        col("source").as("kind"),
+        concat(lit("q"), expr("substr(text, 2)")).as("text")))
+      .select(col("media_id"), col("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
 
   val oracle: Map[String, String] = Map(
     "m01_binary_stats" ->

@@ -212,9 +212,8 @@ object Text {
     // sampling cannot give. At 100 TB this is a map-only scan plus one
     // broadcast; no shuffle of the corpus.
     "t08_det_sample" -> ((s, dir) => {
-      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long")
       val rates = docs(s, dir).select(col("source")).distinct()
-        .withColumn("rate", when(srcHash % 2 === 0, 0.5).otherwise(0.2))
+        .withColumn("rate", when(srcHashCol % 2 === 0, 0.5).otherwise(0.2))
       val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
           lit(":graft"))), 1, 8), 16, 10)
         .cast("long").cast("double") / lit(4294967296.0)).as("u")
@@ -318,13 +317,11 @@ object Text {
     // deploy scale the u32·tokens product wants 128-bit math once a
     // single source exceeds 2³¹ tokens — DECIMAL(38,0) drop-in.
     "t17_budget_mix" -> ((s, dir) => {
-      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
-        .cast("long")
       val fr = graft.ops.Subplan.once(docs(s, dir)
         .select(col("doc_id"), col("source"), size(toks).as("n_tok")))
       val tot = fr.groupBy(col("source"))
         .agg(sum(col("n_tok")).as("tok_total"))
-        .withColumn("budget", (srcHash % 2 + 1) * lit(1500L))
+        .withColumn("budget", budgetCol(1500L))
       val u32 = conv(substring(md5(concat(col("doc_id").cast("string"),
         lit(":mix"))), 1, 8), 16, 10).cast("long")
       fr.join(broadcast(tot), "source")
@@ -357,7 +354,6 @@ object Text {
       val boiler = "graft boilerplate page about nothing at all " +
         "repeated across mirrors of the same site with identical " +
         "wording every single time it appears anywhere online today"
-      val w = org.apache.spark.sql.expressions.Window
       val planted = docs(s, dir).select(col("doc_id"), col("source"),
         when(col("doc_id") % 37 === 5, lit(boiler))
           .otherwise(col("text")).as("text"))
@@ -389,21 +385,10 @@ object Text {
             .when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
             .when(col("n_hits") > 0, lit("contaminated"))
             .otherwise(lit("survivor")).as("stage")))
-      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
-        .cast("long")
-      val surv = staged.filter(col("stage") === "survivor")
-        .withColumn("shard", expr("doc_id div 128"))
-      val offsets = surv.groupBy(col("source"), col("shard"))
-        .agg(sum(col("n_tok")).as("stok"))
-        .select(col("source"), col("shard"),
-          (sum(col("stok")).over(
-            w.partitionBy(col("source")).orderBy(col("shard")))
-            - col("stok")).as("shard_off"))
       val inBudget = col("cum") <= col("budget")
-      val packed = surv.join(broadcast(offsets), Seq("source", "shard"))
-        .withColumn("cum", col("shard_off") + sum(col("n_tok")).over(
-          w.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))))
-        .withColumn("budget", (srcHash % 2 + 1) * lit(1000L))
+      val packed = twoLevelCum(staged.filter(col("stage") === "survivor")
+          .select(col("doc_id"), col("source"), col("n_tok")), 128L)
+        .withColumn("budget", budgetCol(1000L))
         .select(col("doc_id"), col("source"), col("n_tok"),
           when(inBudget, lit("packed")).otherwise(lit("over_budget"))
             .as("stage"),
@@ -451,10 +436,8 @@ object Text {
     // (DocStreams.budgetPrefix) is the ingest admission gate: same
     // verdicts in arrival order with ONE long of state per source.
     "t18_budget_prefix" -> ((s, dir) => {
-      val srcHash = conv(substring(md5(col("source")), 1, 8), 16, 10)
-        .cast("long")
       sequencePack(s, dir)
-        .withColumn("budget", (srcHash % 2 + 1) * lit(1500L))
+        .withColumn("budget", budgetCol(1500L))
         .select(col("doc_id"), col("source"), col("n_tok"),
           col("tok_start"), col("budget"),
           (col("tok_start") + col("n_tok") <= col("budget")).as("kept"))
@@ -521,27 +504,53 @@ object Text {
     * broadcast) and ~10^6-doc window partitions. The test default 128
     * keeps every fixture tier genuinely multi-shard. */
   def sequencePack(s: SparkSession, dir: String, block: Int = 512,
-      shardWidth: Long = 128L): DataFrame = {
+      shardWidth: Long = 128L): DataFrame =
+    twoLevelCum(docs(s, dir).select(col("doc_id"), col("source"),
+      size(toks).as("n_tok")), shardWidth)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        expr(s"(cum - n_tok) div $block").as("seq_start"),
+        expr(s"(cum - 1) div $block").as("seq_end"))
+
+  /** The two-level running token sum over a (doc_id, source, n_tok)
+    * frontier: appends `cum`, each doc's exact global token offset in
+    * (source, doc_id) order, via per-(source, shard) local window
+    * sums plus a shard-count-sized broadcast offset pass (see
+    * [[sequencePack]] for the full scale argument). ONE definition
+    * serving t14/t15/t18 and t20's survivor packing, so a fix to the
+    * packing sum can never land in one and miss the other. The
+    * frontier is materialized here (Subplan.once) because both levels
+    * read it. */
+  private def twoLevelCum(frontier: DataFrame,
+      shardWidth: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val frontier = graft.ops.Subplan.once(
-      docs(s, dir).select(col("doc_id"), col("source"),
-        size(toks).as("n_tok"), expr(s"doc_id div $shardWidth").as("shard")))
-    val offsets = frontier
+    val sharded = graft.ops.Subplan.once(
+      frontier.withColumn("shard", expr(s"doc_id div $shardWidth")))
+    val offsets = sharded
       .groupBy(col("source"), col("shard"))
       .agg(sum(col("n_tok")).as("shard_tok"))
       .select(col("source"), col("shard"),
         (sum(col("shard_tok")).over(
           w.partitionBy(col("source")).orderBy(col("shard")))
           - col("shard_tok")).as("shard_off"))
-    frontier
+    sharded
       .join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("cum", col("shard_off") + sum(col("n_tok")).over(
         w.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        (col("cum") - col("n_tok")).as("tok_start"),
-        expr(s"(cum - n_tok) div $block").as("seq_start"),
-        expr(s"(cum - 1) div $block").as("seq_end"))
   }
+
+  /** First-8-hex-digits-of-md5(source) as a long — the per-source
+    * deterministic draw every rate/budget fixture derives from (t08's
+    * rates, the t17/t18/t20 budgets). */
+  private[graft] def srcHashCol: Column =
+    conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long")
+
+  /** The md5-weighted per-source token budget (srcHash % 2 + 1) ·
+    * unit — ONE column definition for t17/t18/t20, with
+    * [[graft.streaming.DocStreams.budgetOf]] as its pinned JVM twin
+    * (ExtSpec's t20 test cross-checks the two). */
+  private[graft] def budgetCol(unit: Long): Column =
+    (srcHashCol % 2 + 1) * lit(unit)
 
   /** TF-IDF document vectors via the spark.ml path SURVEY.md §2.8b
     * names (Tokenizer → HashingTF → IDF). Float idf weights are

@@ -272,14 +272,9 @@ object DocStreams extends Serializable {
       ttlMinutes: Int = 24 * 60): Dataset[HammingPair] = {
     import media.sparkSession.implicits._
     val sigs = media.filter(col("payload").isNotNull).as[TsMediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val (_, h) = graft.ext.Multimodal.StubDecoders.ahash60(Iterator(
-            graft.ext.Multimodal.MediaRow(r.media_id, r.kind, r.payload)))
-            .next()
-          (r.media_id, r.ts, h)
-        }
-      }.toDF("doc_id", "ts", "simhash")
+      .mapPartitions(rows => rows.map(r => (r.media_id, r.ts,
+        graft.ext.Multimodal.StubDecoders.ahash60Of(r.payload))))
+      .toDF("doc_id", "ts", "simhash")
     bandedHammingPairs(sigs, maxHamming, watermarkDelay, ttlMinutes)
   }
 
@@ -468,6 +463,14 @@ object DocStreams extends Serializable {
       out.iterator
     }
     docs
+      // the house null contract (m02/d06 twins): a null text or source
+      // is "no document" — dropped at the boundary (a null n_tok would
+      // also fail the non-nullable SrcDoc encoder). Note batch t18
+      // differs on this degenerate input: it EMITS a null-text row,
+      // with null n_tok/tok_start/kept (the window sum skips nulls).
+      // Replay equality therefore assumes null-free streams, which is
+      // what every fixture and any sane ingest provides.
+      .filter(col("text").isNotNull && col("source").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("source"), col("doc_id"), col("ts"),
         size(split(trim(col("text")), "\\s+")).as("n_tok"))

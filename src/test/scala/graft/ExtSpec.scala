@@ -459,17 +459,10 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0), "some in-place edit must not move the hash")
     assert(rows.exists(_._3 > 0), "some in-place edit must flip bits")
     // recall vs the exhaustive filter: recompute signatures through the
-    // same kernel and brute-force all pairs at <= 3
-    val d = Tables(spark, sf, "documents").filter(col("text").isNotNull)
-    val base = d.select(col("doc_id").as("media_id"),
-        col("source").as("kind"), col("text"))
-      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("media_id"),
-        col("source").as("kind"),
-        concat(lit("q"), expr("substr(text, 2)")).as("text")))
-      .select(col("media_id"), col("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[ext.Multimodal.MediaRow]
-    val sigs = base.mapPartitions(ext.Multimodal.StubDecoders.ahash60)
+    // same kernel over the same registered base and brute-force all
+    // pairs at <= 3
+    val sigs = ext.Multimodal.m06Base(spark, sf)
+      .mapPartitions(ext.Multimodal.StubDecoders.ahash60)
       .collect()
     val want = (for {
       (a, ha) <- sigs; (b, hb) <- sigs if a < b

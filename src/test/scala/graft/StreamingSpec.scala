@@ -329,18 +329,14 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming ahash filter replays to exactly the batch m06 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_ahash_stream").toString
-    // the batch m06 base: originals + in-place-edited twins at +1e9,
-    // payloads = utf-8 text bytes, ts 1 s apart inside the ttl
-    val d = Tables(spark, sf, "documents").filter(col("text").isNotNull)
-    d.select(col("doc_id").as("media_id"), col("source").as("kind"),
-        col("text"))
-      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("media_id"),
-        col("source").as("kind"),
-        concat(lit("q"), expr("substr(text, 2)")).as("text")))
+    // the batch m06 base (shared via m06Base, so this always replays
+    // the registered fixture), ts 1 s apart inside the ttl with each
+    // twin landing at its original's second
+    graft.ext.Multimodal.m06Base(spark, sf).toDF()
       .select(col("media_id"),
         timestamp_seconds(lit(1700000000L) + col("media_id") % lit(1000000000L))
           .as("ts"),
-        col("kind"), encode(col("text"), "UTF-8").as("payload"))
+        col("kind"), col("payload"))
       .write.mode("append").parquet(srcDir)
     val pairs = DocStreams.ahashNearPairs(
       spark.readStream.schema(DocStreams.mediaSchema).parquet(srcDir))
