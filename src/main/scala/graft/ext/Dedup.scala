@@ -129,7 +129,12 @@ object Dedup {
     * first so the split runs once per row, not once per lambda
     * element. */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    shinglesOf(docs(s, dir))
+
+  /** [[shingles]] over any (doc_id, text) frame — the d12 containment
+    * fixture unions prefix twins in before shingling. */
+  private[graft] def shinglesOf(d: DataFrame): DataFrame =
+    d
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(shingleSetCol).as("x"))
@@ -255,6 +260,42 @@ object Dedup {
     verifyJaccard(cand, sets, t)
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ `t`, the
+    * quote/subset detector symmetric Jaccard structurally misses
+    * (equal-size near-dups at J only reach C = 2J/(1+J); a short doc
+    * fully embedded in a long one has C = 1 at arbitrarily low J).
+    * Candidates by the one-sided containment prefix filter: if
+    * C(A→B) ≥ t then A shares ≥ ⌈t·n_A⌉ shingles with B, so by
+    * pigeonhole A's first n_A − ⌈t·n_A⌉ + 1 shingles (any fixed
+    * global order; rarest-first minimizes join cost) must hit B's
+    * FULL set — the pruning sits entirely on the contained side,
+    * which is why containment wants a high t. Size filter
+    * n_B ≥ ⌈t·n_A⌉ prunes impossible pairs before the group-distinct;
+    * verify = the [[graft.functions.SortedIntersectCount]] merge scan
+    * over the same materialized ordered sets. Emits ORDERED pairs:
+    * (doc_a contained-in doc_b, containment). */
+  private[graft] def containmentPairsPrefix(sh: DataFrame, t: Double): DataFrame = {
+    val gathered = graft.ops.Subplan.once(gatherShingleSets(sh))
+    val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
+    val pref = prefixBlocks(sets, t)
+    val full = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      explode(col("xs")).as("x"))
+    val cand = pref.join(full, Seq("x"))
+      .filter(col("doc_id") =!= col("doc_b") &&
+        col("nb") >= ceil(col("n") * lit(t)))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val slim = sets.select(col("doc_id"), sort_array(col("xs")).as("xs"),
+      col("n"))
+    cand
+      .join(slim.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(slim.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sa.xs"), col("sb.xs")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sa.n")).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   /** Exact-Jaccard verification shared by the prefix-filter (d02) and
     * LSH (d03) candidate paths: join (doc_a, doc_b) pairs back onto the
     * gathered shingle sets (doc_id, xs, n) and keep pairs ≥ `t`. One
@@ -356,6 +397,21 @@ object Dedup {
       // once (Subplan.once), one row per doc.
       val sig = graft.ops.Subplan.once(simhashSignatures(base))
       simhashPairs(sig, 3)
+    }),
+
+    // Asymmetric containment (quote/subset) dedup — see
+    // [[containmentPairsPrefix]]. Fixture: every doc unions with a
+    // 12-token-prefix twin at doc_id + 10⁹ — C(twin→doc) = 1.0 at
+    // J ≈ 0.15, the pair class ONLY containment finds (d02/d03 at
+    // J ≥ 0.5 structurally cannot). The oracle is the exhaustive
+    // all-ordered-pairs form — the prefix filter must lose nothing.
+    "d12_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select(
+          (col("doc_id") + lit(1000000000L)).as("doc_id"),
+          array_join(slice(toks, 1, 12), " ").as("text")))
+      containmentPairsPrefix(shinglesOf(base), 0.9)
     }),
 
     // Dedup clustering: near-dup PAIRS are not a dedup decision — the
@@ -750,6 +806,29 @@ object Dedup {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "d12_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id,
+        |    array_to_string(
+        |      (regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM base
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, x FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 9))::BIGINT AS x
+        |  FROM tk, unnest(generate_series(1, len(t) - 2)) u(i))),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS inter, MIN(sa.n) AS na
+        |  FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id <> b.doc_id
+        |  JOIN sz sa ON sa.doc_id = a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / na AS containment
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / na >= 0.9""".stripMargin,
     // Transitive closure via recursive CTE (graphs are tiny at the
     // verify SF), then min reachable id per node == the propagated
     // label the Spark loop converges to.

@@ -374,6 +374,30 @@ class ExtSpec extends AnyFunSuite {
       "some doc must span a sequence cut point")
   }
 
+  test("d12 containment finds every planted prefix twin that Jaccard misses") {
+    val rows = SparkEntry.queries("d12_containment")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    assert(rows.forall(_._3 >= 0.9))
+    // every doc with >= 3 tokens plants a 12-token-prefix twin at
+    // +1e9 whose shingles are a subset of its original's
+    val eligible = Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val twinPairs = rows.filter { case (a, b, c) =>
+      a == b + 1000000000L && c == 1.0 }.map(_._2).toSet
+    assert(eligible.subsetOf(twinPairs),
+      s"missing twin containments for ${(eligible -- twinPairs).take(5)}")
+    // the asymmetry is the point: most planted pairs sit far below the
+    // d02/d03 Jaccard threshold, so the symmetric family cannot see them
+    val jacc = SparkEntry.queries("d02_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val onlyHere = rows.count { case (a, b, _) =>
+      !jacc.contains((math.min(a, b), math.max(a, b))) }
+    assert(onlyHere > rows.length / 2,
+      "the fixture must exercise containment-only pairs")
+  }
+
   test("t20 corpus pipeline: every doc gets one verdict; packed is a budgeted prefix") {
     val rows = SparkEntry.queries("t20_corpus_pipeline")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite {
       s"both join sides must read the one materialized signature set:\n$p")
   }
 
+  test("d12: containment candidates come from the one-sided prefix join") {
+    val p = plan("d12_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from the prefix-shingle equi-join, never all pairs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"prefix, full, and verify sides must share the materialized ordered sets:\n$p")
+    assert(p.contains("sortedintersectcount"),
+      s"verification should merge-scan the gathered sorted sets:\n$p")
+  }
+
   test("m06: ahash pairing is d06's banded topology over the kernel output") {
     val p = plan("m06_ahash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
