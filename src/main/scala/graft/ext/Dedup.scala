@@ -174,10 +174,17 @@ object Dedup {
     * global order, exploded to (doc_id, n, i, x) where `i` is the
     * 1-based position of x in the doc's full ordered set — the input
     * to the PPJoin positional filter in [[jaccardPairsPrefix]]. */
+  // The 1e-9 slack inside every ⌈t·n⌉ below mirrors the PPJoin
+  // positional filter's: when t·n is an integer in real arithmetic but
+  // the double product rounds a hair above it, a raw ceil overestimates
+  // by 1 — here that would shorten the prefix (a recall hole at exact-
+  // boundary pairs); in the size filters it would prune a true pair at
+  // exactly the threshold. The slack can only lengthen a prefix /
+  // admit a candidate, and the exact verify step discards any extra.
   private[graft] def prefixBlocks(sets: DataFrame, t: Double): DataFrame =
     sets.select(col("doc_id"), col("n"),
       posexplode(slice(col("xs"), lit(1),
-        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))))
+        (col("n") - ceil(col("n") * lit(t) - lit(1e-9)) + 1).cast("int"))))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("x"))
 
   /** Exhaustive exact Jaccard over shingle-id sets for pairs sharing
@@ -240,7 +247,7 @@ object Dedup {
       .join(pref.as("b"),
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=
-            ceil(greatest(col("a.n"), col("b.n")) * lit(t)))
+            ceil(greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9)))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(min(struct(col("a.i").as("ia"), col("b.i").as("ib"),
         col("a.n").as("na"), col("b.n").as("nb"))).as("m"))
@@ -282,7 +289,7 @@ object Dedup {
       explode(col("xs")).as("x"))
     val cand = pref.join(full, Seq("x"))
       .filter(col("doc_id") =!= col("doc_b") &&
-        col("nb") >= ceil(col("n") * lit(t)))
+        col("nb") >= ceil(col("n") * lit(t) - lit(1e-9)))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
     val slim = sets.select(col("doc_id"), sort_array(col("xs")).as("xs"),
       col("n"))

@@ -352,7 +352,13 @@ object Multimodal {
     // States StubDecoders.ahash60 exactly: 60 byte-range cells,
     // truncating means, bit i iff cell_i*60 > sum(cells); pairs are
     // the exhaustive all-pairs bit_count filter (banding must lose
-    // nothing at hamming <= 3).
+    // nothing at hamming <= 3). ASCII-payload assumption (m05 shares
+    // it): the SQL indexes CHARACTERS (ascii(substring(text, j, 1)))
+    // while sizing cells by octet_length(encode(text)) and the Scala
+    // kernel indexes UTF-8 BYTES — equivalent only while every
+    // payload byte is ASCII, which the document fixtures are. A
+    // multi-byte fixture would need the oracle restated over
+    // encode(text) blob bytes.
     "m06_ahash_pairs" ->
       """WITH base AS (
         |  SELECT doc_id AS media_id, text FROM documents

@@ -87,12 +87,19 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: 10 query vectors × full corpus.
-    // Query side broadcast; rank via per-query window.
+    // Query side broadcast on a constant key (ConstKey: a keyed
+    // BroadcastHashJoin with the ≠ check as residual filter — same
+    // bounded 10-row build as a nested loop, but no
+    // IdentityBroadcastMode shape anywhere on the surface); rank via
+    // the bounded-heap top-k partial aggregate.
     "s01_ann_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .withColumn("one", graft.ops.ConstKey.one(col("qid")))
+      val scored = e.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+        .join(broadcast(q), "one")
+        .filter(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn_id"),
           cosine(col("qv"), col("v")).as("cos_sim"))
       topK(scored, col("qid"), 5)
@@ -224,10 +231,20 @@ object Similarity {
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
-    // This is the EXACT all-pairs baseline: O(N²) compute with a
-    // full-corpus broadcast — correct at test SFs, but at 100× both
-    // sides die. The 100×-safe sibling is s05_blocked_nn1 (sign-band
-    // blocked candidates, same top-1 aggregate, oracle-checked).
+    // This is the EXACT all-pairs baseline — compute is inherently
+    // O(N²) (every vector scores every other) — but the PLAN is a
+    // block-grid equi-join, not a corpus broadcast: the corpus side
+    // keys by block = vec_id mod B, the probe side explodes each
+    // vector to all B partner blocks, and a SHUFFLE_HASH join on the
+    // block id meets every pair exactly once. Per-task resident state
+    // is one block (N/B vectors) regardless of N — no
+    // IdentityBroadcastMode, no BroadcastNestedLoopJoin, no memory
+    // cliff. B is the scale knob: replication factor B on the streamed
+    // probe side buys per-task memory N/B on the build side (the
+    // classic block-grid tradeoff); size B so N/B vectors fit an
+    // executor. The approximate sibling that also cuts the N² COMPUTE
+    // is s05_blocked_nn1 (sign-band blocked candidates, same top-1
+    // aggregate, oracle-checked).
     // Top-1 is a partial-aggregating max over an ordered struct —
     // map-side combine collapses the N² scored rows to one row per
     // vector per partition before any shuffle, where a window would
@@ -269,7 +286,11 @@ object Similarity {
       val q = codes.select(col("vec_id").as("qid"), col("q").as("qq"),
         col("lo").as("qlo"), col("sc").as("qsc"), col("qsum").as("qqsum"))
         .filter(col("qid") < 10)
-      val scored = codes.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .withColumn("one", graft.ops.ConstKey.one(col("qid")))
+      // Constant-key broadcast of the bounded query side (see s01).
+      val scored = codes.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+        .join(broadcast(q), "one")
+        .filter(col("qid") =!= col("vec_id"))
         .withColumn("idot",
           aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
             lit(0L), (acc, x) => acc + x))
@@ -290,8 +311,16 @@ object Similarity {
 
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
-      val b = e.select(col("vec_id").as("nn_id"), col("v").as("bv"))
-      val scored = e.join(b, col("vec_id") =!= col("nn_id"))
+      // Block-grid pair generation (see the comment above): corpus
+      // keyed by its block, probes exploded to every partner block,
+      // SHUFFLE_HASH so neither AQE nor size estimates ever turn the
+      // corpus side into a broadcast build.
+      val corpus = e.select(col("vec_id").as("nn_id"), col("v").as("bv"),
+        pmod(col("vec_id"), lit(Nn1Blocks.toLong)).cast("int").as("blk"))
+      val probes = e.select(col("vec_id"), col("v"))
+        .withColumn("blk", explode(array((0 until Nn1Blocks).map(lit): _*)))
+      val scored = probes.join(corpus.hint("shuffle_hash"), Seq("blk"))
+        .filter(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           cosine(col("v"), col("bv")).as("cos_sim"))
       scored.groupBy(col("vec_id"))
@@ -301,6 +330,17 @@ object Similarity {
           col("best.cos_sim").as("cos_sim"))
     })
   )
+
+  /** s03's block-grid width: the corpus splits into B = 32 blocks
+    * (block = vec_id mod B), each probe vector is replicated to all B
+    * blocks, and the exact NN-1 join runs as B co-partitioned
+    * hash-join cells. Per-task build memory = N/B corpus vectors —
+    * at deploy scale raise B so a block fits an executor (replication
+    * cost on the probe side grows linearly with B; compute is N²
+    * either way, that is what "exact" costs — s05 is the approximate
+    * path that cuts compute too). 32 matches local shuffle
+    * parallelism. */
+  private val Nn1Blocks = 32
 
   /** JL ±1 sign for projection output dim `j` (0-based) and input dim
     * `i` (1-based): parity of the first hex char of md5("i:j") — the

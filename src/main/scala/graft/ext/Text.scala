@@ -240,9 +240,16 @@ object Text {
         .agg(count(lit(1)).as("tf"))
       val df = tok.groupBy(col("term"))
         .agg(count_distinct(col("doc_id")).as("df"))
+      // The single-row corpus count joins on a constant key so the
+      // plan is a keyed BroadcastHashJoin, not a nested-loop
+      // IdentityBroadcastMode build ([[graft.ops.ConstKey]]) — the
+      // engine-wide PlanSpec pin holds zero BNLJ across every
+      // registered query.
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        .withColumn("one", graft.ops.ConstKey.one(col("n_docs")))
       tf.join(df, "term")
-        .crossJoin(broadcast(n))
+        .withColumn("one", graft.ops.ConstKey.one(col("tf")))
+        .join(broadcast(n), "one")
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           (col("tf").cast("double") *
             ((col("n_docs") + lit(1)).cast("double") /
@@ -313,9 +320,13 @@ object Text {
     // so the kept set is identical on every engine and cluster size).
     // The (doc, source, n_tok) frontier tokenizes once; per-source
     // totals are one tiny broadcast row per source; the corpus itself
-    // streams map-only into the verdict + partial-agg roll-up. At
-    // deploy scale the u32·tokens product wants 128-bit math once a
-    // single source exceeds 2³¹ tokens — DECIMAL(38,0) drop-in.
+    // streams map-only into the verdict + partial-agg roll-up. The
+    // draw compares in DECIMAL, not Long: u32·tok_total wraps a Long
+    // once a single source passes 2³¹ tokens (any real pre-training
+    // source does) and a wrapped product silently flips verdicts;
+    // decimal(19,0)·decimal(19,0) is exact for every Long pair (max
+    // product ~8.5e37 < 10³⁸) at one cheap widening per row. The
+    // DuckDB oracle mirrors with HUGEINT.
     "t17_budget_mix" -> ((s, dir) => {
       val fr = graft.ops.Subplan.once(docs(s, dir)
         .select(col("doc_id"), col("source"), size(toks).as("n_tok")))
@@ -326,7 +337,9 @@ object Text {
         lit(":mix"))), 1, 8), 16, 10).cast("long")
       fr.join(broadcast(tot), "source")
         .withColumn("keep",
-          u32 * col("tok_total") < col("budget") * lit(4294967296L))
+          u32.cast("decimal(19,0)") * col("tok_total").cast("decimal(19,0)") <
+            col("budget").cast("decimal(19,0)") *
+              lit(4294967296L).cast("decimal(19,0)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("keep"), 1)).as("n_kept"),
@@ -842,8 +855,8 @@ object Text {
         |      AS budget
         |  FROM fr GROUP BY source),
         |k AS (SELECT f.source, f.n_tok, t.tok_total, t.budget,
-        |    ('0x' || substr(md5(f.doc_id || ':mix'), 1, 8))::BIGINT
-        |      * t.tok_total < t.budget * 4294967296 AS keep
+        |    (('0x' || substr(md5(f.doc_id || ':mix'), 1, 8))::BIGINT)::HUGEINT
+        |      * t.tok_total < t.budget::HUGEINT * 4294967296 AS keep
         |  FROM fr f JOIN tot t USING (source))
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
