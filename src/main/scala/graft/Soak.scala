@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Skew soak for the shingle-join family (dev tool, like [[Bench]]):
+  * counts CANDIDATES — the quantity the prefix filters exist to bound
+  * — alongside verified pairs and wall time for d02 (symmetric
+  * Jaccard) and d12 (asymmetric containment), plus the corpus-shape
+  * stats that predict them (max shingle df, Σ df·(df−1)/2 = the
+  * candidate count a naive share-a-shingle join would emit).
+  *
+  * Run on `scaledata/sf1` (uniform token mix) vs `scaledata/sf1zipf`
+  * (Zipf(1.05) tokens + all-hot boiler docs — see tools/gen_sf1.py)
+  * to measure how candidate volume tracks df skew. Prints ONE JSON
+  * line.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val d = Tables(spark, sfDir, "documents")
+
+    // Corpus shape: shingle document frequencies.
+    val sh = ext.Dedup.shingles(spark, sfDir)
+    val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val shape = dfreq.agg(
+      count(lit(1)).as("n_shingles"),
+      max(col("df")).as("max_df"),
+      sum(col("df") * (col("df") - 1) / 2).cast("long").as("naive_cand")).head()
+
+    // d02 at the registered threshold.
+    val sets02 = graft.ops.Subplan.once(ext.Dedup.orderedShingleSets(sh))
+    val (c02, tc02) = timed(ext.Dedup.jaccardCandidates(sets02, 0.5).count())
+    val (p02, tp02) = timed(
+      ext.Dedup.jaccardPairsPrefix(ext.Dedup.shingles(spark, sfDir), 0.5).count())
+
+    // d12 with the registered fixture (12-token prefix twins).
+    val tk = split(trim(col("text")), "\\s+")
+    val base = d.select(col("doc_id"), col("text")).unionAll(
+      d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        array_join(slice(tk, 1, 12), " ").as("text")))
+    val sh12 = ext.Dedup.shinglesOf(base)
+    val sets12 = graft.ops.Subplan.once(ext.Dedup.orderedShingleSets(sh12))
+    val (c12, tc12) = timed(ext.Dedup.containmentCandidates(sets12, 0.9).count())
+    val (p12, tp12) = timed(ext.Dedup.containmentPairsPrefix(sh12, 0.9).count())
+
+    println(
+      s"""{"dir":"$sfDir","docs":${d.count()},""" +
+      s""""n_shingles":${shape.getLong(0)},"max_df":${shape.getLong(1)},""" +
+      s""""naive_cand":${shape.getLong(2)},""" +
+      s""""d02":{"cand":$c02,"cand_sec":$tc02,"pairs":$p02,"sec":$tp02},""" +
+      s""""d12":{"cand":$c12,"cand_sec":$tc12,"pairs":$p12,"sec":$tp12}}""")
+    spark.stop()
+  }
+}

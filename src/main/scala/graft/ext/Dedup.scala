@@ -242,8 +242,15 @@ object Dedup {
     // sets (referenced 4×: prefix self-join a/b + verify sa/sb).
     val gathered = graft.ops.Subplan.once(gatherShingleSets(sh))
     val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
+    verifyJaccard(jaccardCandidates(sets, t), sets, t)
+  }
+
+  /** d02's candidate subplan — the prefix self-join + PPJoin positional
+    * filter, exposed separately so the skew soak (graft.Soak) can count
+    * candidates without duplicating the join logic. */
+  private[graft] def jaccardCandidates(sets: DataFrame, t: Double): DataFrame = {
     val pref = prefixBlocks(sets, t)
-    val cand = pref.as("a")
+    pref.as("a")
       .join(pref.as("b"),
         col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=
@@ -264,7 +271,6 @@ object Dedup {
       .filter((lit(1) + least(col("m.na") - col("m.ia"), col("m.nb") - col("m.ib")))
         >= lit(t / (1 + t)) * (col("m.na") + col("m.nb")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(cand, sets, t)
   }
 
   /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ `t`, the
@@ -284,13 +290,7 @@ object Dedup {
   private[graft] def containmentPairsPrefix(sh: DataFrame, t: Double): DataFrame = {
     val gathered = graft.ops.Subplan.once(gatherShingleSets(sh))
     val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
-    val pref = prefixBlocks(sets, t)
-    val full = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-      explode(col("xs")).as("x"))
-    val cand = pref.join(full, Seq("x"))
-      .filter(col("doc_id") =!= col("doc_b") &&
-        col("nb") >= ceil(col("n") * lit(t) - lit(1e-9)))
-      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val cand = containmentCandidates(sets, t)
     val slim = sets.select(col("doc_id"), sort_array(col("xs")).as("xs"),
       col("n"))
     cand
@@ -301,6 +301,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("sa.n")).as("containment"))
       .filter(col("containment") >= t)
+  }
+
+  /** d12's candidate subplan — the one-sided prefix × full-set join
+    * with the size filter, exposed separately so the skew soak
+    * (graft.Soak) can count candidates without duplicating the join
+    * logic. Emits distinct ordered (doc_a contained-in doc_b) pairs. */
+  private[graft] def containmentCandidates(sets: DataFrame, t: Double): DataFrame = {
+    val pref = prefixBlocks(sets, t)
+    val full = sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      explode(col("xs")).as("x"))
+    pref.join(full, Seq("x"))
+      .filter(col("doc_id") =!= col("doc_b") &&
+        col("nb") >= ceil(col("n") * lit(t) - lit(1e-9)))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
   }
 
   /** Exact-Jaccard verification shared by the prefix-filter (d02) and

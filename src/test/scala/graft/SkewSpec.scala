@@ -9,6 +9,90 @@ import graft.sources.Timeseries
 class SkewSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Deterministic Zipf-skewed corpus: heavy-head token draws plus a
+    * 5% "boiler" class built ONLY from the 3 hottest words — the shape
+    * that puts a hot shingle in rarest-first prefixes (tools/
+    * gen_sf1.py --zipf is the sf1-sized sibling). */
+  private lazy val zipfDocs = {
+    import spark.implicits._
+    def h(k: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(k.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        b.take(7).map("%02x".format(_)).mkString, 16).toDouble) / 0xFFFFFFFFFFFFFFL
+    }
+    val V = 60
+    (0 until 1500).map { j =>
+      val toks =
+        if (j % 20 == 3) // boiler: all-hot, short
+          (0 until (8 + (h(s"bl$j") * 8).toInt))
+            .map(i => s"w${(h(s"b$j|$i") * 3).toInt}")
+        else // heavy head: cube bias toward rank 0
+          (0 until (10 + (h(s"dl$j") * 30).toInt))
+            .map(i => s"w${(math.pow(h(s"t$j|$i"), 3) * V).toInt}")
+      (j.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("zipf skew: d02/d12 candidates track content, not hot-shingle df^2") {
+    // The scale property the rarest-first prefix order buys (sf1 soak:
+    // max_df = 24% of a 51k-doc corpus, naive share-a-shingle join =
+    // 442M candidates, prefix-filtered d02 = 76k, one-sided d12 =
+    // 585k). Pinned here on a 1,500-doc corpus with the same shape: a
+    // boiler class whose shingles are simultaneously the corpus's
+    // hottest and its own prefixes — the adversarial case for the
+    // one-sided containment join.
+    val sh = ext.Dedup.shinglesOf(zipfDocs)
+    val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val shape = dfreq.agg(
+      max(col("df")).as("max_df"),
+      sum(col("df") * (col("df") - 1) / 2).cast("long").as("naive")).head()
+    val (maxDf, naive) = (shape.getLong(0), shape.getLong(1))
+    assert(maxDf > 50, s"fixture must be genuinely skewed, max_df=$maxDf")
+
+    val sets = ext.Dedup.orderedShingleSets(sh)
+    val cand02 = ext.Dedup.jaccardCandidates(sets, 0.5).count()
+    val cand12 = ext.Dedup.containmentCandidates(sets, 0.9).count()
+    // A df-blind blocking would emit ~naive candidates; the prefix
+    // filters must stay an order of magnitude under it even with hot
+    // prefixes present (measured ~40x / ~8x margins; pinned at 4x/2x
+    // so fixture drift can't flake the build).
+    assert(cand02 * 4 < naive,
+      s"d02 candidates $cand02 vs naive $naive — prefix filter regressed")
+    assert(cand12 * 2 < naive,
+      s"d12 candidates $cand12 vs naive $naive — one-sided filter regressed")
+  }
+
+  test("zipf skew: prefix filtering loses no recall on the skewed corpus") {
+    // Total-recall proofs must survive skew, not just the uniform
+    // fixture: d02's prefix pairs == the exhaustive join's pairs at
+    // the threshold, and d12's one-sided candidates cover every
+    // exhaustive containment pair.
+    val sh = ext.Dedup.shinglesOf(zipfDocs)
+    val pref = ext.Dedup.jaccardPairsPrefix(sh, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val exh = ext.Dedup.jaccardPairsExhaustive(sh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    assert(pref.exceptAll(exh).isEmpty && exh.exceptAll(pref).isEmpty,
+      "d02 prefix pairs must equal exhaustive pairs under skew")
+
+    // Exhaustive ordered containment: every (a, b) sharing a shingle,
+    // C = |A∩B| / |A| >= 0.9.
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exh12 = sh.as("a").join(sh.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .filter(col("inter").cast("double") / col("sa.n") >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val got = ext.Dedup.containmentPairsPrefix(sh, 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    assert(got.exceptAll(exh12).isEmpty && exh12.exceptAll(got).isEmpty,
+      "d12 containment pairs must equal exhaustive pairs under skew")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))

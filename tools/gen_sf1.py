@@ -21,6 +21,19 @@ statistics the dedup/ANN operators key on:
 
 Usage: python3 tools/gen_sf1.py [outdir]   (default scaledata/sf1)
 Other tables are symlinked from sf0.1 so graft.Bench runs unmodified.
+
+Zipf mode: python3 tools/gen_sf1.py --zipf [outdir=scaledata/sf1zipf]
+writes a 50,000-doc corpus whose tokens are Zipf(1.05) over a 1,000-word
+vocabulary — the shingle-df skew a real web corpus has and the uniform
+sf1 slice lacks. Three planted structures:
+- ~2% "boiler" docs (doc_id % 53 == 11): 15-30 tokens drawn ONLY from
+  the top-8 words. Their shingles are the hottest in the corpus AND
+  fill their own rarest-first prefixes — the worst case for the
+  one-sided d12 join (hot shingle on the prefix side against every
+  container holding it).
+- ~2% near-dup twins (doc_id % 100 < 2: one token changed at position
+  7, twin id + 500,000) so d02 has real pairs to find.
+- everything else: independent Zipf draws (near-dup-free background).
 """
 import hashlib
 import os
@@ -32,6 +45,58 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+
+
+def _u(key):
+    """Deterministic uniform [0,1) from a string key."""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big") / 2.0**64
+
+
+def gen_zipf(outdir):
+    os.makedirs(outdir, exist_ok=True)
+    V, N = 1000, 50000
+    vocab = [f"w{r:04d}" for r in range(V)]
+    w = 1.0 / np.power(np.arange(1, V + 1), 1.05)
+    cdf = np.cumsum(w / w.sum())
+
+    out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+
+    def emit(doc_id, toks):
+        text = " ".join(toks)
+        out["doc_id"].append(doc_id)
+        out["text"].append(text)
+        out["lang"].append("en")
+        out["source"].append(f"src{doc_id % 5}")
+        out["n_chars"].append(len(text))
+
+    for j in range(N):
+        if j % 53 == 11:  # boiler: all-hot tokens, short
+            length = 15 + int(_u(f"bl|{j}") * 16)
+            toks = [vocab[int(_u(f"bt|{j}|{i}") * 8)] for i in range(length)]
+        else:
+            length = 30 + int(_u(f"dl|{j}") * 121)
+            toks = [vocab[int(np.searchsorted(cdf, _u(f"zt|{j}|{i}")))]
+                    for i in range(length)]
+        emit(j, toks)
+        if j % 100 < 2:  # near-dup twin: one replaced token
+            tw = list(toks)
+            if len(tw) > 7:
+                tw[7] = vocab[int(np.searchsorted(cdf, _u(f"tw|{j}")))]
+            emit(j + 500000, tw)
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string()),
+        "n_chars": pa.array(out["n_chars"], pa.int64()),
+    }), f"{outdir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{outdir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    print(f"wrote {outdir}: documents={len(out['doc_id'])} (zipf)")
 
 
 def main(outdir):
@@ -88,4 +153,7 @@ def main(outdir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "scaledata/sf1")
+    if len(sys.argv) > 1 and sys.argv[1] == "--zipf":
+        gen_zipf(sys.argv[2] if len(sys.argv) > 2 else "scaledata/sf1zipf")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "scaledata/sf1")
