@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+
 
 import graft.Tables
 
@@ -22,7 +22,7 @@ import graft.Tables
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -37,7 +37,7 @@ object Similarity {
 
   /** Hot path: the fused native expression (bit-identical to the fold
     * form — same left-to-right accumulation). */
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Axis-aligned sign-bit LSH bands over a 64-dim array<double> column:
@@ -76,7 +76,7 @@ object Similarity {
     * window formulation would shuffle-and-sort every scored row.
     * Ordering (cos desc, nn_id asc) matches row_number's via the
     * negated-id tie-break field. */
-  private def topK(scored: DataFrame, key: Column, k: Int): DataFrame =
+  private[graft] def topK(scored: DataFrame, key: Column, k: Int): DataFrame =
     scored.groupBy(key)
       .agg(graft.functions.TopKAgg.topK(
         struct(col("cos_sim"), (-col("nn_id")).as("neg_id"), col("nn_id")), k)
@@ -165,7 +165,7 @@ object Similarity {
     // (s03 is the exact all-pairs baseline; its Scaladoc points here).
     // Semantics: each vector's nearest neighbor AMONG ITS SIGN-BAND
     // COLLISIONS — the deterministic axis-aligned blocking d05 proved
-    // hash-identical in DuckDB, so unlike annLsh/ivfKmeans (JVM-internal
+    // hash-identical in DuckDB, so unlike the ext.demo.MlAnn variants (JVM-internal
     // floats) this approximate NN-1 is fully oracle-checkable. Exercised
     // on the planted-twin corpus so every vector has at least one
     // collision (its sign-identical twin); natural collisions compete.
@@ -309,6 +309,45 @@ object Similarity {
           col("col.qdot").as("qdot"), (col("pos") + 1).cast("int").as("rk"))
     }),
 
+    // IVF with an integer-GRID coarse quantizer — the full
+    // build-probe-rank index topology (s02 demonstrates the probe
+    // with the label column as a ready-made cell), with a cell
+    // assignment every engine computes bit-identically: cell =
+    // (⌊v₁/0.125⌋, ⌊v₂/0.125⌋). The first two coordinates of a
+    // unit-normalized 64-d vector are ~N(0, 1/64) (std exactly
+    // 0.125), so 0.125-wide cells give ~9 populated values per axis;
+    // division by a power of two and floor are both single
+    // correctly-rounded IEEE ops, so cell ids — and therefore the
+    // CANDIDATE SET — hash-match DuckDB exactly (the determinism
+    // KMeans centroids can never give; the trained-quantizer variant
+    // lives in ext.demo.MlAnn with no correctness row). Probe = the
+    // 3×3 neighbor cells: each query explodes to 9 (c1, c2) keys and
+    // equi-joins the postings — at 100 TB the corpus shuffles ONCE on
+    // cell id at build time, probes replicate 9× (tiny side), and
+    // ranking is the bounded-heap top-k partial agg. Recall is
+    // best-effort by construction (IVF semantics): a true neighbor
+    // outside the 3×3 neighborhood is missed — the oracle probes the
+    // same 9 cells, so the check is exact over the same candidates.
+    "s08_ivf_grid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = e.select(col("vec_id"), col("v"),
+        floor(element_at(col("v"), 1) / lit(0.125)).cast("long").as("c1"),
+        floor(element_at(col("v"), 2) / lit(0.125)).cast("long").as("c2"))
+      val probes = g.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("c1").as("qc1"), col("c2").as("qc2"))
+        .withColumn("d", explode(array(
+          (for (i <- -1 to 1; j <- -1 to 1)
+            yield struct(lit(i).as("i"), lit(j).as("j"))): _*)))
+        .select(col("qid"), col("qv"),
+          (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
+      val scored = g.join(probes, Seq("c1", "c2"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+      topK(scored, col("qid"), 5)
+    }),
+
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
       // Block-grid pair generation (see the comment above): corpus
@@ -393,95 +432,6 @@ object Similarity {
     df.withColumn(vecCol, transform(col(s"${vecCol}_q8"), q =>
         q.cast("double") * col(s"${vecCol}_scale") + col(s"${vecCol}_offset")))
       .drop(s"${vecCol}_q8", s"${vecCol}_offset", s"${vecCol}_scale")
-
-  /** BucketedRandomProjectionLSH ANN (the spark.ml scale path SURVEY.md
-    * §2.8b names): random hyperplane buckets prune the candidate set,
-    * approxNearestNeighbors searches only colliding buckets. Seeded —
-    * deterministic locally, but hash family is JVM-internal so no
-    * cross-engine oracle (s01 brute force is the oracle-checked
-    * baseline; s02 is the oracle-checked IVF topology). Returns top-k
-    * by euclidean distance for one query vector id. */
-  def annLsh(s: SparkSession, dir: String, queryVecId: Long, k: Int = 5,
-      bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    val vecs = mlVecs(s, dir)
-    val model = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numTables)
-      .setSeed(42L).setInputCol("features").setOutputCol("hashes")
-      .fit(vecs)
-    // Query vector via a pushed-down single-row read of the raw table —
-    // not a second evaluation of the whole vectorizing pipeline.
-    val q = Vectors.dense(
-      Tables(s, dir, "embeddings").filter(col("vec_id") === queryVecId)
-        .head().getAs[scala.collection.Seq[Float]]("embedding")
-        .map(_.toDouble).toArray)
-    model.approxNearestNeighbors(
-        vecs.filter(col("vec_id") =!= queryVecId), q, k)
-      .select(col("vec_id").as("nn_id"), col("distCol").as("dist"))
-  }
-
-  /** The corpus lifted to spark.ml vectors — shared by every ml-side
-    * ANN path so the embedding-column handling can't diverge. */
-  private def mlVecs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    import s.implicits._
-    emb(s, dir)
-      .map(r => (r.getAs[Long]("vec_id"),
-        Vectors.dense(r.getAs[Seq[Double]]("v").toArray)))
-      .toDF("vec_id", "features")
-  }
-
-  /** The IVF index build shared by [[ivfKmeans]] and its spec: a seeded
-    * KMeans coarse quantizer over the corpus plus per-vector cell
-    * assignments. Deterministic for a fixed corpus plan + seed. */
-  def ivfIndex(s: SparkSession, dir: String, nCells: Int)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    val vecs = mlVecs(s, dir)
-    val model = new KMeans().setK(nCells).setSeed(42L)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(vecs)
-    (model, model.transform(vecs))
-  }
-
-  /** IVF with a TRAINED coarse quantizer — the 100 TB ANN index shape
-    * (s02 demonstrates the probe topology with the label column as a
-    * ready-made cell id; this is the full build): the [[ivfIndex]]
-    * KMeans assigns every corpus vector to its nearest centroid once
-    * (one pass), and a probe searches only its `nProbe` closest cells'
-    * postings via a co-partitioned equi-join on the cell id. Centroids
-    * are tiny and broadcast; the corpus shuffles once on cell id at
-    * build time and never again. Seeded ⇒ locally deterministic, but
-    * centroid floats are JVM-internal, so no cross-engine oracle (same
-    * stance as [[annLsh]]; s01/s02 are the oracle-checked baselines). */
-  def ivfKmeans(s: SparkSession, dir: String, k: Int = 5, nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
-    import s.implicits._
-    val (model, posted) = ivfIndex(s, dir, nCells)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-    val queries = emb(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    // nProbe nearest cells per query: queries × centroids is Q·nCells
-    // rows — trivially small, centroids broadcast.
-    val probes = queries.join(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cell"),
-        aggregate(zip_with(col("qv"), col("centroid"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"))
-      .withColumn("cell_rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cell").asc)))
-      .filter(col("cell_rk") <= nProbe)
-      .select(col("qid"), col("qv"), col("cell"))
-    val scored = posted.join(probes, Seq("cell"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn_id"),
-        cosine(col("qv"),
-          org.apache.spark.ml.functions.vector_to_array(col("features"))
-            .cast("array<double>"))
-          .as("cos_sim"))
-    topK(scored, col("qid"), k)
-  }
 
   private val cosSql =
     """list_dot_product(a.v, b.v)
@@ -604,6 +554,29 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, nn_id, qdot, CAST(rk AS INTEGER) AS rk
         |FROM rk WHERE rk <= 5""".stripMargin,
+    "s08_ivf_grid" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |g AS (SELECT vec_id, v,
+         |    CAST(floor(v[1] / 0.125) AS BIGINT) AS c1,
+         |    CAST(floor(v[2] / 0.125) AS BIGINT) AS c2
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, c1 AS qc1, c2 AS qc2
+         |  FROM g WHERE vec_id < 10),
+         |cand AS (SELECT q.qid, q.qv, g.vec_id AS nn_id, g.v
+         |  FROM q JOIN g
+         |    ON g.c1 BETWEEN q.qc1 - 1 AND q.qc1 + 1
+         |   AND g.c2 BETWEEN q.qc2 - 1 AND q.qc2 + 1
+         |   AND g.vec_id <> q.qid),
+         |scored AS (SELECT qid, nn_id,
+         |    list_dot_product(qv, v)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+         |      AS cos_sim
+         |  FROM cand),
+         |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 5""".stripMargin,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -112,7 +112,7 @@ class BucketSpec extends AnyFunSuite {
   test("BRP-LSH ANN returns plausible neighbors vs brute force") {
     val brute = SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
       .filter(col("qid") === 0).collect().map(_.getAs[Long]("nn_id")).toSet
-    val lsh = Similarity.annLsh(spark, sf, queryVecId = 0L, k = 5,
+    val lsh = ext.demo.MlAnn.annLsh(spark, sf, queryVecId = 0L, k = 5,
         bucketLength = 5.0, numTables = 8)
       .collect().map(_.getAs[Long]("nn_id")).toSet
     assert(lsh.size == 5)

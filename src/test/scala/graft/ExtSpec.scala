@@ -314,7 +314,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("ivfKmeans probes only its nProbe cells and ranks candidates exactly") {
-    val got = ext.Similarity.ivfKmeans(spark, sf, k = 5, nCells = 4, nProbe = 2)
+    val got = ext.demo.MlAnn.ivfKmeans(spark, sf, k = 5, nCells = 4, nProbe = 2)
       .collect()
     assert(got.nonEmpty)
     got.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
@@ -331,7 +331,7 @@ class ExtSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .collect().map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
-    val (model, posted) = ext.Similarity.ivfIndex(spark, sf, 4)
+    val (model, posted) = ext.demo.MlAnn.ivfIndex(spark, sf, 4)
     val cellOf = posted.select("vec_id", "cell").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
