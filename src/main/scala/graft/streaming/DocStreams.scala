@@ -154,6 +154,125 @@ object DocStreams extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class ShingleDoc(x: Long, doc_id: Long, ts: Timestamp, xs: Seq[Long])
+  case class ContainPair(doc_a: Long, doc_b: Long, containment: Double)
+
+  /** Contained side's prefix length under threshold `t`: the first
+    * n − ⌈t·n⌉ + 1 shingles in the fixed order — the exact batch
+    * formula including the 1e-9 ceil slack (Dedup.prefixBlocks). */
+  private def prefLen(n: Int, t: Double): Int =
+    n - math.ceil(n * t - 1e-9).toInt + 1
+
+  /** Two-cursor intersection count over sorted distinct arrays — the
+    * JVM twin of the batch SortedIntersectCount merge scan. */
+  private def interCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Streaming twin of batch d12 ([[Dedup.containmentPairsPrefix]]):
+    * asymmetric containment pairs C(A→B) = |A∩B| / |A| ≥ `threshold`
+    * — the quote/subset detector — between documents arriving within
+    * `ttl` of each other. Emits ordered (doc_a contained-in doc_b,
+    * containment), exactly the batch columns.
+    *
+    * The batch prefix filter needs only SOME fixed total order on
+    * shingles (the recall pigeonhole is order-agnostic; batch picks
+    * df-ascending to minimize join cost). A stream cannot know global
+    * document frequencies, so the twin orders by SHINGLE ID — fully
+    * row-local (one sort_array per doc) — and keys buckets by shingle:
+    * every arriving doc explodes its FULL sorted set to its shingles'
+    * buckets, and state per bucket holds the recent members' sets
+    * (the [[BucketDoc]] shape d03's twin uses). On arrival, a member
+    * pairs in whichever direction has bucket shingle `x` inside the
+    * CONTAINED side's id-order prefix (a binary search against the
+    * stored sorted set — no flag to keep in state); the batch size
+    * filter (n_b ≥ ⌈t·n_a⌉, same 1e-9 slack) gates before the exact
+    * merge-scan verify, so the containment values are bit-identical
+    * to batch. Recall: if C(A→B) ≥ t then A's prefix intersects B
+    * (pigeonhole), and that shared shingle's bucket sees both docs.
+    *
+    * A pair can collide in several prefix buckets — dedup downstream,
+    * as with every banded twin. State: a hot shingle's bucket holds
+    * every recent doc containing it (the streaming form of d12's
+    * documented unpruned-container-side caveat), bounded by the
+    * ttl/watermark machinery, and each arrival's work in that bucket
+    * is one binary search per member unless the prefix check passes —
+    * the high-threshold contract that keeps batch d12 cheap keeps the
+    * hot buckets cheap here too (round-7 Zipf soak: prefix hits are
+    * ~2% of container-side df even with hot prefixes planted). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+      watermarkDelay: String = "1 hour",
+      ttlMinutes: Int = 24 * 60): Dataset[ContainPair] = {
+    import docs.sparkSession.implicits._
+    val ttlUs = ttlMinutes * 60L * 1000000L
+
+    def update(x: Long, batch: Iterator[ShingleDoc],
+        state: GroupState[BucketState]): Iterator[ContainPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
+        var cur = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+        val out = Seq.newBuilder[ContainPair]
+        // Watermark-based retention + symmetric comparison, exactly as
+        // nearDupPairs ([[wmCutMicros]]).
+        val wmCut = wmCutMicros(scala.util.Try(
+          state.getCurrentWatermarkMs()).getOrElse(Long.MinValue), ttlUs)
+        var live = cur.docs.filter(b => b.tsMicros >= wmCut)
+        var maxTs = cur.maxTsMicros
+        arrived.foreach { d =>
+          val m = micros(d.ts)
+          val dxs = d.xs.toArray // sorted distinct (sort_array upstream)
+          val dIdx = java.util.Arrays.binarySearch(dxs, x)
+          val dPref = prefLen(dxs.length, threshold)
+          live.foreach { b =>
+            if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
+              val bxs = b.xs.toArray
+              // arriving doc contained in member: x in d's prefix.
+              if (dIdx >= 0 && dIdx < dPref &&
+                  bxs.length >= math.ceil(dxs.length * threshold - 1e-9)) {
+                val c = interCount(dxs, bxs).toDouble / dxs.length
+                if (c >= threshold) out += ContainPair(d.doc_id, b.docId, c)
+              }
+              // member contained in arriving doc: x in b's prefix.
+              val bIdx = java.util.Arrays.binarySearch(bxs, x)
+              if (bIdx >= 0 && bIdx < prefLen(bxs.length, threshold) &&
+                  dxs.length >= math.ceil(bxs.length * threshold - 1e-9)) {
+                val c = interCount(bxs, dxs).toDouble / bxs.length
+                if (c >= threshold) out += ContainPair(b.docId, d.doc_id, c)
+              }
+            }
+          }
+          live = BucketDoc(d.doc_id, m, d.xs) :: live
+          maxTs = math.max(maxTs, m)
+        }
+        cur = BucketState(live, maxTs)
+        state.update(cur)
+        val wm = scala.util.Try(state.getCurrentWatermarkMs())
+          .getOrElse(Long.MinValue)
+        state.setTimeoutTimestamp(
+          math.max(cur.maxTsMicros / 1000L + ttlUs / 1000L, wm + 1))
+        out.result().iterator
+      }
+    }
+
+    docs
+      .select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("ts"), sort_array(Dedup.shingleSetCol).as("xs"))
+      .select(explode(col("xs")).as("x"), col("doc_id"), col("ts"), col("xs"))
+      .withWatermark("ts", watermarkDelay)
+      .as[ShingleDoc]
+      .groupByKey(_.x)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class SigBanded(band: Int, key: Long, doc_id: Long,
       ts: Timestamp, simhash: Long)
   case class SigMember(docId: Long, tsMicros: Long, simhash: Long)

@@ -250,6 +250,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment filter replays to exactly the batch d12 pairs") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_contain_stream").toString
+    // The batch d12 corpus: every doc plus its 12-token-prefix twin
+    // (id + 10^9, sharing its original's second) — the pair class only
+    // containment finds. Two microbatches (split by doc_id parity, both
+    // halves carrying originals AND twins) so pairing spans triggers.
+    val d = Tables(spark, sf, "documents")
+    assert(d.count() <= 86400L,
+      "ts packs 1 doc/second (twins share their original's second) — a larger " +
+        "fixture would push pairs past the 24 h ttl by design, not by bug")
+    val tk = split(trim(col("text")), "\\s+")
+    val base = d.select(col("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        array_join(slice(tk, 1, 12), " ").as("text")))
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % lit(1000000000L)).as("ts"),
+        col("text"))
+    val pairs = DocStreams.containmentPairs(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("contain_stream").start()
+    try {
+      Seq(0, 1).foreach { par =>
+        base.filter(col("doc_id") % 2 === par)
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // multi-prefix-bucket collisions emit once per bucket: dedup
+      // downstream, as the operator contract states
+      val got = spark.table("contain_stream").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("containment"))).toSet
+      val want = SparkEntry.queries("d12_containment")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("containment"))).toSet
+      assert(want.nonEmpty, "corpus must contain containment pairs")
+      assert(got == want,
+        s"streamed containment pairs diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup filter replays to exactly the batch d05 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_embdup_stream").toString
