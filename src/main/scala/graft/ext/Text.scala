@@ -439,6 +439,59 @@ object Text {
               e.getField("tf").cast("string"))), ",").as("postings"))
     }),
 
+    // Incremental postings maintenance — the index-side sibling of
+    // d11's incremental dedup: merge a small NEW batch into the big
+    // EXISTING blocked index (t19's layout) touching ONLY the (term,
+    // block) rows the batch lands in. The asymmetry is the scale
+    // story: the existing index materializes once (Subplan.once — in
+    // deployment it IS the stored index; the checkpoint stands in for
+    // the table scan), the batch side's touched keys and entries are
+    // tiny and BROADCAST into every join, so the existing postings
+    // never shuffle — untouched rows are never even rewritten. The
+    // merge (array_sort over concat) reproduces exactly what a full
+    // t19 rebuild would emit for the touched keys, which is what the
+    // oracle states. Fixture: batch = doc_id % 8 == 0 (d11's split).
+    // Emits (term, block, n_docs, n_occ, postings, n_new).
+    "t21_index_delta" -> ((s, dir) => {
+      val b = 128
+      val base = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 8 === 0).as("is_batch"), col("text"))
+      def tfOf(side: DataFrame): DataFrame = side
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("block", expr(s"doc_id div $b"))
+      val existing = graft.ops.Subplan.once(
+        tfOf(base.filter(!col("is_batch")))
+          .groupBy(col("term"), col("block"))
+          .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries")))
+      val delta = tfOf(base.filter(col("is_batch")))
+        .groupBy(col("term"), col("block"))
+        .agg(collect_list(struct(col("doc_id"), col("tf"))).as("new_entries"))
+      // Touched existing rows: the index streams map-only through a
+      // broadcast of the batch's keys; everything untouched drops here.
+      val touched = existing
+        .join(broadcast(delta.select(col("term"), col("block"))),
+          Seq("term", "block"))
+      // Merge: every output key is in the delta by construction, so a
+      // left join FROM the delta over the (tiny) touched rows loses
+      // nothing; sorting the concatenated entries reproduces the
+      // full-rebuild postings order (doc_ids are disjoint across
+      // sides — a doc is batch or corpus, never both).
+      delta.join(broadcast(touched), Seq("term", "block"), "left")
+        .withColumn("entries", array_sort(concat(
+          coalesce(col("entries"),
+            array().cast("array<struct<doc_id:bigint,tf:bigint>>")),
+          col("new_entries"))))
+        .select(col("term"), col("block"),
+          size(col("entries")).cast("long").as("n_docs"),
+          aggregate(col("entries"), lit(0L),
+            (acc, e) => acc + e.getField("tf")).as("n_occ"),
+          array_join(transform(col("entries"),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+              e.getField("tf").cast("string"))), ",").as("postings"),
+          size(col("new_entries")).cast("long").as("n_new"))
+    }),
+
     // Greedy budget prefix — the deterministic sibling of t17's
     // probabilistic mixing: each source contributes its FIRST docs in
     // (source, doc_id) order until its token budget is crossed; every
@@ -831,6 +884,26 @@ object Text {
         |  CAST(SUM(tf) AS BIGINT) AS n_occ,
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term, doc_id // 128""".stripMargin,
+    // The merged delta equals a full t19 rebuild restricted to the
+    // touched (term, block) keys — the oracle states that rebuild.
+    "t21_index_delta" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 = 0 AS is_batch, text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, is_batch,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM base),
+        |tf AS (SELECT term, doc_id, is_batch, COUNT(*) AS tf
+        |  FROM tok GROUP BY 1, 2, 3),
+        |tfb AS (SELECT term, doc_id, is_batch, tf,
+        |    CAST(doc_id // 128 AS BIGINT) AS block FROM tf),
+        |touched AS (SELECT DISTINCT term, block FROM tfb WHERE is_batch)
+        |SELECT t.term, t.block,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tf) AS BIGINT) AS n_occ,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings,
+        |  CAST(COUNT(CASE WHEN is_batch THEN 1 END) AS BIGINT) AS n_new
+        |FROM tfb t JOIN touched u ON t.term = u.term AND t.block = u.block
+        |GROUP BY t.term, t.block""".stripMargin,
     "t18_budget_prefix" ->
       """WITH t AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok

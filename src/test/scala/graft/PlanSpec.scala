@@ -194,6 +194,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t21: the existing index never shuffles — batch side broadcasts everywhere") {
+    val p = plan("t21_index_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"touched-key pruning and the merge must broadcast the batch side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge would shuffle the existing postings — the regression " +
+        s"the broadcast exists to prevent:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the existing index is the materialized store-in for the stored " +
+        s"table — the delta path must read it, not rebuild it:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
