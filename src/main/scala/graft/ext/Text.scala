@@ -439,6 +439,52 @@ object Text {
               e.getField("tf").cast("string"))), ",").as("postings"))
     }),
 
+    // N-gram LM "perplexity" quality filter — the count-based LM cut
+    // (CCNet-style) a pre-training pipeline runs after the cheap
+    // heuristics: score each doc by how surprising its bigrams are
+    // under a corpus-trained MLE bigram model p(v|u) = c(uv)/c(u·).
+    // True perplexity exponentiates a mean of logs; logs are
+    // engine-specific libm calls no hash check can survive, so the
+    // registered score is the monotone-for-filtering surrogate
+    //   surprise = mean over positions of 1/p(v|u)
+    // with each inverse probability 2⁻²⁰-quantized to an INTEGER
+    //   s_i = (c(u·) · 2²⁰) div c(uv)
+    // — integer division and an order-free integer sum (t17's
+    // exact-integer discipline; no float accumulates), then ONE
+    // correctly-rounded double division sq / (m·2²⁰) at the end, so
+    // scores hash-match DuckDB bit-for-bit. AM ≥ GM: the arithmetic
+    // mean upper-bounds the geometric one perplexity uses — same tail
+    // it exists to cut (c(u·) counts u as a bigram PREFIX, so p is a
+    // proper conditional; every scored bigram has c ≥ 1 because the
+    // model is corpus-self-trained — the fixture-deterministic stance;
+    // a held-out LM adds smoothing, not new topology). Token/bigram
+    // ids are the house 36-bit md5 ints (Dedup.ngramIdCol). Topology
+    // at 100 TB: two content-keyed count shuffles (the LM "training"),
+    // two content-keyed equi-joins to score, one per-doc partial agg —
+    // nothing pairwise, nothing broadcast-unbounded; prune the count
+    // tables to top-k + an OOV floor and they broadcast instead (knob,
+    // same stance as t16's vocab cut).
+    "t22_lm_perplexity" -> ((s, dir) => {
+      val q = 1048576L // 2^20
+      val pos = graft.ops.Subplan.once(docs(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(Dedup.ngramIdCol(1), lit(1), size(col("tk")) - 1),
+            Dedup.ngramIdCol(2))).as("z"))
+        .select(col("doc_id"), col("z.0").as("u"), col("z.1").as("b")))
+      val cu = pos.groupBy(col("u")).agg(count(lit(1)).as("c1"))
+      val cb = pos.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      pos.join(cu, "u").join(cb, "b")
+        .withColumn("s", expr(s"(c1 * $q) div c2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sq").cast("double") /
+            (col("n_bigrams") * lit(q)).cast("double")).as("surprise"))
+    }),
+
     // Incremental postings maintenance — the index-side sibling of
     // d11's incremental dedup: merge a small NEW batch into the big
     // EXISTING blocked index (t19's layout) touching ONLY the (term,
@@ -884,6 +930,23 @@ object Text {
         |  CAST(SUM(tf) AS BIGINT) AS n_occ,
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY term, doc_id // 128""".stripMargin,
+    "t22_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |pos AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tk[i]), 1, 9))::BIGINT AS u,
+        |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 9))::BIGINT AS b
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |cu AS (SELECT u, COUNT(*) AS c1 FROM pos GROUP BY 1),
+        |cb AS (SELECT b, COUNT(*) AS c2 FROM pos GROUP BY 1),
+        |sc AS (SELECT doc_id, (c1 * 1048576) // c2 AS s
+        |  FROM pos JOIN cu USING (u) JOIN cb USING (b))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
+        |    AS surprise
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // The merged delta equals a full t19 rebuild restricted to the
     // touched (term, block) keys — the oracle states that rebuild.
     "t21_index_delta" ->

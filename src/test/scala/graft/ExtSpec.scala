@@ -453,6 +453,49 @@ class ExtSpec extends AnyFunSuite {
     assert(dfIdx == df6)
   }
 
+  test("t21 index delta: merged rows equal the full rebuild on touched keys") {
+    // t21's corpus+batch split covers ALL docs, so a merged (term,
+    // block) row must equal the full t19 build's row for that key —
+    // the incremental path may touch fewer rows, never produce
+    // different ones.
+    val t19 = SparkEntry.queries("t19_inverted_index")(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("block")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+          r.getAs[String]("postings"))).toMap
+    val t21 = SparkEntry.queries("t21_index_delta")(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("block"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+        r.getAs[String]("postings"), r.getAs[Long]("n_new")))
+    assert(t21.nonEmpty)
+    t21.foreach { case (term, block, nDocs, nOcc, postings, nNew) =>
+      assert(nNew >= 1, s"$term/$block emitted without a batch doc")
+      assert(t19((term, block)) == ((nDocs, nOcc, postings)),
+        s"$term/$block merged row diverges from the full rebuild")
+      // the batch split is doc_id % 8 == 0 — count them in postings
+      val batchDocs = postings.split(",")
+        .count(_.split(":")(0).toLong % 8 == 0)
+      assert(batchDocs == nNew, s"$term/$block n_new miscounts batch docs")
+    }
+    // untouched keys stay untouched: t21 emits a strict subset
+    assert(t21.length < t19.size,
+      "the delta must not rewrite the whole index")
+  }
+
+  test("t22 LM surprise: scores are >= 1, vary, and cover every scorable doc") {
+    val rows = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("surprise")))
+    val scorable = Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(rows.length == scorable, "every >=2-token doc gets a score")
+    // c2 <= c1 always (each bigram occurrence is a prefix occurrence
+    // of u), so every quantized inverse probability is >= 2^20 and
+    // the mean is >= 1 exactly.
+    assert(rows.forall(_._3 >= 1.0), "inverse probability below 1")
+    assert(rows.map(_._3).distinct.length > 1,
+      "surprise must separate docs, not collapse to a constant")
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
