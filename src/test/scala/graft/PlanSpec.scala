@@ -194,6 +194,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s08: grid IVF probes are a cell-key equi-join + bounded-heap top-k") {
+    val p = plan("s08_ivf_grid")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must come from the (c1, c2) cell equi-join:\n$p")
+    assert(p.contains("partial_top_k"),
+      s"ranking must bounded-heap partial-aggregate, not window-sort:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("t21: the existing index never shuffles — batch side broadcasts everywhere") {
     val p = plan("t21_index_delta")
     assert(p.contains("BroadcastHashJoin"),
