@@ -228,28 +228,6 @@ object Similarity {
           col("col").as("val"))
     }),
 
-    // Embedding near-dup: each vector's single nearest neighbor — the
-    // building block of cosine-threshold dedup (threshold applied
-    // downstream; this corpus is random so a fixed 0.95 cut is empty).
-    // This is the EXACT all-pairs baseline — compute is inherently
-    // O(N²) (every vector scores every other) — but the PLAN is a
-    // block-grid equi-join, not a corpus broadcast: the corpus side
-    // keys by block = vec_id mod B, the probe side explodes each
-    // vector to all B partner blocks, and a SHUFFLE_HASH join on the
-    // block id meets every pair exactly once. Per-task resident state
-    // is one block (N/B vectors) regardless of N — no
-    // IdentityBroadcastMode, no BroadcastNestedLoopJoin, no memory
-    // cliff. B is the scale knob: replication factor B on the streamed
-    // probe side buys per-task memory N/B on the build side (the
-    // classic block-grid tradeoff); size B so N/B vectors fit an
-    // executor. The approximate sibling that also cuts the N² COMPUTE
-    // is s05_blocked_nn1 (sign-band blocked candidates, same top-1
-    // aggregate, oracle-checked).
-    // Top-1 is a partial-aggregating max over an ordered struct —
-    // map-side combine collapses the N² scored rows to one row per
-    // vector per partition before any shuffle, where a window would
-    // shuffle and sort all N² rows. Tie-break matches the window form:
-    // highest cosine, then lowest nn_id (via negated id in the struct).
     // Int8 scalar quantization under oracle check ([[quantize]] is the
     // library form; this emits its exact arithmetic as exploded
     // scalars — the harness can't hash array cells). Every step is a
@@ -348,6 +326,28 @@ object Similarity {
       topK(scored, col("qid"), 5)
     }),
 
+    // Embedding near-dup: each vector's single nearest neighbor — the
+    // building block of cosine-threshold dedup (threshold applied
+    // downstream; this corpus is random so a fixed 0.95 cut is empty).
+    // This is the EXACT all-pairs baseline — compute is inherently
+    // O(N²) (every vector scores every other) — but the PLAN is a
+    // block-grid equi-join, not a corpus broadcast: the corpus side
+    // keys by block = vec_id mod B, the probe side explodes each
+    // vector to all B partner blocks, and a SHUFFLE_HASH join on the
+    // block id meets every pair exactly once. Per-task resident state
+    // is one block (N/B vectors) regardless of N — no
+    // IdentityBroadcastMode, no BroadcastNestedLoopJoin, no memory
+    // cliff. B is the scale knob: replication factor B on the streamed
+    // probe side buys per-task memory N/B on the build side (the
+    // classic block-grid tradeoff); size B so N/B vectors fit an
+    // executor. The approximate sibling that also cuts the N² COMPUTE
+    // is s05_blocked_nn1 (sign-band blocked candidates, same top-1
+    // aggregate, oracle-checked).
+    // Top-1 is a partial-aggregating max over an ordered struct —
+    // map-side combine collapses the N² scored rows to one row per
+    // vector per partition before any shuffle, where a window would
+    // shuffle and sort all N² rows. Tie-break matches the window form:
+    // highest cosine, then lowest nn_id (via negated id in the struct).
     "s03_embedding_nn1" -> ((s, dir) => {
       val e = emb(s, dir)
       // Block-grid pair generation (see the comment above): corpus
