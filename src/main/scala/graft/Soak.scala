@@ -51,12 +51,8 @@ object Soak {
     val (p02, tp02) = timed(
       ext.Dedup.jaccardPairsPrefix(ext.Dedup.shingles(spark, sfDir), 0.5).count())
 
-    // d12 with the registered fixture (12-token prefix twins).
-    val tk = split(trim(col("text")), "\\s+")
-    val base = d.select(col("doc_id"), col("text")).unionAll(
-      d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
-        array_join(slice(tk, 1, 12), " ").as("text")))
-    val sh12 = ext.Dedup.shinglesOf(base)
+    // d12 with the registered fixture (one definition: withPrefixTwins).
+    val sh12 = ext.Dedup.shinglesOf(ext.Dedup.withPrefixTwins(d))
     val sets12 = graft.ops.Subplan.once(ext.Dedup.orderedShingleSets(sh12))
     val (c12, tc12) = timed(ext.Dedup.containmentCandidates(sets12, 0.9).count())
     val (p12, tp12) = timed(ext.Dedup.containmentPairsPrefix(sh12, 0.9).count())

@@ -131,6 +131,20 @@ object Dedup {
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(docs(s, dir))
 
+  /** The d12 containment fixture: every doc unions with its
+    * 12-token-prefix twin at doc_id + 10⁹ — C(twin→doc) = 1.0 at
+    * J ≈ 0.15, the pair class only containment finds. ONE definition
+    * for the registered query, the skew soak (graft.Soak), and the
+    * streaming replay spec, so the three can never drift (the
+    * Similarity.withPlantedTwins discipline). */
+  private[graft] def withPrefixTwins(d: DataFrame): DataFrame = {
+    val tk = split(trim(col("text")), "\\s+")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        array_join(slice(tk, 1, 12), " ").as("text")))
+  }
+
   /** [[shingles]] over any (doc_id, text) frame — the d12 containment
     * fixture unions prefix twins in before shingling. */
   private[graft] def shinglesOf(d: DataFrame): DataFrame =
@@ -421,19 +435,12 @@ object Dedup {
     }),
 
     // Asymmetric containment (quote/subset) dedup — see
-    // [[containmentPairsPrefix]]. Fixture: every doc unions with a
-    // 12-token-prefix twin at doc_id + 10⁹ — C(twin→doc) = 1.0 at
-    // J ≈ 0.15, the pair class ONLY containment finds (d02/d03 at
-    // J ≥ 0.5 structurally cannot). The oracle is the exhaustive
+    // [[containmentPairsPrefix]]. Fixture: [[withPrefixTwins]] — the
+    // pair class ONLY containment finds (d02/d03 at J ≥ 0.5
+    // structurally cannot). The oracle is the exhaustive
     // all-ordered-pairs form — the prefix filter must lose nothing.
-    "d12_containment" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val base = d.select(col("doc_id"), col("text"))
-        .unionAll(d.select(
-          (col("doc_id") + lit(1000000000L)).as("doc_id"),
-          array_join(slice(toks, 1, 12), " ").as("text")))
-      containmentPairsPrefix(shinglesOf(base), 0.9)
-    }),
+    "d12_containment" -> ((s, dir) =>
+      containmentPairsPrefix(shinglesOf(withPrefixTwins(docs(s, dir))), 0.9)),
 
     // Dedup clustering: near-dup PAIRS are not a dedup decision — the
     // training-data step is connected components over the pair graph,

@@ -476,8 +476,23 @@ object Text {
         .select(col("doc_id"), col("z.0").as("u"), col("z.1").as("b")))
       val cu = pos.groupBy(col("u")).agg(count(lit(1)).as("c1"))
       val cb = pos.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      // Overflow guards, t17's lesson applied loudly instead of
+      // silently: c1·2²⁰ wraps a Long once a prefix token passes 2⁴²
+      // occurrences, and the per-doc sum wraps once a position's s
+      // passes ~2⁴⁰ with a multi-million-token doc — both plausible
+      // ONLY at deploy scale, where the DECIMAL(38,0) restatement of
+      // this expression (and a HUGEINT oracle) is the drop-in. Until
+      // then an oversized corpus fails with an error, never a wrapped
+      // verdict.
       pos.join(cu, "u").join(cb, "b")
-        .withColumn("s", expr(s"(c1 * $q) div c2"))
+        .withColumn("s",
+          when(col("c1") > lit(1L << 42), expr(
+            "raise_error('t22: prefix-token count exceeds 2^42 - " +
+              "restate the quantized draw in DECIMAL(38,0)')"))
+          .when(expr(s"(c1 * $q) div c2") > lit(1L << 40), expr(
+            "raise_error('t22: quantized inverse probability exceeds " +
+              "2^40 - restate the quantized draw in DECIMAL(38,0)')"))
+          .otherwise(expr(s"(c1 * $q) div c2")))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
         .select(col("doc_id"), col("n_bigrams"),

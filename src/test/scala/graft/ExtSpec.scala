@@ -469,7 +469,10 @@ class ExtSpec extends AnyFunSuite {
     assert(t21.nonEmpty)
     t21.foreach { case (term, block, nDocs, nOcc, postings, nNew) =>
       assert(nNew >= 1, s"$term/$block emitted without a batch doc")
-      assert(t19((term, block)) == ((nDocs, nOcc, postings)),
+      val full = t19.get((term, block))
+      assert(full.isDefined,
+        s"$term/$block emitted by the delta but absent from the full rebuild")
+      assert(full.get == ((nDocs, nOcc, postings)),
         s"$term/$block merged row diverges from the full rebuild")
       // the batch split is doc_id % 8 == 0 — count them in postings
       val batchDocs = postings.split(",")

@@ -10,8 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  // Memoized: plan construction is not free — Subplan.once queries run
+  // their eager localCheckpoint jobs at build time, and the engine-wide
+  // no-BNLJ loop visits every query the per-query tests also visit.
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def plan(name: String): String = planCache.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
 
   test("q02: predicates push down to the parquet scan") {
     val p = plan("q02_filter_predicates")

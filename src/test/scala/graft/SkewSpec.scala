@@ -15,6 +15,9 @@ class SkewSpec extends AnyFunSuite {
     * gen_sf1.py --zipf is the sf1-sized sibling). */
   private lazy val zipfDocs = {
     import spark.implicits._
+    // md5 → uniform [0,1): 7 bytes (56 bits) so the hex parse stays
+    // inside signed-Long range — same distribution as gen_sf1.py's
+    // 8-byte _u, narrower only to avoid parseUnsignedLong gymnastics.
     def h(k: String): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val b = md.digest(k.getBytes("UTF-8"))

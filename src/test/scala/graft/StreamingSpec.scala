@@ -253,18 +253,20 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming containment filter replays to exactly the batch d12 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_contain_stream").toString
-    // The batch d12 corpus: every doc plus its 12-token-prefix twin
-    // (id + 10^9, sharing its original's second) — the pair class only
+    // The batch d12 corpus (one definition: Dedup.withPrefixTwins;
+    // twins share their original's second) — the pair class only
     // containment finds. Two microbatches (split by doc_id parity, both
     // halves carrying originals AND twins) so pairing spans triggers.
     val d = Tables(spark, sf, "documents")
-    assert(d.count() <= 86400L,
-      "ts packs 1 doc/second (twins share their original's second) — a larger " +
-        "fixture would push pairs past the 24 h ttl by design, not by bug")
-    val tk = split(trim(col("text")), "\\s+")
-    val base = d.select(col("doc_id"), col("text"))
-      .unionAll(d.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
-        array_join(slice(tk, 1, 12), " ").as("text")))
+    // 1 doc/second: the BINDING bound here is the operator's 1 h
+    // watermark delay, not the 24 h ttl — batch 2 replays ts from the
+    // corpus start, so a fixture spanning > 3600 s would have batch
+    // 2's oldest rows dropped as late input (by design of the
+    // watermark, not a bug in the operator).
+    assert(d.count() <= 3600L,
+      "fixture span must stay inside the 1 h watermark delay — batch 2 " +
+        "re-delivers early timestamps after batch 1 advanced the watermark")
+    val base = ext.Dedup.withPrefixTwins(d)
       .select(col("doc_id"),
         timestamp_seconds(lit(1700000000L) + col("doc_id") % lit(1000000000L)).as("ts"),
         col("text"))
