@@ -250,7 +250,7 @@ object Ccd {
         // still records that the observations were used).
         segStart = n
       } else {
-        var fitEnd = segStart + MinObs // exclusive
+        val fitEnd = segStart + MinObs // exclusive
         var fits = fitBands(rows, obs, segStart, fitEnd)
         var broke = false
         var i = fitEnd

@@ -2,7 +2,7 @@ package graft.ccd
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.types.{ArdRow, ChipRec, PixelRec, Segment}

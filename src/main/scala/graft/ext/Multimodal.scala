@@ -212,7 +212,6 @@ object Multimodal {
     // row-sorts in pandas, which can't hash array cells (m01's
     // discipline).
     "m03_resize2x" -> ((s, dir) => {
-      import s.implicits._
       resizeMedia(s, dir)
         .toDF("media_id", "ow", "oh", "pixels")
         .select(col("media_id"), col("ow"), col("oh"),
