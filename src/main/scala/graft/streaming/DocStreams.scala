@@ -599,6 +599,64 @@ object DocStreams extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class TermDoc(term: String, block: Long, doc_id: Long,
+      ts: Timestamp, tf: Long)
+  case class PostingsState(entries: List[(Long, Long)])
+  case class PostingsRow(term: String, block: Long, n_docs: Long,
+      n_occ: Long, postings: String)
+
+  /** Streaming twin of t19/t21: live inverted-index maintenance on an
+    * ingest stream. Each arriving doc's per-term tf is ROW-LOCAL
+    * column algebra (one doc's counts need no shuffle — the
+    * shingleSetCol stance); rows key by (term, doc-block of 128) and
+    * per-key state holds that block's postings. Every trigger emits
+    * the UPDATED merged row per touched key — the delta a sink
+    * upserts, exactly batch t21's touched-rows-only contract, and the
+    * last emission per key equals the batch t19 build over everything
+    * seen (StreamingSpec pins the replay; n_docs grows monotonically
+    * per key, so "last" = max n_docs).
+    *
+    * State is the index itself, deliberately never timed out (an
+    * index lives as long as the stream — the budgetPrefix NoTimeout
+    * stance), and BOUNDED PER KEY at 128 entries by the same doc-id
+    * blocking that bounds batch t19's row width: a hot term spreads
+    * over many (term, block) keys instead of growing any one of them.
+    * At deploy scale the state store IS the serving index shard. */
+  def indexMaintenance(docs: DataFrame, blockWidth: Long = 128L)
+      : Dataset[PostingsRow] = {
+    import docs.sparkSession.implicits._
+
+    def update(key: (String, Long), batch: Iterator[TermDoc],
+        state: GroupState[PostingsState]): Iterator[PostingsRow] = {
+      val cur = state.getOption.getOrElse(PostingsState(Nil))
+      // insert-sorted by doc_id; a re-delivered (doc, term) replaces
+      // its entry (at-least-once ingest safety) rather than duplicating
+      val merged = (cur.entries.toMap ++ batch.map(d => d.doc_id -> d.tf))
+        .toList.sortBy(_._1)
+      state.update(PostingsState(merged))
+      Iterator.single(PostingsRow(key._1, key._2,
+        merged.size.toLong, merged.map(_._2).sum,
+        merged.map { case (d, t) => s"$d:$t" }.mkString(",")))
+    }
+
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      // row-local per-doc tf: distinct terms × an exact count each —
+      // one doc's histogram, no streaming aggregation state needed
+      .select(col("doc_id"), col("ts"),
+        explode(expr("transform(array_distinct(tk), t -> " +
+          "struct(t as term, size(filter(tk, x -> x = t)) as tf))")).as("e"))
+      .select(col("e.term").as("term"),
+        expr(s"doc_id div $blockWidth").as("block"),
+        col("doc_id"), col("ts"), col("e.tf").cast("long").as("tf"))
+      .as[TermDoc]
+      .groupByKey(d => (d.term, d.block))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
     * TOKEN estimates over the document stream, via the deduplicating
     * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot

@@ -295,6 +295,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index maintenance converges to exactly the batch t19 build") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_index_stream").toString
+    val d = Tables(spark, sf, "documents")
+    val base = d.select(col("doc_id"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+      col("text"))
+    val rows = DocStreams.indexMaintenance(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir))
+    val q = rows.writeStream.outputMode("append")
+      .format("memory").queryName("index_stream").start()
+    try {
+      // two microbatches split by parity: most (term, block) keys see
+      // arrivals in both triggers, so the merge path genuinely runs
+      Seq(0, 1).foreach { par =>
+        base.filter(col("doc_id") % 2 === par)
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // each key emits once per touched trigger; n_docs grows
+      // monotonically per key, so the converged row = max n_docs
+      val got = spark.table("index_stream").collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("block"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+          r.getAs[String]("postings")))
+        .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSet
+      val want = SparkEntry.queries("t19_inverted_index")(spark, sf).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("block"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+          r.getAs[String]("postings"))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"converged streaming index diverges from the batch build: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup filter replays to exactly the batch d05 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_embdup_stream").toString
