@@ -496,7 +496,13 @@ object Text {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
         .select(col("doc_id"), col("n_bigrams"),
-          (col("sq").cast("double") /
+          // third fail-loud guard: with s ≤ 2⁴⁰ (guarded above), the
+          // sum stays under 2⁶² only while a doc has ≤ 2²² bigrams —
+          // past that the Long sum could wrap silently.
+          when(col("n_bigrams") > lit(1L << 22), expr(
+            "raise_error('t22: document exceeds 2^22 bigrams - " +
+              "restate the quantized draw in DECIMAL(38,0)')"))
+          .otherwise(col("sq").cast("double") /
             (col("n_bigrams") * lit(q)).cast("double")).as("surprise"))
     }),
 
@@ -525,9 +531,13 @@ object Text {
         tfOf(base.filter(!col("is_batch")))
           .groupBy(col("term"), col("block"))
           .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries")))
-      val delta = tfOf(base.filter(col("is_batch")))
-        .groupBy(col("term"), col("block"))
-        .agg(collect_list(struct(col("doc_id"), col("tf"))).as("new_entries"))
+      // The batch slice feeds BOTH the touched-key probe and the merge
+      // — materialize once (the `existing` discipline three lines up)
+      // so the tokenize + double aggregation doesn't run twice.
+      val delta = graft.ops.Subplan.once(
+        tfOf(base.filter(col("is_batch")))
+          .groupBy(col("term"), col("block"))
+          .agg(collect_list(struct(col("doc_id"), col("tf"))).as("new_entries")))
       // Touched existing rows: the index streams map-only through a
       // broadcast of the batch's keys; everything untouched drops here.
       val touched = existing

@@ -155,6 +155,12 @@ object DocStreams extends Serializable {
   }
 
   case class ShingleDoc(x: Long, doc_id: Long, ts: Timestamp, xs: Seq[Long])
+  // Containment state stores the sorted set as Array[Long], converted
+  // ONCE at insertion: the pairing loop binary-searches and merge-scans
+  // these per member, and a Seq-backed state would pay an O(S) copy per
+  // (arrival, member) comparison before any gate could reject.
+  case class ContainMember(docId: Long, tsMicros: Long, xs: Array[Long])
+  case class ContainState(docs: List[ContainMember], maxTsMicros: Long)
   case class ContainPair(doc_a: Long, doc_b: Long, containment: Double)
 
   /** Contained side's prefix length under threshold `t`: the first
@@ -188,7 +194,8 @@ object DocStreams extends Serializable {
     * row-local (one sort_array per doc) — and keys buckets by shingle:
     * every arriving doc explodes its FULL sorted set to its shingles'
     * buckets, and state per bucket holds the recent members' sets
-    * (the [[BucketDoc]] shape d03's twin uses). On arrival, a member
+    * ([[ContainMember]] — d03's bucket shape with the set stored as a
+    * sorted Array for allocation-free gating). On arrival, a member
     * pairs in whichever direction has bucket shingle `x` inside the
     * CONTAINED side's id-order prefix (a binary search against the
     * stored sorted set — no flag to keep in state); the batch size
@@ -213,11 +220,11 @@ object DocStreams extends Serializable {
     val ttlUs = ttlMinutes * 60L * 1000000L
 
     def update(x: Long, batch: Iterator[ShingleDoc],
-        state: GroupState[BucketState]): Iterator[ContainPair] = {
+        state: GroupState[ContainState]): Iterator[ContainPair] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
         val arrived = batch.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
-        var cur = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+        var cur = state.getOption.getOrElse(ContainState(Nil, Long.MinValue))
         val out = Seq.newBuilder[ContainPair]
         // Watermark-based retention + symmetric comparison, exactly as
         // nearDupPairs ([[wmCutMicros]]).
@@ -232,26 +239,25 @@ object DocStreams extends Serializable {
           val dPref = prefLen(dxs.length, threshold)
           live.foreach { b =>
             if (b.docId != d.doc_id && math.abs(m - b.tsMicros) <= ttlUs) {
-              val bxs = b.xs.toArray
               // arriving doc contained in member: x in d's prefix.
               if (dIdx >= 0 && dIdx < dPref &&
-                  bxs.length >= math.ceil(dxs.length * threshold - 1e-9)) {
-                val c = interCount(dxs, bxs).toDouble / dxs.length
+                  b.xs.length >= math.ceil(dxs.length * threshold - 1e-9)) {
+                val c = interCount(dxs, b.xs).toDouble / dxs.length
                 if (c >= threshold) out += ContainPair(d.doc_id, b.docId, c)
               }
               // member contained in arriving doc: x in b's prefix.
-              val bIdx = java.util.Arrays.binarySearch(bxs, x)
-              if (bIdx >= 0 && bIdx < prefLen(bxs.length, threshold) &&
-                  dxs.length >= math.ceil(bxs.length * threshold - 1e-9)) {
-                val c = interCount(bxs, dxs).toDouble / bxs.length
+              val bIdx = java.util.Arrays.binarySearch(b.xs, x)
+              if (bIdx >= 0 && bIdx < prefLen(b.xs.length, threshold) &&
+                  dxs.length >= math.ceil(b.xs.length * threshold - 1e-9)) {
+                val c = interCount(b.xs, dxs).toDouble / b.xs.length
                 if (c >= threshold) out += ContainPair(b.docId, d.doc_id, c)
               }
             }
           }
-          live = BucketDoc(d.doc_id, m, d.xs) :: live
+          live = ContainMember(d.doc_id, m, dxs) :: live
           maxTs = math.max(maxTs, m)
         }
-        cur = BucketState(live, maxTs)
+        cur = ContainState(live, maxTs)
         state.update(cur)
         val wm = scala.util.Try(state.getCurrentWatermarkMs())
           .getOrElse(Long.MinValue)
