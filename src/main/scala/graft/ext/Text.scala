@@ -465,45 +465,13 @@ object Text {
     // tables to top-k + an OOV floor and they broadcast instead (knob,
     // same stance as t16's vocab cut).
     "t22_lm_perplexity" -> ((s, dir) => {
-      val q = 1048576L // 2^20
-      val pos = graft.ops.Subplan.once(docs(s, dir)
-        .select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"),
-          explode(arrays_zip(
-            slice(Dedup.ngramIdCol(1), lit(1), size(col("tk")) - 1),
-            Dedup.ngramIdCol(2))).as("z"))
-        .select(col("doc_id"), col("z.0").as("u"), col("z.1").as("b")))
-      val cu = pos.groupBy(col("u")).agg(count(lit(1)).as("c1"))
-      val cb = pos.groupBy(col("b")).agg(count(lit(1)).as("c2"))
-      // Overflow guards, t17's lesson applied loudly instead of
-      // silently: c1·2²⁰ wraps a Long once a prefix token passes 2⁴²
-      // occurrences, and the per-doc sum wraps once a position's s
-      // passes ~2⁴⁰ with a multi-million-token doc — both plausible
-      // ONLY at deploy scale, where the DECIMAL(38,0) restatement of
-      // this expression (and a HUGEINT oracle) is the drop-in. Until
-      // then an oversized corpus fails with an error, never a wrapped
-      // verdict.
+      val pos = graft.ops.Subplan.once(bigramPositions(docs(s, dir), "doc_id"))
+      val (cu, cb) = bigramLm(pos)
       pos.join(cu, "u").join(cb, "b")
-        .withColumn("s",
-          when(col("c1") > lit(1L << 42), expr(
-            "raise_error('t22: prefix-token count exceeds 2^42 - " +
-              "restate the quantized draw in DECIMAL(38,0)')"))
-          .when(expr(s"(c1 * $q) div c2") > lit(1L << 40), expr(
-            "raise_error('t22: quantized inverse probability exceeds " +
-              "2^40 - restate the quantized draw in DECIMAL(38,0)')"))
-          .otherwise(expr(s"(c1 * $q) div c2")))
+        .withColumn("s", quantizedInvP)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
-        .select(col("doc_id"), col("n_bigrams"),
-          // third fail-loud guard: with s ≤ 2⁴⁰ (guarded above), the
-          // sum stays under 2⁶² only while a doc has ≤ 2²² bigrams —
-          // past that the Long sum could wrap silently.
-          when(col("n_bigrams") > lit(1L << 22), expr(
-            "raise_error('t22: document exceeds 2^22 bigrams - " +
-              "restate the quantized draw in DECIMAL(38,0)')"))
-          .otherwise(col("sq").cast("double") /
-            (col("n_bigrams") * lit(q)).cast("double")).as("surprise"))
+        .select(col("doc_id"), col("n_bigrams"), surpriseCol.as("surprise"))
     }),
 
     // Incremental postings maintenance — the index-side sibling of
@@ -688,6 +656,60 @@ object Text {
     * (ExtSpec's t20 test cross-checks the two). */
   private[graft] def budgetCol(unit: Long): Column =
     (srcHashCol % 2 + 1) * lit(unit)
+
+  /** t22's quantization unit: inverse probabilities are scaled by 2²⁰
+    * and truncated to integers so per-doc accumulation is order-free
+    * exact arithmetic. */
+  private[graft] val LmQ = 1048576L
+
+  /** (keep..., u, b) bigram-position rows of a frame with a `text`
+    * column: u = 36-bit id of the prefix token, b = 36-bit id of the
+    * bigram ([[Dedup.ngramIdCol]] — the house hash). ONE definition
+    * for batch t22 and the streaming LM scorer
+    * ([[graft.streaming.DocStreams.lmSurprise]]) so the gram ids can
+    * never drift. */
+  private[graft] def bigramPositions(d: DataFrame, keep: String*): DataFrame =
+    d.select(keep.map(col) :+ toks.as("tk"): _*)
+      .filter(size(col("tk")) >= 2)
+      .select(keep.map(col) :+ explode(arrays_zip(
+        slice(Dedup.ngramIdCol(1), lit(1), size(col("tk")) - 1),
+        Dedup.ngramIdCol(2))).as("z"): _*)
+      .select(keep.map(col) :+ col("z.0").as("u") :+ col("z.1").as("b"): _*)
+
+  /** The MLE bigram LM: (prefix-token counts c1, bigram counts c2)
+    * over a bigram-position frame. p(v|u) = c2/c1. */
+  private[graft] def bigramLm(pos: DataFrame): (DataFrame, DataFrame) =
+    (pos.groupBy(col("u")).agg(count(lit(1)).as("c1")),
+      pos.groupBy(col("b")).agg(count(lit(1)).as("c2")))
+
+  /** The 2⁻²⁰-quantized inverse conditional probability
+    * s = (c1 · 2²⁰) div c2 over columns `c1`/`c2`, with t17's
+    * overflow lesson applied loudly instead of silently: c1·2²⁰ wraps
+    * a Long once a prefix token passes 2⁴² occurrences, and the
+    * per-doc sum needs s ≤ 2⁴⁰ — both plausible ONLY at deploy
+    * scale, where the DECIMAL(38,0) restatement of this expression
+    * (and a HUGEINT oracle) is the drop-in. Until then an oversized
+    * corpus fails with an error, never a wrapped verdict. ONE
+    * definition for batch t22 and the streaming scorer. */
+  private[graft] def quantizedInvP: Column =
+    when(col("c1") > lit(1L << 42), expr(
+      "raise_error('t22: prefix-token count exceeds 2^42 - " +
+        "restate the quantized draw in DECIMAL(38,0)')"))
+    .when(expr(s"(c1 * $LmQ) div c2") > lit(1L << 40), expr(
+      "raise_error('t22: quantized inverse probability exceeds " +
+        "2^40 - restate the quantized draw in DECIMAL(38,0)')"))
+    .otherwise(expr(s"(c1 * $LmQ) div c2"))
+
+  /** Per-doc mean surprise over columns `sq`/`n_bigrams` — the ONE
+    * float division in the t22 family, with the third fail-loud
+    * guard: under the s ≤ 2⁴⁰ cap the Long sum stays exact only
+    * while a doc has ≤ 2²² bigrams. */
+  private[graft] def surpriseCol: Column =
+    when(col("n_bigrams") > lit(1L << 22), expr(
+      "raise_error('t22: document exceeds 2^22 bigrams - " +
+        "restate the quantized draw in DECIMAL(38,0)')"))
+    .otherwise(col("sq").cast("double") /
+      (col("n_bigrams") * lit(LmQ)).cast("double"))
 
   /** TF-IDF document vectors via the spark.ml path SURVEY.md §2.8b
     * names (Tokenizer → HashingTF → IDF). Float idf weights are

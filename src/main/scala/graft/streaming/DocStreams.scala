@@ -605,6 +605,45 @@ object DocStreams extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming twin of batch t22: ingest-time LM quality scoring
+    * against a FROZEN reference LM — the deployment shape (CCNet
+    * trains the LM on a reference corpus once, then scores the
+    * firehose). `cu`/`cb` are static (u, c1)/(b, c2) count relations
+    * (build them with [[graft.ext.Text.bigramLm]] over a reference
+    * corpus); they materialize once and BROADCAST per trigger (the
+    * [[decontaminate]] stream-static discipline), so the stream never
+    * shuffles for the joins and there is no pairing state — a doc's
+    * score depends only on itself and the frozen counts. Gram ids and
+    * the quantized score are the exact batch expressions
+    * ([[graft.ext.Text.bigramPositions]]/[[graft.ext.Text.quantizedInvP]]),
+    * so when the stream replays the LM's own training corpus the
+    * scores are bit-identical to batch t22 (StreamingSpec pins it).
+    * OOV backoff, the one thing a frozen LM adds over the
+    * self-trained batch: an unseen bigram falls back to c2 = 1 ("at
+    * most a singleton"), an unseen prefix token to c1 = 1 (a neutral
+    * s = 2²⁰ position) — deterministic, and never triggered on
+    * in-vocabulary replays. Emits one row per doc:
+    * (doc_id, ts, n_bigrams, surprise). */
+  def lmSurprise(docs: DataFrame, cu: DataFrame, cb: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val pos = graft.ext.Text.bigramPositions(
+      docs.filter(col("text").isNotNull)
+        .withWatermark("ts", watermarkDelay),
+      "doc_id", "ts")
+    val u1 = graft.ops.Subplan.once(cu)
+    val b1 = graft.ops.Subplan.once(cb)
+    pos
+      .join(broadcast(u1), Seq("u"), "left")
+      .join(broadcast(b1), Seq("b"), "left")
+      .withColumn("c1", coalesce(col("c1"), lit(1L)))
+      .withColumn("c2", coalesce(col("c2"), lit(1L)))
+      .withColumn("s", graft.ext.Text.quantizedInvP)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
+      .select(col("doc_id"), col("ts"), col("n_bigrams"),
+        graft.ext.Text.surpriseCol.as("surprise"))
+  }
+
   case class TermDoc(term: String, block: Long, doc_id: Long,
       ts: Timestamp, tf: Long)
   case class PostingsState(entries: List[(Long, Long)])

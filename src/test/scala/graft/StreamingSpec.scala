@@ -295,6 +295,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring against the frozen corpus LM replays batch t22") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_lm_stream").toString
+    val d = Tables(spark, sf, "documents")
+    // the frozen LM = the batch corpus LM, so replaying the corpus
+    // must reproduce t22's self-trained scores bit-for-bit (no OOV
+    // backoff fires on an in-vocabulary replay)
+    val (cu, cb) = ext.Text.bigramLm(ext.Text.bigramPositions(d, "doc_id"))
+    d.select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+      .write.mode("append").parquet(srcDir)
+    val scored = DocStreams.lmSurprise(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir), cu, cb)
+    // Complete mode: the (doc_id, ts) aggregate would be held back by a
+    // never-advancing end-of-data watermark in append (the t13-twin
+    // stance).
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("lm_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lm_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("surprise"))).toSet
+      val want = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("surprise"))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"streamed LM scores diverge from batch t22: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming index maintenance converges to exactly the batch t19 build") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_index_stream").toString
