@@ -166,12 +166,12 @@ object DocStreams extends Serializable {
   /** Contained side's prefix length under threshold `t`: the first
     * n − ⌈t·n⌉ + 1 shingles in the fixed order — the exact batch
     * formula including the 1e-9 ceil slack (Dedup.prefixBlocks). */
-  private def prefLen(n: Int, t: Double): Int =
+  private[graft] def prefLen(n: Int, t: Double): Int =
     n - math.ceil(n * t - 1e-9).toInt + 1
 
   /** Two-cursor intersection count over sorted distinct arrays — the
     * JVM twin of the batch SortedIntersectCount merge scan. */
-  private def interCount(a: Array[Long], b: Array[Long]): Int = {
+  private[graft] def interCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { c += 1; i += 1; j += 1 }

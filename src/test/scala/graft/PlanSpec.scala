@@ -75,12 +75,13 @@ class PlanSpec extends AnyFunSuite {
     // clean.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
-      if (p.contains("BroadcastNestedLoopJoin") || p.contains("IdentityBroadcastMode"))
+      if (p.contains("BroadcastNestedLoopJoin") || p.contains("IdentityBroadcastMode") ||
+          p.contains("CartesianProduct"))
         Some(name)
       else None
     }
     assert(offenders.isEmpty,
-      s"queries with nested-loop/identity broadcasts: $offenders")
+      s"queries with nested-loop/identity/cartesian builds: $offenders")
   }
 
   test("d03: verify path joins gathered sets (array_intersect), no shingle re-join") {

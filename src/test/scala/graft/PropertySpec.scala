@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DocStreams
+
+/** Property-based checks over the pure JVM kernels — the fixture
+  * suites pin specific corpora; these pin the ALGEBRA on randomized
+  * inputs (most valuable for the proofs the engine leans on: the
+  * containment-prefix pigeonhole, the merge-scan intersection, the
+  * signature bit bounds). Uses raw ScalaCheck generators with a fixed
+  * seed (scalatestplus isn't on the offline resolver), so every run
+  * sees the same 300 cases per property — deterministic CI, no flaky
+  * shrinking.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** 300 deterministic samples of a generator (seeded; None-skips
+    * filtered). */
+  private def samples[T](g: Gen[T], n: Int = 300): Seq[T] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga).zip(samples(gb)).foreach { case (a, b) => f(a, b) }
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])
+      (f: (A, B, C) => Unit): Unit =
+    samples(ga).lazyZip(samples(gb)).lazyZip(samples(gc))
+      .foreach { case (a, b, c) => f(a, b, c) }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    samples(ga).foreach(f)
+
+  private val longSet: Gen[Set[Long]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 60L)).map(_.toSet))
+
+  test("interCount equals set-intersection cardinality on sorted distinct arrays") {
+    forAll(longSet, longSet) { (a: Set[Long], b: Set[Long]) =>
+      val got = DocStreams.interCount(a.toArray.sorted, b.toArray.sorted)
+      assert(got == (a intersect b).size)
+    }
+  }
+
+  test("prefLen is within [1, n] and matches the closed form") {
+    forAll(Gen.chooseNum(1, 10000), Gen.choose(0.05, 1.0)) { (n: Int, t: Double) =>
+      val p = DocStreams.prefLen(n, t)
+      assert(p >= 1 && p <= n, s"prefLen($n, $t) = $p out of range")
+      // the slacked ceil may sit one below the raw ceil only at
+      // float-boundary products; never above (recall-safe direction)
+      assert(p >= n - math.ceil(n * t).toInt + 1)
+      assert(p <= n - math.ceil(n * t).toInt + 2)
+    }
+  }
+
+  test("containment-prefix pigeonhole: a qualifying pair always collides " +
+      "on a prefix element") {
+    // The recall proof d12 and its streaming twin rest on, checked
+    // directly: if C(A→B) = |A∩B|/|A| >= t, then A's first
+    // prefLen(|A|, t) elements IN SORTED ORDER (any fixed total order
+    // works; id order is what the streaming twin uses) intersect B.
+    forAll(longSet, longSet, Gen.choose(0.3, 1.0)) {
+      (a: Set[Long], b: Set[Long], t: Double) =>
+        val c = (a intersect b).size.toDouble / a.size
+        if (c >= t) {
+          val prefix = a.toArray.sorted.take(DocStreams.prefLen(a.size, t))
+          assert(prefix.exists(b.contains),
+            s"pigeonhole violated: C=$c >= t=$t but prefix misses B " +
+              s"(|A|=${a.size}, prefLen=${DocStreams.prefLen(a.size, t)})")
+        }
+    }
+  }
+
+  test("ahash60Of stays inside 60 bits and is deterministic") {
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
+      (bytes: List[Byte]) =>
+        val p = bytes.toArray
+        val h = ext.Multimodal.StubDecoders.ahash60Of(p)
+        assert((h >>> 60) == 0L, s"signature overflows 60 bits: $h")
+        assert(h == ext.Multimodal.StubDecoders.ahash60Of(p))
+    }
+  }
+
+  test("budgetOf is unit or 2*unit for every source name") {
+    forAll(Gen.alphaNumStr, Gen.chooseNum(1L, 1000000L)) {
+      (src: String, unit: Long) =>
+        val b = DocStreams.budgetOf(src, unit)
+        assert(b == unit || b == 2 * unit)
+    }
+  }
+}
