@@ -626,7 +626,7 @@ object Text {
     * packing sum can never land in one and miss the other. The
     * frontier is materialized here (Subplan.once) because both levels
     * read it. */
-  private def twoLevelCum(frontier: DataFrame,
+  private[graft] def twoLevelCum(frontier: DataFrame,
       shardWidth: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val sharded = graft.ops.Subplan.once(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -88,6 +89,58 @@ class PropertySpec extends AnyFunSuite {
       (src: String, unit: Long) =>
         val b = DocStreams.budgetOf(src, unit)
         assert(b == unit || b == 2 * unit)
+    }
+  }
+
+  // ---- Spark-based randomized invariants (one job each, 300 random
+  // rows per run — the per-case cost of a Spark job makes per-sample
+  // forAll impractical; a single randomized frame covers the algebra).
+
+  test("twoLevelCum equals the per-source scan at every shard width") {
+    import SparkTestSession._
+    import spark.implicits._
+    // random frontier: gappy doc_ids (shards unevenly filled), skewed
+    // sources (source 0 takes half the rows), random token counts
+    val rows = samples(Gen.zip(
+      Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 5), Gen.chooseNum(0, 900)))
+      .map { case (id, s, n) =>
+        (id, s"src${if (s >= 3) 0 else s}", n.toLong) }
+      .distinctBy(_._1)
+    val frontier = rows.toDF("doc_id", "source", "n_tok")
+    // JVM reference: running sum per source in doc_id order
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(_._1).foldLeft((0L, List.empty[(Long, Long)])) {
+        case ((acc, out), (id, _, n)) => (acc + n, (id, acc + n) :: out)
+      }._2
+    }.toMap
+    for (width <- Seq(1L, 7L, 64L, 1000000000L)) {
+      val got = ext.Text.twoLevelCum(frontier, width)
+        .select(col("doc_id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"two-level sum diverges at shardWidth=$width")
+    }
+  }
+
+  test("quantize/dequantize roundtrip error is bounded by scale/2") {
+    import SparkTestSession._
+    import spark.implicits._
+    val vecGen = Gen.chooseNum(1, 64).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-10.0, 10.0)))
+    val vecs = samples(vecGen, 150).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) } :+
+      (9999L, List(3.25, 3.25, 3.25)) // constant vector: scale = 0 path
+    val df = vecs.toDF("vec_id", "v")
+    val rt = ext.Similarity.dequantize(
+      ext.Similarity.quantize(df, "v"), "v")
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, orig) =>
+      val back = rt(id)
+      val scale = if (orig.max == orig.min) 0.0 else (orig.max - orig.min) / 255.0
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-9,
+          s"vec $id: |$o - $b| exceeds scale/2 = ${scale / 2}")
+      }
     }
   }
 }
