@@ -329,6 +329,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LM scorer OOV backoff: all-unseen doc scores exactly neutral 1.0") {
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_lm_oov").toString
+    // LM trained on one corpus; streamed doc shares NO tokens with it:
+    // every position backs off to c1 = c2 = 1 ⇒ s = 2^20 ⇒ surprise
+    // is exactly 1.0 (the neutral position, deterministic by design).
+    val lmCorpus = Seq((1L, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val (cu, cb) = ext.Text.bigramLm(ext.Text.bigramPositions(lmCorpus, "doc_id"))
+    Seq((100L, new java.sql.Timestamp(1700000000000L), "zeta eta theta iota"))
+      .toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(srcDir)
+    val q = DocStreams.lmSurprise(
+        spark.readStream.schema(DocStreams.docSchema).parquet(srcDir), cu, cb)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lm_oov").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("lm_oov").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("surprise")))
+      assert(rows.toSeq == Seq((100L, 3L, 1.0)),
+        s"all-OOV doc must score neutral 1.0 over its 3 bigrams: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming index maintenance converges to exactly the batch t19 build") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_index_stream").toString
