@@ -255,6 +255,25 @@ object Multimodal {
       Dedup.simhashPairs(sig, 3)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
+    }),
+
+    // Media dedup CLUSTERS — the decision layer over m06's pairs (the
+    // d07-to-d02 relationship, for media): perceptual-hash near-dup
+    // pairs feed the same large-star/small-star contraction, giving
+    // one cluster id (the minimum member) per connected component —
+    // what an image-dedup pipeline ships (keep one per cluster).
+    // Topology = m06 (kernel + banded equi-joins) + O(log n)
+    // contraction rounds; the oracle walks the exhaustive pair graph
+    // with a recursive CTE, so banding + contraction together must
+    // lose nothing.
+    "m07_media_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val sig = graft.ops.Subplan.once(
+        m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
+          .toDF("doc_id", "simhash"))
+      Dedup.connectedComponents(
+          Dedup.simhashPairs(sig, 3).select(col("doc_a"), col("doc_b")))
+        .select(col("u").as("media_id"), col("lbl").as("cluster_id"))
     })
   )
 
@@ -276,6 +295,35 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  /** The aHash signature CTE shared by the m06 and m07 oracles — one
+    * statement of the kernel (ASCII-payload assumption noted at the
+    * m06 entry) so the pair and cluster oracles can never drift. */
+  private val ahashCte =
+    """base AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |    WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS media_id,
+      |    'q' || substring(text, 2) AS text FROM documents
+      |    WHERE text IS NOT NULL),
+      |d AS (SELECT media_id, text,
+      |    octet_length(encode(text))::BIGINT AS n FROM base),
+      |cells AS (SELECT media_id,
+      |  [CASE WHEN (i + 1) * n // 60 > i * n // 60
+      |     THEN list_sum([ascii(substring(text, j, 1))
+      |            for j in generate_series((i * n // 60)::INT + 1,
+      |                                     ((i + 1) * n // 60)::INT)])
+      |          // ((i + 1) * n // 60 - i * n // 60)
+      |     ELSE 0 END
+      |   for i in generate_series(0, 59)] AS cl
+      |  FROM d),
+      |sig AS (SELECT media_id,
+      |    CAST(list_sum([CASE WHEN cl[i + 1] * 60 > list_sum(cl)
+      |                   THEN (1::BIGINT << i) ELSE 0 END
+      |                   for i in generate_series(0, 59)]) AS BIGINT)
+      |      AS simhash
+      |  FROM cells)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "m01_binary_stats" ->
@@ -359,33 +407,25 @@ object Multimodal {
     // multi-byte fixture would need the oracle restated over
     // encode(text) blob bytes.
     "m06_ahash_pairs" ->
-      """WITH base AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |    WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000 AS media_id,
-        |    'q' || substring(text, 2) AS text FROM documents
-        |    WHERE text IS NOT NULL),
-        |d AS (SELECT media_id, text,
-        |    octet_length(encode(text))::BIGINT AS n FROM base),
-        |cells AS (SELECT media_id,
-        |  [CASE WHEN (i + 1) * n // 60 > i * n // 60
-        |     THEN list_sum([ascii(substring(text, j, 1))
-        |            for j in generate_series((i * n // 60)::INT + 1,
-        |                                     ((i + 1) * n // 60)::INT)])
-        |          // ((i + 1) * n // 60 - i * n // 60)
-        |     ELSE 0 END
-        |   for i in generate_series(0, 59)] AS cl
-        |  FROM d),
-        |sig AS (SELECT media_id,
-        |    CAST(list_sum([CASE WHEN cl[i + 1] * 60 > list_sum(cl)
-        |                   THEN (1::BIGINT << i) ELSE 0 END
-        |                   for i in generate_series(0, 59)]) AS BIGINT)
-        |      AS simhash
-        |  FROM cells)
-        |SELECT a.media_id AS media_a, b.media_id AS media_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      s"""WITH $ahashCte
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // d07's recursive min-label walk over m06's exhaustive pair graph.
+    "m07_media_clusters" ->
+      s"""WITH RECURSIVE $ahashCte,
+         |pairs AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT media_a AS u, media_b AS v FROM pairs
+         |  UNION SELECT media_b, media_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS media_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
   )
+
 }
