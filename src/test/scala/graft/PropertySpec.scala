@@ -92,6 +92,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash family constants stay inside exact signed-64 for 36-bit ids") {
+    // The CLAUDE.md hash-width rule, pinned mechanically: every
+    // (a_i·x + b_i) with x < 2^36 must stay below Long.MaxValue so the
+    // mod-P arithmetic is exact in BOTH engines. A widened shingle id
+    // or a larger multiplier family breaks this loudly here, not as a
+    // silent cross-engine hash divergence.
+    val maxX = (1L << 36) - 1
+    (0 until 32).foreach { i =>
+      val a = 67108879L + 65537L * i
+      val b = 1000003L * i + 12345L
+      assert(BigInt(a) * maxX + b < BigInt(Long.MaxValue),
+        s"minhash $i: a*x+b exceeds signed-64 at x = 2^36-1")
+    }
+  }
+
   // ---- Spark-based randomized invariants (one job each, 300 random
   // rows per run — the per-case cost of a Spark job makes per-sample
   // forAll impractical; a single randomized frame covers the algebra).
