@@ -28,8 +28,15 @@ object Dedup {
 
   /** Mersenne prime 2^61 - 1 — MinHash modulus. */
   private val P = 2305843009213693951L
-  private val NumHashes = 32
+  private[graft] val NumHashes = 32
   private val BandRows = 4 // 8 bands × 4 rows
+
+  /** The (a, b) constants of the i-th MinHash in the (a·x + b) mod P
+    * family — exposed so PropertySpec pins the signed-64 headroom over
+    * the REAL constants (a drifted copy in the test would pin
+    * nothing). */
+  private[graft] def minhashA(i: Int): Long = 67108879L + 65537L * i
+  private[graft] def minhashB(i: Int): Long = 1000003L * i + 12345L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -80,8 +87,7 @@ object Dedup {
     * constants). */
   private[graft] def minhashExpr(xs: Column, i: Int): Column =
     array_min(transform(xs,
-      x => (lit(67108879L + 65537L * i) * x
-        + lit(1000003L * i + 12345L)) % lit(P)))
+      x => (lit(minhashA(i)) * x + lit(minhashB(i))) % lit(P)))
 
   /** The banded signature array for 32 minhash columns: 8 structs of
     * (band, sig) with sig = "_"-joined 4-row band. Shared batch +

@@ -247,15 +247,10 @@ object Multimodal {
     // within a few bits — the d06 planting pattern adapted to a
     // position-sensitive hash). The oracle recomputes the hash and
     // pairs exhaustively, so banding must lose nothing.
-    "m06_ahash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val sig = graft.ops.Subplan.once(
-        m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
-          .toDF("doc_id", "simhash"))
-      Dedup.simhashPairs(sig, 3)
+    "m06_ahash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(ahashSigs(s, dir), 3)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-          col("hamming"))
-    }),
+          col("hamming"))),
 
     // Media dedup CLUSTERS — the decision layer over m06's pairs (the
     // d07-to-d02 relationship, for media): perceptual-hash near-dup
@@ -266,16 +261,25 @@ object Multimodal {
     // contraction rounds; the oracle walks the exhaustive pair graph
     // with a recursive CTE, so banding + contraction together must
     // lose nothing.
-    "m07_media_clusters" -> ((s, dir) => {
-      import s.implicits._
-      val sig = graft.ops.Subplan.once(
-        m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
-          .toDF("doc_id", "simhash"))
+    "m07_media_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-          Dedup.simhashPairs(sig, 3).select(col("doc_a"), col("doc_b")))
-        .select(col("u").as("media_id"), col("lbl").as("cluster_id"))
-    })
+          Dedup.simhashPairs(ahashSigs(s, dir), 3)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("u").as("media_id"), col("lbl").as("cluster_id")))
   )
+
+  /** The materialized aHash signature set over the m06 fixture — ONE
+    * Spark-side definition for the m06 pair query and the m07 cluster
+    * query (the oracle side shares [[ahashCte]] for the same reason):
+    * a signature-pipeline change can never land in one and miss the
+    * other, which would silently make m07's clusters stop being the
+    * components of m06's pairs. */
+  private def ahashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Subplan.once(
+      m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
+        .toDF("doc_id", "simhash"))
+  }
 
   /** m06's fixture base: originals plus an in-place single-byte-edited
     * twin at media_id + 10⁹ (same length, so aHash cell boundaries

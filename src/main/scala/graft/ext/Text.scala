@@ -20,7 +20,7 @@ object Text {
     Tables(s, dir, "documents")
 
   /** Whitespace tokens of `text`, after trim. */
-  private def toks: Column = split(trim(col("text")), "\\s+")
+  private[graft] def toks: Column = split(trim(col("text")), "\\s+")
 
   /** 36-bit md5-derived word-8-gram hashes of a tokens column named
     * `tk` — the [[Dedup.ngramIdCol]] template at width 8, ONE

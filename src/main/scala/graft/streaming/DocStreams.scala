@@ -619,10 +619,14 @@ object DocStreams extends Serializable {
     * so when the stream replays the LM's own training corpus the
     * scores are bit-identical to batch t22 (StreamingSpec pins it).
     * OOV backoff, the one thing a frozen LM adds over the
-    * self-trained batch: an unseen bigram falls back to c2 = 1 ("at
-    * most a singleton"), an unseen prefix token to c1 = 1 (a neutral
-    * s = 2²⁰ position) — deterministic, and never triggered on
-    * in-vocabulary replays. Emits one row per doc:
+    * self-trained batch: an unseen bigram scores a SATURATING
+    * min(c1, 2²⁰) · 2²⁰ — conceptually 1/p with c2 = 1, clamped at
+    * the 2⁴⁰ ceiling so a novel continuation of a hot prefix token
+    * (c1 > 2²⁰, routine in any real LM) reads "maximally surprising"
+    * instead of detouring through quantizedInvP's fail-loud overflow
+    * guard and killing the whole streaming query. An unseen prefix
+    * token scores a neutral s = 2²⁰. Both deterministic, neither
+    * triggered on in-vocabulary replays. Emits one row per doc:
     * (doc_id, ts, n_bigrams, surprise). */
   def lmSurprise(docs: DataFrame, cu: DataFrame, cb: DataFrame,
       watermarkDelay: String = "1 hour"): DataFrame = {
@@ -635,17 +639,17 @@ object DocStreams extends Serializable {
     pos
       .join(broadcast(u1), Seq("u"), "left")
       .join(broadcast(b1), Seq("b"), "left")
-      .withColumn("c1", coalesce(col("c1"), lit(1L)))
-      .withColumn("c2", coalesce(col("c2"), lit(1L)))
-      .withColumn("s", graft.ext.Text.quantizedInvP)
+      .withColumn("s",
+        when(col("c2").isNull, // OOV: saturating backoff (see Scaladoc)
+          least(coalesce(col("c1"), lit(1L)), lit(1L << 20)) * lit(1L << 20))
+        .otherwise(graft.ext.Text.quantizedInvP))
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
       .select(col("doc_id"), col("ts"), col("n_bigrams"),
         graft.ext.Text.surpriseCol.as("surprise"))
   }
 
-  case class TermDoc(term: String, block: Long, doc_id: Long,
-      ts: Timestamp, tf: Long)
+  case class TermDoc(term: String, block: Long, doc_id: Long, tf: Long)
   case class PostingsState(entries: List[(Long, Long)])
   case class PostingsRow(term: String, block: Long, n_docs: Long,
       n_occ: Long, postings: String)
@@ -686,16 +690,20 @@ object DocStreams extends Serializable {
 
     docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("ts"),
-        split(trim(col("text")), "\\s+").as("tk"))
+      // the exact batch t19 tokenizer (graft.ext.Text.toks — ONE
+      // definition; the converged-index-equals-batch-build contract
+      // rests on the two never drifting). No ts downstream: the state
+      // is never timed out, so the event time would ride the stateful
+      // shuffle as a dead field.
+      .select(col("doc_id"), graft.ext.Text.toks.as("tk"))
       // row-local per-doc tf: distinct terms × an exact count each —
       // one doc's histogram, no streaming aggregation state needed
-      .select(col("doc_id"), col("ts"),
+      .select(col("doc_id"),
         explode(expr("transform(array_distinct(tk), t -> " +
           "struct(t as term, size(filter(tk, x -> x = t)) as tf))")).as("e"))
       .select(col("e.term").as("term"),
         expr(s"doc_id div $blockWidth").as("block"),
-        col("doc_id"), col("ts"), col("e.tf").cast("long").as("tf"))
+        col("doc_id"), col("e.tf").cast("long").as("tf"))
       .as[TermDoc]
       .groupByKey(d => (d.term, d.block))
       .flatMapGroupsWithState(OutputMode.Append,
