@@ -14,6 +14,15 @@ object Verify {
     // dump that check.py passes vacuously — fail loudly instead.
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    // A restricted run whose names all lack oracleSql entries would dump
+    // parquet that check.py then passes vacuously (no oracle rows to
+    // compare) — the silent-green mode the unknown-name guard exists to
+    // prevent. Warn per name; fail only if NOTHING in the set is checked.
+    val unchecked = only -- SparkEntry.oracleSql.keySet
+    unchecked.foreach(n => System.err.println(
+      s"[verify] WARNING: $n has no oracleSql entry - the oracle compare will skip it"))
+    require(only.isEmpty || (only -- unchecked).nonEmpty,
+      s"none of the requested queries has an oracle - the compare would pass vacuously")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

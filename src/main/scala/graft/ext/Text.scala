@@ -480,13 +480,22 @@ object Text {
     // block) rows the batch lands in. The asymmetry is the scale
     // story: the existing index materializes once (Subplan.once — in
     // deployment it IS the stored index; the checkpoint stands in for
-    // the table scan), the batch side's touched keys and entries are
-    // tiny and BROADCAST into every join, so the existing postings
-    // never shuffle — untouched rows are never even rewritten. The
-    // merge (array_sort over concat) reproduces exactly what a full
-    // t19 rebuild would emit for the touched keys, which is what the
-    // oracle states. Fixture: batch = doc_id % 8 == 0 (d11's split).
-    // Emits (term, block, n_docs, n_occ, postings, n_new).
+    // the table scan), and the batch side's touched keys and entries
+    // BROADCAST into every join, so the existing postings never
+    // shuffle — untouched rows are never even rewritten. The "tiny
+    // batch" premise is ENFORCED, not assumed: the hints are
+    // size-gated on the materialized delta's key count
+    // ([[T21BroadcastMaxKeys]]) — a batch too big to broadcast drops
+    // the hints and lets Catalyst/AQE re-plan the two joins as
+    // ordinary (term, block) shuffle joins (linear, no driver OOM),
+    // instead of force-broadcasting TBs. The merge (array_sort over
+    // concat) reproduces exactly what a full t19 rebuild would emit
+    // for the touched keys, which is what the oracle states. Fixture:
+    // batch = doc_id % 8 == 0 (d11's split — 12.5% of the corpus by
+    // count but far under the gate at any test SF, so the registered
+    // plan IS the broadcast path; PlanSpec pins zero shuffle
+    // exchanges in it). Emits (term, block, n_docs, n_occ, postings,
+    // n_new).
     "t21_index_delta" -> ((s, dir) => {
       val b = 128
       val base = docs(s, dir).select(col("doc_id"),
@@ -506,17 +515,24 @@ object Text {
         tfOf(base.filter(col("is_batch")))
           .groupBy(col("term"), col("block"))
           .agg(collect_list(struct(col("doc_id"), col("tf"))).as("new_entries")))
+      // The broadcast gate: delta is already checkpointed, so this
+      // count scans the materialized rows (never a recompute) and the
+      // decision is made on the REAL batch size, not the contract's
+      // word. gate = identity above the threshold.
+      val gate: DataFrame => DataFrame =
+        if (delta.count() <= T21BroadcastMaxKeys) df => broadcast(df)
+        else identity
       // Touched existing rows: the index streams map-only through a
       // broadcast of the batch's keys; everything untouched drops here.
       val touched = existing
-        .join(broadcast(delta.select(col("term"), col("block"))),
+        .join(gate(delta.select(col("term"), col("block"))),
           Seq("term", "block"))
       // Merge: every output key is in the delta by construction, so a
       // left join FROM the delta over the (tiny) touched rows loses
       // nothing; sorting the concatenated entries reproduces the
       // full-rebuild postings order (doc_ids are disjoint across
       // sides — a doc is batch or corpus, never both).
-      delta.join(broadcast(touched), Seq("term", "block"), "left")
+      delta.join(gate(touched), Seq("term", "block"), "left")
         .withColumn("entries", array_sort(concat(
           coalesce(col("entries"),
             array().cast("array<struct<doc_id:bigint,tf:bigint>>")),
@@ -661,6 +677,16 @@ object Text {
     * and truncated to integers so per-doc accumulation is order-free
     * exact arithmetic. */
   private[graft] val LmQ = 1048576L
+
+  /** t21's broadcast gate: the batch-derived sides are force-broadcast
+    * only while the delta holds ≤ 2²⁰ (term, block) keys. The LARGER
+    * of the two broadcasts is `touched` (existing postings restricted
+    * to delta keys), whose row width t19's 128-entry blocking bounds
+    * by construction (~1–2 KB ceiling) — so the gate caps the
+    * worst-case build at low GBs and typical deltas at MBs. A bigger
+    * batch is not an error: above the gate the hints drop away and
+    * both joins re-plan as ordinary (term, block) shuffle joins. */
+  private[graft] val T21BroadcastMaxKeys = 1L << 20
 
   /** (keep..., u, b) bigram-position rows of a frame with a `text`
     * column: u = 36-bit id of the prefix token, b = 36-bit id of the

@@ -640,7 +640,16 @@ object DocStreams extends Serializable {
       .join(broadcast(u1), Seq("u"), "left")
       .join(broadcast(b1), Seq("b"), "left")
       .withColumn("s",
-        when(col("c2").isNull, // OOV: saturating backoff (see Scaladoc)
+        // A counted bigram whose prefix token is missing from cu means
+        // the frozen cu/cb pair came from different corpora — c1 null
+        // would make quantizedInvP NULL and sum(s) silently drop the
+        // position while count(*) keeps it, deflating surprise. Fail
+        // loudly instead (the t22 family's discipline).
+        when(col("c2").isNotNull && col("c1").isNull, expr(
+          "raise_error('lmSurprise: bigram counted in cb but its prefix " +
+            "token is absent from cu - the frozen LM count relations are " +
+            "inconsistent (derive both from one bigramLm call)')"))
+        .when(col("c2").isNull, // OOV: saturating backoff (see Scaladoc)
           least(coalesce(col("c1"), lit(1L)), lit(1L << 20)) * lit(1L << 20))
         .otherwise(graft.ext.Text.quantizedInvP))
       .groupBy(col("doc_id"), col("ts"))

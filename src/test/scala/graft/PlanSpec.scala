@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite {
       s"the existing index is the materialized store-in for the stored " +
         s"table — the delta path must read it, not rebuild it:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // The registered fixture sits under the T21BroadcastMaxKeys gate, so
+    // the delta path must be shuffle-FREE end to end: both sides read
+    // checkpoints, both joins broadcast the batch-derived side, the
+    // merge is row-local. One hash exchange here means the existing
+    // index shuffled — the exact regression the gate's broadcast branch
+    // exists to prevent.
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the under-gate delta plan must contain zero shuffle exchanges:\n$p")
   }
 
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {

@@ -255,8 +255,13 @@ class StreamingSpec extends AnyFunSuite {
     val srcDir = Files.createTempDirectory("graft_contain_stream").toString
     // The batch d12 corpus (one definition: Dedup.withPrefixTwins;
     // twins share their original's second) — the pair class only
-    // containment finds. Two microbatches (split by doc_id parity, both
-    // halves carrying originals AND twins) so pairing spans triggers.
+    // containment finds. Two microbatches, split so every planted
+    // (twin, original) pair GENUINELY crosses triggers: the twin offset
+    // 10⁹ is even, so a plain doc_id-parity split would co-deliver each
+    // twin with its original — instead the split key flips parity for
+    // twins (base-id parity + twin flag), putting each original and its
+    // twin in OPPOSITE microbatches while both batches still carry a
+    // mix of originals and twins.
     val d = Tables(spark, sf, "documents")
     // 1 doc/second: the BINDING bound here is the operator's 1 h
     // watermark delay, not the 24 h ttl — batch 2 replays ts from the
@@ -276,7 +281,8 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("contain_stream").start()
     try {
       Seq(0, 1).foreach { par =>
-        base.filter(col("doc_id") % 2 === par)
+        base.filter(
+          expr("(doc_id % 1000000000 + doc_id div 1000000000) % 2") === par)
           .write.mode("append").parquet(srcDir)
         q.processAllAvailable()
       }
