@@ -71,6 +71,31 @@ object Similarity {
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
 
+  /** d05's pair pipeline over a MATERIALIZED (vec_id, v) corpus
+    * (callers wrap in [[graft.ops.Subplan.once]] — it is referenced
+    * 3×: banding + verify sa/sb): 4×16-bit sign-band candidate
+    * equi-joins, then exact cosine ≥ 0.99 on collisions. ONE
+    * definition for the d05 pair query and the d13 cluster query so
+    * the clusters can never stop being the components of the pairs
+    * (the m06/m07 `ahashSigs` discipline). Emits
+    * (vec_a < vec_b, cos_sim). */
+  private def signNearDupPairs(all: DataFrame): DataFrame = {
+    val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(all.as("sa"), col("vec_a") === col("sa.vec_id"))
+      .join(all.as("sb"), col("vec_b") === col("sb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+  }
+
   /** Per-query top-k via the bounded-heap aggregate: partial
     * aggregation keeps ≤ k scored rows per query per task, where the
     * window formulation would shuffle-and-sort every scored row.
@@ -141,24 +166,48 @@ object Similarity {
     // Topology is unchanged: shuffles only on content-derived
     // (band, sig) keys, verification only on collisions, skewed
     // sign-buckets handled by AQE skew join.
-    "d05_embedding_neardup" -> ((s, dir) => {
-      // Referenced 3× (banding + verify sa/sb): materialize once so
-      // the corpus union isn't re-derived per reference (Subplan.once).
+    "d05_embedding_neardup" -> ((s, dir) =>
+      signNearDupPairs(
+        graft.ops.Subplan.once(withPlantedTwins(emb(s, dir))))),
+
+    // Embedding dedup CLUSTERS + canonical — the DECISION layer over
+    // d05's pairs (the d07/d08-to-d02 relationship, for embeddings;
+    // m07 is the media sibling): sign-band near-dup pairs feed the
+    // same large-star/small-star contraction, then each cluster keeps
+    // its best member — here the largest squared L2 norm (a row-local
+    // ordered fold, so it hash-matches DuckDB's list_dot_product; the
+    // SemDeDup centroid-distance scoring slots into the same
+    // max(struct) hook but a centroid MEAN is an order-dependent float
+    // sum no cross-engine hash survives). Ties go to the smallest
+    // vec_id. Emits one row per clustered vector:
+    // (vec_id, cluster_id, keep_id, n_members).
+    // Topology = d05 (banded candidate equi-joins + exact verify) +
+    // O(log n) contraction rounds + one vec_id-keyed score join + one
+    // partial-aggregating max(struct) per cluster; the oracle walks
+    // the exhaustive pair graph with a recursive CTE over d05's own
+    // CTE skeleton, so banding + contraction + canonical together must
+    // lose nothing.
+    "d13_embedding_clusters" -> ((s, dir) => {
       val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
-      val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      cand
-        .join(all.as("sa"), col("vec_a") === col("sa.vec_id"))
-        .join(all.as("sb"), col("vec_b") === col("sb.vec_id"))
-        .select(col("vec_a"), col("vec_b"),
-          cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.99)
+      // Labels are read twice (canonical agg + final member join) —
+      // materialize so the contraction's last groupBy runs once.
+      val clusters = graft.ops.Subplan.once(
+        Dedup.connectedComponents(
+            signNearDupPairs(all)
+              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("u").as("vec_id"), col("lbl").as("cluster_id")))
+      val scored = all.select(col("vec_id"),
+        dotFold(col("v"), col("v")).as("nsq"))
+      val canon = clusters.join(scored, "vec_id")
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("nsq"), (-col("vec_id")).as("nd"),
+            col("vec_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("best.vec_id").as("keep_id"),
+          col("n_members"))
+      clusters.join(canon, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("keep_id"),
+          col("n_members"))
     }),
 
     // Blocked NN-1 — the SCALE path for per-vector nearest neighbor
@@ -438,31 +487,60 @@ object Similarity {
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
       .stripMargin
 
+  /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
+    * bands + exact cosine verify) shared by the d05 and d13 oracles —
+    * one SQL statement of the construction so the pair and cluster
+    * oracles can never drift (the m06/m07 `ahashCte` discipline). */
+  private val signPairsCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pert AS (SELECT vec_id + 1000000000 AS vec_id,
+      |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
+      |     for i in generate_series(1, len(v))] AS v
+      |  FROM e),
+      |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+      |bands AS (SELECT vec_id, b AS band,
+      |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
+      |               '' ORDER BY i) AS sig
+      |  FROM al, unnest(generate_series(0, 3)) u(b),
+      |           unnest(generate_series(1, 16)) w(i)
+      |  GROUP BY vec_id, b),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      |scored AS (SELECT c.vec_a, c.vec_b,
+      |    list_dot_product(sa.v, sb.v)
+      |      / (sqrt(list_dot_product(sa.v, sa.v))
+      |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+      |  FROM cand c
+      |  JOIN al sa ON sa.vec_id = c.vec_a
+      |  JOIN al sb ON sb.vec_id = c.vec_b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d05_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |pert AS (SELECT vec_id + 1000000000 AS vec_id,
-        |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
-        |     for i in generate_series(1, len(v))] AS v
-        |  FROM e),
-        |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
-        |bands AS (SELECT vec_id, b AS band,
-        |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
-        |               '' ORDER BY i) AS sig
-        |  FROM al, unnest(generate_series(0, 3)) u(b),
-        |           unnest(generate_series(1, 16)) w(i)
-        |  GROUP BY vec_id, b),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        |scored AS (SELECT c.vec_a, c.vec_b,
-        |    list_dot_product(sa.v, sb.v)
-        |      / (sqrt(list_dot_product(sa.v, sa.v))
-        |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
-        |  FROM cand c
-        |  JOIN al sa ON sa.vec_id = c.vec_a
-        |  JOIN al sb ON sb.vec_id = c.vec_b)
-        |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
+      s"""WITH $signPairsCte
+         |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
+    // d07's recursive min-label walk over d05's exhaustive pair graph,
+    // then the max-norm canonical (ties to the smallest vec_id).
+    "d13_embedding_clusters" ->
+      s"""WITH RECURSIVE $signPairsCte,
+         |pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos_sim >= 0.99),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION SELECT vec_b, vec_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+         |comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |nrm AS (SELECT vec_id, list_dot_product(v, v) AS nsq FROM al),
+         |rk AS (SELECT c.cluster_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY n.nsq DESC, c.vec_id ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM comp c JOIN nrm n USING (vec_id)),
+         |keep AS (SELECT cluster_id, vec_id AS keep_id, n_members
+         |  FROM rk WHERE rk = 1)
+         |SELECT c.vec_id, c.cluster_id, k.keep_id, k.n_members
+         |FROM comp c JOIN keep k USING (cluster_id)""".stripMargin,
     "s04_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, CAST(j AS INTEGER) AS j,

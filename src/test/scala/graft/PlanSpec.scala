@@ -115,7 +115,8 @@ class PlanSpec extends AnyFunSuite {
     // Subplan.once cut, every leaf of the final plan is the checkpointed
     // RDD — zero parquet scans — and the one-time gather subplan reads
     // `documents` exactly once.
-    for (q <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_embedding_neardup")) {
+    for (q <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_embedding_neardup",
+        "d13_embedding_clusters")) {
       val p = plan(q)
       assert("Scan parquet".r.findAllIn(p).isEmpty,
         s"$q must read the materialized sets, not re-scan parquet:\n$p")
