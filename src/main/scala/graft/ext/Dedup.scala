@@ -137,6 +137,16 @@ object Dedup {
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(docs(s, dir))
 
+  /** The planted cross-split duplicate text shared by the d11 and d14
+    * incremental fixtures (docs with doc_id % 20 == 4 all carry it, so
+    * batch docs with id ≡ 24 (mod 40) are guaranteed duplicates of
+    * corpus docs) — ONE definition so the two incremental operators
+    * exercise the same planted graph; both oracles restate it
+    * verbatim. */
+  private[graft] val PressPlant: String =
+    "shared press release body reused verbatim by every " +
+      "mirror site in the batch and the corpus alike for this test"
+
   /** The d12 containment fixture: every doc unions with its
     * 12-token-prefix twin at doc_id + 10⁹ — C(twin→doc) = 1.0 at
     * J ≈ 0.15, the pair class only containment finds. ONE definition
@@ -270,28 +280,73 @@ object Dedup {
     * candidates without duplicating the join logic. */
   private[graft] def jaccardCandidates(sets: DataFrame, t: Double): DataFrame = {
     val pref = prefixBlocks(sets, t)
-    pref.as("a")
-      .join(pref.as("b"),
-        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) >=
-            ceil(greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9)))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(min(struct(col("a.i").as("ia"), col("b.i").as("ib"),
-        col("a.n").as("na"), col("b.n").as("nb"))).as("m"))
-      // PPJoin positional filter: J(A,B) >= t  <=>  overlap O >=
-      // t/(1+t)·(na+nb). The min-struct picks the collision at the
-      // globally SMALLEST common prefix shingle c (positions are
-      // strictly increasing in the global order, so min ia = min c);
-      // for a qualifying pair c is in both prefixes (total-recall
-      // proof above), and every common element sits at-or-after c in
-      // both suffixes, so O <= 1 + min(na − ia, nb − ib). Pairs whose
-      // bound can't reach the threshold skip the verify join entirely.
-      // The 1e-9 slack keeps a float-rounded threshold from ever
-      // over-pruning an exact boundary pair (bound is an integer).
+    ppjoinFilter(
+      pref.as("a")
+        .join(pref.as("b"),
+          col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) >=
+              ceil(greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9)))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.i").as("ia"), col("b.i").as("ib"),
+          col("a.n").as("na"), col("b.n").as("nb")),
+      t)
+  }
+
+  /** The two-sided sibling of [[jaccardCandidates]] for INCREMENTAL
+    * pair discovery (d14): candidate pairs with at least one endpoint
+    * in `setsBatch`, against a full-corpus `sets` — the batch side's
+    * prefix blocks are the small side of the collision join, so the
+    * corpus prefixes stream map-side (d11's broadcast topology; the
+    * caller applies the size-gated hint). Both sides' prefixes must
+    * come from the SAME global shingle order (the recall proof in
+    * [[jaccardPairsPrefix]] holds for any one fixed order — here the
+    * full-corpus rarest-first order serves both). Pairs are
+    * canonicalized (doc_a < doc_b); batch–batch pairs collide in both
+    * orientations and dedup in the aggregate. */
+  private[graft] def jaccardCandidatesBetween(sets: DataFrame,
+      setsBatch: DataFrame, t: Double,
+      gate: DataFrame => DataFrame): DataFrame = {
+    val prefAll = prefixBlocks(sets, t)
+    val prefBatch = prefixBlocks(setsBatch, t)
+    val aFirst = col("a.doc_id") < col("b.doc_id")
+    ppjoinFilter(
+      prefAll.as("b")
+        .join(gate(prefBatch.as("a")),
+          col("a.x") === col("b.x") && col("a.doc_id") =!= col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) >=
+              ceil(greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9)))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          when(aFirst, col("a.i")).otherwise(col("b.i")).as("ia"),
+          when(aFirst, col("b.i")).otherwise(col("a.i")).as("ib"),
+          when(aFirst, col("a.n")).otherwise(col("b.n")).as("na"),
+          when(aFirst, col("b.n")).otherwise(col("a.n")).as("nb")),
+      t)
+  }
+
+  /** The shared per-pair aggregate + PPJoin positional filter over raw
+    * prefix-collision rows (doc_a, doc_b, ia, ib, na, nb) — ONE
+    * definition for the self-join (d02) and two-sided (d14) candidate
+    * paths.
+    *
+    * PPJoin positional filter: J(A,B) >= t  <=>  overlap O >=
+    * t/(1+t)·(na+nb). The min-struct picks the collision at the
+    * globally SMALLEST common prefix shingle c (positions are
+    * strictly increasing in the global order, so min ia = min c);
+    * for a qualifying pair c is in both prefixes (total-recall
+    * proof above), and every common element sits at-or-after c in
+    * both suffixes, so O <= 1 + min(na − ia, nb − ib). Pairs whose
+    * bound can't reach the threshold skip the verify join entirely.
+    * The 1e-9 slack keeps a float-rounded threshold from ever
+    * over-pruning an exact boundary pair (bound is an integer). */
+  private def ppjoinFilter(collisions: DataFrame, t: Double): DataFrame =
+    collisions
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(struct(col("ia"), col("ib"), col("na"), col("nb"))).as("m"))
       .filter((lit(1) + least(col("m.na") - col("m.ia"), col("m.nb") - col("m.ib")))
         >= lit(t / (1 + t)) * (col("m.na") + col("m.nb")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
-  }
 
   /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ `t`, the
     * quote/subset detector symmetric Jaccard structurally misses
@@ -524,11 +579,9 @@ object Dedup {
     // cross-split exact dups; natural cross-split near-dup pairs
     // exercise the LSH path.
     "d11_incremental_dedup" -> ((s, dir) => {
-      val plant = "shared press release body reused verbatim by every " +
-        "mirror site in the batch and the corpus alike for this test"
       val base = docs(s, dir).select(col("doc_id"),
         (col("doc_id") % 8 === 0).as("is_batch"),
-        when(col("doc_id") % 20 === 4, lit(plant))
+        when(col("doc_id") % 20 === 4, lit(PressPlant))
           .otherwise(col("text")).as("text"))
       // One materialized frontier over ALL docs: per-doc fingerprint +
       // shingle set (empty below the 3-token shingle floor), read by
@@ -602,8 +655,87 @@ object Dedup {
           when(col("n_tok") < 25, lit("low_quality"))
             .when(col("doc_id") === col("keep_id"), lit("kept"))
             .otherwise(lit("exact_dup")).as("verdict"))
+    }),
+
+    // Incremental CLUSTER maintenance — the d07-side sibling of t21's
+    // incremental postings and d11's incremental dedup: fold a small
+    // NEW batch into the big EXISTING near-dup cluster assignment,
+    // re-contracting ONLY the components the batch touches. The
+    // existing assignment materializes once (Subplan.once — in
+    // deployment it IS the stored cluster table) and then only ever
+    // streams map-side through broadcasts of batch-derived frames: it
+    // never shuffles in the delta path, and untouched clusters are
+    // never even read past the touched-key probe. Correctness rests on
+    // two exact identities: (1) the full pair graph = old pairs ∪
+    // pairs with ≥ 1 batch endpoint, and (2) replacing a component by
+    // its star (member → old root) preserves its connectivity — so
+    // contracting star-edges-of-touched ∪ new-edges reproduces the
+    // full rebuild's components exactly on every touched component
+    // (DedupSpec cross-checks; the oracle states that rebuild).
+    // Touched ⟺ the component contains a batch doc (a batch doc in
+    // any component is incident to a new edge by definition). The
+    // broadcasts are size-gated (t21's enforced-contract discipline,
+    // [[D14BroadcastMaxRows]]). Fixture: batch = doc_id % 8 == 0 with
+    // d11's planted cross-split duplicate text ([[PressPlant]]) so a
+    // genuinely multi-member cluster merges across the split. Emits
+    // the merged (doc_id, cluster_id) rows for touched components
+    // only — the delta a sink upserts.
+    "d14_incremental_clusters" -> ((s, dir) => {
+      val t = 0.5
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 20 === 4, lit(PressPlant))
+          .otherwise(col("text")).as("text"))
+      val isBatch = col("doc_id") % 8 === 0
+      // ONE shingle frontier for both splits: the recall proof holds
+      // for any single fixed global order, so the full-corpus
+      // rarest-first order serves existing-existing and batch-incident
+      // candidate generation alike.
+      val gathered = graft.ops.Subplan.once(gatherShingleSets(shinglesOf(d)))
+      val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
+      // The EXISTING assignment (the stored-table stand-in): d07's
+      // exact machinery over the corpus split only.
+      val assign = graft.ops.Subplan.once(
+        connectedComponents(
+          verifyJaccard(jaccardCandidates(sets.filter(!isBatch), t), sets, t)
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
+      // Size gate: sets is checkpointed, so the batch row count is a
+      // cheap scan, and the decision reflects the REAL batch size.
+      val gate: DataFrame => DataFrame =
+        if (sets.filter(isBatch).count() <= D14BroadcastMaxRows)
+          df => broadcast(df)
+        else identity
+      // NEW edges: every exact-Jaccard pair with ≥ 1 batch endpoint
+      // (batch–corpus and batch–batch), via the two-sided prefix
+      // filter — the corpus prefixes stream against the broadcast
+      // batch prefixes.
+      val newEdges = graft.ops.Subplan.once(
+        verifyJaccard(
+          jaccardCandidatesBetween(sets, sets.filter(isBatch), t, gate),
+          sets, t)
+          .select(col("doc_a"), col("doc_b")))
+      // Touched clusters = assignment rows hit by a new-edge endpoint;
+      // then their full membership as star edges (member → old root).
+      val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+        .unionAll(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+      val touchedC = assign.join(gate(endpoints), Seq("doc_id"))
+        .select(col("cluster_id")).distinct()
+      val star = assign.join(gate(touchedC), Seq("cluster_id"))
+      connectedComponents(
+        star.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+          .unionAll(newEdges))
+        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
     })
   )
+
+  /** d14's broadcast gate (the [[graft.ext.Text.T21BroadcastMaxKeys]]
+    * discipline): batch-derived frames — batch prefix blocks, new-edge
+    * endpoints, touched cluster ids — force-broadcast only while the
+    * batch split holds ≤ 2²⁰ gathered docs. Above the gate the hints
+    * drop away and Catalyst/AQE re-plan the probes as ordinary
+    * shuffle joins (linear; the assignment shuffles once instead of
+    * the driver OOMing on a forced TB broadcast). */
+  private[graft] val D14BroadcastMaxRows = 1L << 20
 
   /** The d07/d08 shared cluster pipeline — ONE definition (threshold,
     * pair projection, label renaming) so the registered clusters and
@@ -967,6 +1099,42 @@ object Dedup {
         |       ELSE 'new' END AS verdict
         |FROM fpv f
         |WHERE f.doc_id % 8 = 0""".stripMargin,
+    // The merged delta equals a full d07 rebuild over the planted
+    // corpus restricted to components containing a batch doc — the
+    // oracle states that rebuild (the t21 oracle shape, for clusters).
+    "d14_incremental_clusters" ->
+      """WITH RECURSIVE p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 4
+        |         THEN 'shared press release body reused verbatim by every mirror site in the batch and the corpus alike for this test'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM p
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, x FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 9))::BIGINT AS x
+        |  FROM tk, unnest(generate_series(1, len(t) - 2)) u(i))),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |jac AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        |  JOIN sz sa ON sa.doc_id = a.doc_id
+        |  JOIN sz sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+        |comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+        |touched AS (SELECT DISTINCT cluster_id FROM comp WHERE doc_id % 8 = 0)
+        |SELECT c.doc_id, c.cluster_id
+        |FROM comp c JOIN touched USING (cluster_id)""".stripMargin,
     "d10_clean_corpus" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 37 = 5

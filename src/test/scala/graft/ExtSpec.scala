@@ -484,6 +484,41 @@ class ExtSpec extends AnyFunSuite {
       "the delta must not rewrite the whole index")
   }
 
+  test("d14 incremental clusters: merged assignment equals the full rebuild " +
+      "on touched components") {
+    // d14's corpus+batch split covers ALL docs, so the merged labels
+    // must equal a full d07-style rebuild over the planted corpus,
+    // restricted to components containing a batch doc — the
+    // incremental path may touch fewer components, never relabel one.
+    val planted = Tables(spark, sf, "documents").select(col("doc_id"),
+      when(col("doc_id") % 20 === 4, lit(ext.Dedup.PressPlant))
+        .otherwise(col("text")).as("text"))
+    val full = ext.Dedup.connectedComponents(
+        ext.Dedup.jaccardPairsPrefix(ext.Dedup.shinglesOf(planted), 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl")))
+    val touched = full.groupBy(_._2).collect {
+      case (cid, members) if members.exists(_._1 % 8 == 0) => cid
+    }.toSet
+    val want = full.filter(p => touched(p._2)).toSet
+    val got = SparkEntry.queries("d14_incremental_clusters")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    assert(got == want,
+      s"merged delta diverges from the full rebuild on touched components: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // untouched components stay untouched: the delta is a strict subset
+    assert(got.size < full.length,
+      "the delta must not rewrite the whole assignment")
+    // the planted cross-split cluster genuinely merged: one component
+    // holding both batch (id % 8 == 0) and corpus members
+    val plantRows = got.filter(_._1 % 20 == 4)
+    assert(plantRows.size >= 2 && plantRows.map(_._2).size == 1,
+      "planted duplicates must collapse into one cluster")
+    assert(plantRows.exists(_._1 % 8 == 0) && plantRows.exists(_._1 % 8 != 0),
+      "the planted cluster must span the batch/corpus split")
+  }
+
   test("t22 LM surprise: scores are >= 1, vary, and cover every scorable doc") {
     val rows = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),

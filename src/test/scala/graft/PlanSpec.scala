@@ -230,6 +230,21 @@ class PlanSpec extends AnyFunSuite {
       s"the under-gate delta plan must contain zero shuffle exchanges:\n$p")
   }
 
+  test("d14: the merged delta reads materialized frontiers only") {
+    // The registered plan is the label pass over the contracted edge
+    // checkpoint; every upstream stage (assignment build, batch-side
+    // probes, re-contraction) materialized via Subplan.once — so the
+    // final plan must scan checkpoints, never parquet, and the
+    // engine-wide loop above already forbids nested-loop shapes in it.
+    // The probe-side broadcast discipline is semantic here (the
+    // contraction executes at build time): DedupSpec/ExtSpec pin the
+    // merged labels against the full rebuild instead.
+    val p = plan("d14_incremental_clusters")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"the delta must read the materialized contraction, not re-scan parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
