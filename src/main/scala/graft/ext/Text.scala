@@ -474,6 +474,49 @@ object Text {
         .select(col("doc_id"), col("n_bigrams"), surpriseCol.as("surprise"))
     }),
 
+    // Held-out smoothed LM filter — t22's DEPLOYMENT shape: the LM
+    // trains on a deterministic md5 split of the corpus (the
+    // t08/t13 draw: md5(doc_id || ':eval') % 8 == 0 is held out) and
+    // scores the HELD-OUT docs, so unseen prefixes and unseen
+    // continuations are routine rather than impossible — handled by
+    // add-one smoothing with an OOV floor, kept inside t22's
+    // exact-integer discipline: p(v|u) = (c2 + 1) / (c1 + V) with
+    // TRAIN counts (0 when unseen) and V = the train prefix
+    // vocabulary, so the quantized inverse probability is
+    //   s = ((c1 + V) · 2²⁰) div (c2 + 1)
+    // — literally [[quantizedInvP]] over the shifted counts (ONE
+    // definition, t22's fail-loud overflow guards riding along; an
+    // unseen prefix scores the uniform floor V · 2²⁰). c2 ≤ c1 and
+    // V ≥ 1 keep every s ≥ 2²⁰, so surprise stays ≥ 1 exactly like
+    // t22. Topology adds one single-row vocabulary count to t22's
+    // shape, broadcast on a [[graft.ops.ConstKey]] key (t12's
+    // discipline — never a nested loop). The two scoring joins are
+    // LEFT joins (held-out grams may be absent from train); the LM
+    // sides broadcast at test SF and shuffle on content keys at
+    // deploy SF, either way linear.
+    "t23_lm_heldout" -> ((s, dir) => {
+      val pos = graft.ops.Subplan.once(bigramPositions(
+        docs(s, dir).select(col("doc_id"), isEvalCol.as("is_eval"),
+          col("text")),
+        "doc_id", "is_eval"))
+      val train = pos.filter(!col("is_eval"))
+      val (cu, cb) = bigramLm(train)
+      val vocab = train.select(col("u")).distinct()
+        .agg(count(lit(1)).as("v_size"))
+        .withColumn("one", graft.ops.ConstKey.one(col("v_size")))
+      pos.filter(col("is_eval"))
+        .join(cu, Seq("u"), "left")
+        .join(cb, Seq("b"), "left")
+        .withColumn("one", graft.ops.ConstKey.one(col("u")))
+        .join(broadcast(vocab), "one")
+        .withColumn("c1", coalesce(col("c1"), lit(0L)) + col("v_size"))
+        .withColumn("c2", coalesce(col("c2"), lit(0L)) + lit(1L))
+        .withColumn("s", quantizedInvP)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sq"))
+        .select(col("doc_id"), col("n_bigrams"), surpriseCol.as("surprise"))
+    }),
+
     // Incremental postings maintenance — the index-side sibling of
     // d11's incremental dedup: merge a small NEW batch into the big
     // EXISTING blocked index (t19's layout) touching ONLY the (term,
@@ -1016,6 +1059,28 @@ object Text {
         |cb AS (SELECT b, COUNT(*) AS c2 FROM pos GROUP BY 1),
         |sc AS (SELECT doc_id, (c1 * 1048576) // c2 AS s
         |  FROM pos JOIN cu USING (u) JOIN cb USING (b))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
+        |    AS surprise
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "t23_lm_heldout" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+        |      AS is_eval,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |pos AS (SELECT doc_id, is_eval,
+        |    ('0x' || substr(md5(tk[i]), 1, 9))::BIGINT AS u,
+        |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 9))::BIGINT AS b
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |cu AS (SELECT u, COUNT(*) AS c1 FROM pos WHERE NOT is_eval GROUP BY 1),
+        |cb AS (SELECT b, COUNT(*) AS c2 FROM pos WHERE NOT is_eval GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT u) AS v_size FROM pos WHERE NOT is_eval),
+        |sc AS (SELECT doc_id,
+        |    ((COALESCE(c1, 0) + v_size) * 1048576) // (COALESCE(c2, 0) + 1) AS s
+        |  FROM pos LEFT JOIN cu USING (u) LEFT JOIN cb USING (b), vs
+        |  WHERE is_eval)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
         |    AS surprise

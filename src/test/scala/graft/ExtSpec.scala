@@ -534,6 +534,35 @@ class ExtSpec extends AnyFunSuite {
       "surprise must separate docs, not collapse to a constant")
   }
 
+  test("t23 held-out LM: covers exactly the eval split, surprise >= 1, " +
+      "strictly above the self-trained score on average") {
+    val rows = SparkEntry.queries("t23_lm_heldout")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("surprise"))).toMap
+    val evalDocs = Tables(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2)
+      .filter(ext.Text.isEvalCol).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == evalDocs,
+      "every >=2-token held-out doc gets a score, and only those")
+    // c2+1 <= c1+V always, so every quantized inverse probability is
+    // >= 2^20 and the mean is >= 1 exactly (t22's invariant survives
+    // the smoothing shift).
+    assert(rows.values.forall(_ >= 1.0), "inverse probability below 1")
+    assert(rows.values.toSeq.distinct.length > 1,
+      "surprise must separate docs, not collapse to a constant")
+    // A held-out doc is genuinely more surprising under the train-only
+    // LM than under t22's corpus-self-trained one (its own mass is
+    // gone + smoothing): compare means over the shared doc set.
+    val self = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("surprise"))).toMap
+    val shared = rows.keySet intersect self.keySet
+    assert(shared.nonEmpty)
+    val meanHeld = shared.toSeq.map(rows).sum / shared.size
+    val meanSelf = shared.toSeq.map(self).sum / shared.size
+    assert(meanHeld > meanSelf,
+      s"held-out scoring should raise mean surprise: $meanHeld vs $meanSelf")
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
