@@ -35,6 +35,37 @@ object Soak {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
+    // ANN-recall mode (`Soak <dir> --ann`): recall@1 of the two
+    // approximate NN paths against s03's exact block-grid answer, on
+    // the NATURAL corpus (no planted twins — the planting guarantees
+    // collisions, which would inflate recall). Ground truth and both
+    // approximations ride the registered operators' own library forms
+    // (Similarity.exactNn1 / bandedNn1 / gridNn1), so the number is
+    // the recall OF THE REGISTERED CONSTRUCTIONS. A vector whose
+    // banded/grid candidate set is empty counts as a miss (the
+    // denominator is every vector with an exact neighbor).
+    if (args.contains("--ann")) {
+      val all = ops.Subplan.once(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
+      val t0 = System.nanoTime()
+      val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
+      val n = exact.count()
+      val tExact = (System.nanoTime() - t0) / 1e9
+      def recallOf(approx: org.apache.spark.sql.DataFrame): (Long, Double) =
+        timed(exact.select(col("vec_id"), col("nn_id"))
+          .join(approx.select(col("vec_id"), col("nn_id").as("a_nn")),
+            Seq("vec_id"))
+          .filter(col("nn_id") === col("a_nn")).count())
+      val (h05, t05) = recallOf(ext.Similarity.bandedNn1(all))
+      val (h08, t08) = recallOf(ext.Similarity.gridNn1(all))
+      println(
+        s"""{"dir":"$sfDir","mode":"ann","n_vec":$n,"exact_sec":$tExact,""" +
+        s""""s05":{"hits":$h05,"recall":${h05.toDouble / n},"sec":$t05},""" +
+        s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08}}""")
+      spark.stop()
+      return
+    }
+
     val d = Tables(spark, sfDir, "documents")
 
     // Corpus shape: shingle document frequencies.

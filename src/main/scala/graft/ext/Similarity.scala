@@ -226,30 +226,8 @@ object Similarity {
     // map-side. Cost tracks bucket-collision rate; the 16-bit band
     // width is the documented corpus-tracking knob (see
     // [[signBandStructs]]).
-    "s05_blocked_nn1" -> ((s, dir) => {
-      // Referenced 3× (banding + score sa/sb): materialize once.
-      val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
-      val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      // Both directions (=!=, not <): every vector needs ITS best
-      // neighbor, so pairs are not symmetric-deduped here.
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
-        .distinct()
-      cand.as("c")
-        .join(all.as("sa"), col("c.vec_id") === col("sa.vec_id"))
-        .join(all.as("sb"), col("c.nn_id") === col("sb.vec_id"))
-        .select(col("c.vec_id").as("vec_id"), col("c.nn_id").as("nn_id"),
-          cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"),
-          col("nn_id"))).as("best"))
-        .select(col("vec_id"), col("best.nn_id").as("nn_id"),
-          col("best.cos_sim").as("cos_sim"))
-    }),
+    "s05_blocked_nn1" -> ((s, dir) =>
+      bandedNn1(graft.ops.Subplan.once(withPlantedTwins(emb(s, dir))))),
 
     // Random-projection dimensionality reduction (64 → 16), the
     // standard pre-ANN shrink: reduced_j = Σ_i v_i · sign(i,j) / √16
@@ -358,8 +336,7 @@ object Similarity {
     "s08_ivf_grid" -> ((s, dir) => {
       val e = emb(s, dir)
       val g = e.select(col("vec_id"), col("v"),
-        floor(element_at(col("v"), 1) / lit(0.125)).cast("long").as("c1"),
-        floor(element_at(col("v"), 2) / lit(0.125)).cast("long").as("c2"))
+        gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
       val probes = g.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("c1").as("qc1"), col("c2").as("qc2"))
@@ -397,27 +374,90 @@ object Similarity {
     // vector per partition before any shuffle, where a window would
     // shuffle and sort all N² rows. Tie-break matches the window form:
     // highest cosine, then lowest nn_id (via negated id in the struct).
-    "s03_embedding_nn1" -> ((s, dir) => {
-      val e = emb(s, dir)
-      // Block-grid pair generation (see the comment above): corpus
-      // keyed by its block, probes exploded to every partner block,
-      // SHUFFLE_HASH so neither AQE nor size estimates ever turn the
-      // corpus side into a broadcast build.
-      val corpus = e.select(col("vec_id").as("nn_id"), col("v").as("bv"),
-        pmod(col("vec_id"), lit(Nn1Blocks.toLong)).cast("int").as("blk"))
-      val probes = e.select(col("vec_id"), col("v"))
-        .withColumn("blk", explode(array((0 until Nn1Blocks).map(lit): _*)))
-      val scored = probes.join(corpus.hint("shuffle_hash"), Seq("blk"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          cosine(col("v"), col("bv")).as("cos_sim"))
-      scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"),
-          col("nn_id"))).as("best"))
-        .select(col("vec_id"), col("best.nn_id").as("nn_id"),
-          col("best.cos_sim").as("cos_sim"))
-    })
+    "s03_embedding_nn1" -> ((s, dir) => exactNn1(emb(s, dir)))
   )
+
+  /** The shared top-1 collapse of a scored (vec_id, nn_id, cos_sim)
+    * frame: partial-aggregating max over an ordered struct — map-side
+    * combine collapses scored rows to one candidate per vector per
+    * partition before any shuffle. Tie-break matches the window form:
+    * highest cosine, then lowest nn_id (negated id in the struct). */
+  private def best1(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"),
+        col("nn_id"))).as("best"))
+      .select(col("vec_id"), col("best.nn_id").as("nn_id"),
+        col("best.cos_sim").as("cos_sim"))
+
+  /** s03's exact block-grid NN-1 over a (vec_id, v) frame — see the
+    * s03 entry for the plan rationale. ONE definition for the
+    * registered query and the recall soak's ground truth
+    * (graft.Soak). */
+  private[graft] def exactNn1(e: DataFrame): DataFrame = {
+    // Corpus keyed by its block, probes exploded to every partner
+    // block, SHUFFLE_HASH so neither AQE nor size estimates ever turn
+    // the corpus side into a broadcast build.
+    val corpus = e.select(col("vec_id").as("nn_id"), col("v").as("bv"),
+      pmod(col("vec_id"), lit(Nn1Blocks.toLong)).cast("int").as("blk"))
+    val probes = e.select(col("vec_id"), col("v"))
+      .withColumn("blk", explode(array((0 until Nn1Blocks).map(lit): _*)))
+    best1(probes.join(corpus.hint("shuffle_hash"), Seq("blk"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("v"), col("bv")).as("cos_sim")))
+  }
+
+  /** s05's construction over an already-materialized (vec_id, v)
+    * corpus: each vector's nearest neighbor AMONG ITS SIGN-BAND
+    * COLLISIONS. ONE definition for the registered query (planted-twin
+    * corpus) and the natural-corpus recall soak / ExtSpec floor pin,
+    * so the measured recall is the recall of the REGISTERED
+    * operator. */
+  private[graft] def bandedNn1(all: DataFrame): DataFrame = {
+    val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Both directions (=!=, not <): every vector needs ITS best
+    // neighbor, so pairs are not symmetric-deduped here.
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"))
+      .distinct()
+    best1(cand.as("c")
+      .join(all.as("sa"), col("c.vec_id") === col("sa.vec_id"))
+      .join(all.as("sb"), col("c.nn_id") === col("sb.vec_id"))
+      .select(col("c.vec_id").as("vec_id"), col("c.nn_id").as("nn_id"),
+        cosine(col("sa.v"), col("sb.v")).as("cos_sim")))
+  }
+
+  /** s08's coarse quantizer for axis `i` (1-based): ⌊vᵢ / 0.125⌋ —
+    * division by a power of two and floor are single correctly-rounded
+    * IEEE ops, so cell ids hash-match across engines. ONE definition
+    * for the registered s08 probe and [[gridNn1]]. */
+  private[graft] def gridCell(v: Column, i: Int): Column =
+    floor(element_at(v, i) / lit(0.125)).cast("long")
+
+  /** s08's IVF topology generalized to per-vector NN-1: EVERY vector
+    * probes its 3×3 cell neighborhood (the registered query probes 10
+    * vectors at top-5). The recall-soak twin of s08 — shares the cell
+    * quantizer, so the measured recall is the registered index's. */
+  private[graft] def gridNn1(all: DataFrame): DataFrame = {
+    val g = all.select(col("vec_id"), col("v"),
+      gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+    val probes = g
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("c1").as("qc1"), col("c2").as("qc2"))
+      .withColumn("d", explode(array(
+        (for (i <- -1 to 1; j <- -1 to 1)
+          yield struct(lit(i).as("i"), lit(j).as("j"))): _*)))
+      .select(col("qid"), col("qv"),
+        (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
+    best1(g.join(probes, Seq("c1", "c2"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid").as("vec_id"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim")))
+  }
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
     * (block = vec_id mod B), each probe vector is replicated to all B

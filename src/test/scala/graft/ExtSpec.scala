@@ -563,6 +563,37 @@ class ExtSpec extends AnyFunSuite {
       s"held-out scoring should raise mean surprise: $meanHeld vs $meanSelf")
   }
 
+  test("ANN recall@1 vs exact on the natural corpus: grid IVF holds a floor, " +
+      "banded NN-1 stays a near-dup blocker") {
+    // The recall soak's in-test twin (graft.Soak --ann): ground truth
+    // and both approximations are the registered operators' own
+    // library forms, natural corpus (planting guarantees collisions,
+    // which would inflate recall).
+    val all = ops.Subplan.once(
+      ext.Similarity.emb(spark, sf).select(col("vec_id"), col("v")))
+    val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
+    val n = exact.count()
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.select(col("vec_id"), col("nn_id"))
+        .join(approx.select(col("vec_id"), col("nn_id").as("a_nn")),
+          Seq("vec_id"))
+        .filter(col("nn_id") === col("a_nn")).count()
+    // Measured 0.648 at sf0.001 / 0.65 at sf0.1 — floor with margin.
+    val g = hits(ext.Similarity.gridNn1(all))
+    assert(g >= (n * 0.55).toLong, s"grid IVF recall@1 regressed: $g/$n")
+    // The banded path's recall lives in its DESIGN regime
+    // (sign-identical near-dups — total recall, pinned above); on a
+    // natural random corpus the true NN (cos ~0.5) almost never shares
+    // a 16-bit sign band, measured recall ~0.003. Pin the separation:
+    // if this "improves" toward general-NN recall, the band width
+    // collapsed (the round-4 8-bit saturation failure mode) and the
+    // operator's scale story is broken, not better.
+    val b = hits(ext.Similarity.bandedNn1(all))
+    assert(b < n / 10,
+      s"banded NN-1 suddenly behaves like a general-NN index — check the " +
+        s"band width has not saturated: $b/$n")
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
