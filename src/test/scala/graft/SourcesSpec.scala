@@ -89,6 +89,62 @@ class SourcesSpec extends AnyFunSuite {
       .forall(_.getString(0).contains("source=src1")))
   }
 
+  test("tile-partitioned segments: one-tile query prunes to that tile's " +
+      "directory; a tile-dimension join prunes dynamically (DPP)") {
+    // SURVEY §4 partition-pruning row (reference ccdc/grid.py:23-53):
+    // the reference pruned by geometry — tile→chip enumeration decided
+    // which Cassandra partitions were ever read. Here the same bound
+    // comes from the optimizer: segments land (tx,ty)-partitioned via
+    // Sink.write, so a tile-restricted query is a metadata-only
+    // directory prune, and a join against a filtered tile-dimension
+    // frame prunes the same directories at RUNTIME from the dimension's
+    // broadcast (Catalyst dynamic partition pruning) — no full scan in
+    // either shape, at any corpus size.
+    import spark.implicits._
+    import graft.grid.Grid
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val base = CcdOps.segmentRecords(CcdOps.detect(CcdDemo.syntheticArd(spark, 4)))
+    val tiles = Seq((13, 6), (14, 6), (13, 7), (14, 7)).map { case (h, v) =>
+      val (ulx, uly) = Grid.cellUl(h, v, Grid.tile)
+      (h, v, ulx.toInt, uly.toInt)
+    }
+    val segs = tiles.map { case (_, _, ulx, uly) =>
+      base.withColumn("tx", lit(ulx)).withColumn("ty", lit(uly))
+    }.reduce(_ unionByName _)
+    Sink.write(segs, dir, Seq("tx", "ty", "cx", "cy", "px", "py", "sday", "eday"),
+      Seq("tx", "ty"))
+
+    // 1) static: the tile literal reaches PartitionFilters and the scan
+    // opens only that tile's directory
+    val (_, _, ulx0, uly0) = tiles.head
+    val one = spark.read.parquet(dir)
+      .filter(col("tx") === ulx0 && col("ty") === uly0)
+    val p1 = one.queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters: [") &&
+      p1.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains(ulx0.toString),
+      s"tile predicate must prune directories, not filter rows:\n$p1")
+    assert(one.count() == base.count())
+    assert(one.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains(s"tx=$ulx0/ty=$uly0")))
+
+    // 2) dynamic: the tile ids are only known from a dimension predicate
+    // (the reference's "which tiles cover this AOI" lookup); the scan
+    // must carry a dynamicpruningexpression fed by the dimension's
+    // broadcast rather than scanning all tiles
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_tiledim").toString
+    tiles.map { case (h, v, ulx, uly) => (ulx, uly, f"h$h%03dv$v%03d") }
+      .toDF("tx", "ty", "tile_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir)
+        .filter(col("tile_name") === "h013v006"), Seq("tx", "ty"))
+    assert(joined.count() == base.count())
+    val p2 = joined.queryExecution.executedPlan.toString
+    assert(p2.contains("dynamicpruningexpression"),
+      s"tile-dimension join must prune partitions at runtime (DPP):\n$p2")
+  }
+
   test("unpartitioned write remains a documented full refresh") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
