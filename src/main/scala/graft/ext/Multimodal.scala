@@ -265,8 +265,65 @@ object Multimodal {
       Dedup.connectedComponents(
           Dedup.simhashPairs(ahashSigs(s, dir), 3)
             .select(col("doc_a"), col("doc_b")))
-        .select(col("u").as("media_id"), col("lbl").as("cluster_id")))
+        .select(col("u").as("media_id"), col("lbl").as("cluster_id"))),
+
+    // Video CLIP containment — the media-asset lift of d12's
+    // asymmetric containment (the content-ID shape: "which videos
+    // contain this clip?"): each payload becomes its set of
+    // fixed-grid 32-byte frame fingerprints, and a clip is a
+    // containment hit when ≥ 90% of its frames appear in a video's
+    // frame set. Rides the EXACT d12 machinery
+    // ([[Dedup.containmentPairsPrefix]]: one-sided rarest-first
+    // prefix filter + size filter + sorted-merge verify — the
+    // pruning sits on the clip side, candidates never all-pairs), so
+    // the skew bound and total-recall proof measured for d12 carry
+    // over unchanged. Frame fingerprints are exact 36-bit md5-prefix
+    // ids (the house hash discipline; a production system would drop
+    // in a per-frame perceptual hash — the plumbing is identical).
+    // Planted clips: media_id + 2·10⁹ = payload bytes [33, 128] — a
+    // cut at frame boundaries, so for payloads ≥ 129 bytes the
+    // clip's 3 full frames are byte-identical to the video's frames
+    // 2-4 and containment = 1.0 exactly (ExtSpec pins recovery);
+    // shorter payloads yield a short final frame that matches
+    // nothing, scoring below threshold by design. The oracle is the
+    // exhaustive all-ordered-pairs form — the prefix filter must
+    // lose nothing.
+    "m08_clip_containment" -> ((s, dir) => {
+      val frames = m08Base(s, dir)
+        .select(col("media_id").as("doc_id"), explode(frameIdsCol).as("x"))
+      Dedup.containmentPairsPrefix(frames, 0.9)
+        .select(col("doc_a").as("clip_id"), col("doc_b").as("media_id"),
+          col("containment"))
+    })
   )
+
+  /** m08's fixture base: originals plus a planted frame-aligned clip
+    * (bytes [33, 128]) at media_id + 2·10⁹. ONE definition shared
+    * with ExtSpec's recovery pin so the test always validates the
+    * registered fixture (the m06Base discipline). The empty-clip
+    * guard matters beyond hygiene: Spark's `sequence(1, 0, 32)`
+    * throws where DuckDB's generate_series yields [] — the oracle
+    * states the same `length(text) > 0` filter. */
+  private[graft] def m08Base(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+    d.select(col("doc_id").as("media_id"), col("text"))
+      .unionAll(d.select(
+        (col("doc_id") + lit(2000000000L)).as("media_id"),
+        substring(col("text"), 33, 96).as("text")))
+      .filter(length(col("text")) > 0)
+  }
+
+  /** Distinct 36-bit md5-prefix fingerprints of the fixed-grid
+    * 32-byte frames of a `text` column (frame i covers bytes
+    * [32i+1, 32i+32], last frame short) — the [[Dedup.ngramIdCol]]
+    * hash discipline applied to byte windows instead of token
+    * windows, one definition for the m08 query and (restated) its
+    * oracle. */
+  private[graft] def frameIdsCol: org.apache.spark.sql.Column =
+    array_distinct(expr(
+      """transform(sequence(1, length(text), 32),
+        |  i -> cast(conv(substring(md5(substring(text, i, 32)), 1, 9),
+        |            16, 10) as bigint))""".stripMargin))
 
   /** The materialized aHash signature set over the m06 fixture — ONE
     * Spark-side definition for the m06 pair query and the m07 cluster
@@ -429,7 +486,33 @@ object Multimodal {
          |  SELECT DISTINCT u, u FROM edges
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS media_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
+         |SELECT u AS media_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    // States the m08 fixture + frame grid exactly (ASCII-payload
+    // assumption as in m05/m06: char positions == byte positions);
+    // the exhaustive all-ordered-pairs containment form — the
+    // registered prefix filter must lose nothing against it.
+    "m08_clip_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |    WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS media_id,
+        |    substring(text, 33, 96) AS text FROM documents
+        |    WHERE text IS NOT NULL),
+        |b2 AS (SELECT media_id, text FROM base WHERE length(text) > 0),
+        |fr AS (SELECT DISTINCT media_id, x FROM (
+        |  SELECT media_id,
+        |    ('0x' || substr(md5(substring(text, i, 32)), 1, 9))::BIGINT AS x
+        |  FROM b2, unnest(generate_series(1, length(text)::INT, 32)) u(i))),
+        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY media_id),
+        |pairs AS (SELECT a.media_id AS clip_id, b.media_id AS mid,
+        |    COUNT(*) AS inter, MIN(sa.n) AS na
+        |  FROM fr a JOIN fr b ON a.x = b.x AND a.media_id <> b.media_id
+        |  JOIN sz sa ON sa.media_id = a.media_id
+        |  GROUP BY a.media_id, b.media_id)
+        |SELECT clip_id, mid AS media_id,
+        |  CAST(inter AS DOUBLE) / na AS containment
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / na >= 0.9""".stripMargin
   )
 
 }

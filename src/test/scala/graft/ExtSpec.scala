@@ -638,6 +638,38 @@ class ExtSpec extends AnyFunSuite {
         s"extra=${(rows.toSet -- want).take(3)}")
   }
 
+  test("m08 clip containment: every full-frame planted clip is recovered " +
+      "at exactly 1.0, and no hit overstates the exhaustive recompute") {
+    val hits = SparkEntry.queries("m08_clip_containment")(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("clip_id"), r.getAs[Long]("media_id")),
+        r.getAs[Double]("containment"))).toMap
+    // Docs long enough that the planted clip (bytes [33, 128]) is 3
+    // FULL frames must come back contained in their source at 1.0 —
+    // the frame-aligned cut guarantees byte-identical frames.
+    val longDocs = Tables(spark, sf, "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 129)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(longDocs.nonEmpty)
+    longDocs.foreach { id =>
+      assert(hits.get((id + 2000000000L, id)).contains(1.0),
+        s"planted clip of doc $id not recovered at containment 1.0")
+    }
+    // And the prefix filter must lose nothing: recompute exhaustively
+    // over the same registered base through the same frame grid.
+    val frames = ext.Multimodal.m08Base(spark, sf)
+      .select(col("media_id"), ext.Multimodal.frameIdsCol.as("xs"))
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        r.getSeq[Long](1).toSet))
+    val want = (for {
+      (a, xa) <- frames; (b, xb) <- frames if a != b
+      inter = (xa & xb).size
+      c = inter.toDouble / xa.size if c >= 0.9
+    } yield ((a, b), c)).toMap
+    assert(hits == want,
+      s"prefix filter diverged from exhaustive: missing=${(want.keySet -- hits.keySet).take(3)} " +
+        s"extra=${(hits.keySet -- want.keySet).take(3)}")
+  }
+
   test("t15 pack stats: every non-final sequence is exactly 512 tokens full") {
     val rows = SparkEntry.queries("t15_pack_stats")(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq"),
