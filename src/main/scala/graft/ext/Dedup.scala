@@ -699,34 +699,51 @@ object Dedup {
           verifyJaccard(jaccardCandidates(sets.filter(!isBatch), t), sets, t)
             .select(col("doc_a"), col("doc_b")))
           .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
-      // Size gate: sets is checkpointed, so the batch row count is a
-      // cheap scan, and the decision reflects the REAL batch size.
-      val gate: DataFrame => DataFrame =
-        if (sets.filter(isBatch).count() <= D14BroadcastMaxRows)
-          df => broadcast(df)
-        else identity
-      // NEW edges: every exact-Jaccard pair with ≥ 1 batch endpoint
-      // (batch–corpus and batch–batch), via the two-sided prefix
-      // filter — the corpus prefixes stream against the broadcast
-      // batch prefixes.
-      val newEdges = graft.ops.Subplan.once(
-        verifyJaccard(
-          jaccardCandidatesBetween(sets, sets.filter(isBatch), t, gate),
-          sets, t)
-          .select(col("doc_a"), col("doc_b")))
-      // Touched clusters = assignment rows hit by a new-edge endpoint;
-      // then their full membership as star edges (member → old root).
-      val endpoints = newEdges.select(col("doc_a").as("doc_id"))
-        .unionAll(newEdges.select(col("doc_b").as("doc_id"))).distinct()
-      val touchedC = assign.join(gate(endpoints), Seq("doc_id"))
-        .select(col("cluster_id")).distinct()
-      val star = assign.join(gate(touchedC), Seq("cluster_id"))
-      connectedComponents(
-        star.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-          .unionAll(newEdges))
-        .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      clusterDelta(assign, sets, sets.filter(isBatch), t)
     })
   )
+
+  /** The d14 delta computation as a library op — the form the
+    * streaming maintenance twin folds per trigger
+    * (graft.streaming.DocStreams.ClusterMaintenance): given the
+    * stored assignment, the full ordered frontier (existing ∪ batch,
+    * ONE fixed global order — the recall proof holds for any single
+    * order used consistently within a delta), and the batch rows of
+    * that frontier, emit the re-contracted (doc_id, cluster_id) rows
+    * of every touched component. The existing assignment never
+    * shuffles: batch prefixes, new-edge endpoints, and touched
+    * cluster ids all ride size-gated broadcasts
+    * ([[D14BroadcastMaxRows]]); above the gate the hints drop away
+    * and Catalyst/AQE re-plan as ordinary shuffle joins. */
+  private[graft] def clusterDelta(assign: DataFrame, sets: DataFrame,
+      setsBatch: DataFrame, t: Double): DataFrame = {
+    // Size gate: sets is checkpointed, so the batch row count is a
+    // cheap scan, and the decision reflects the REAL batch size.
+    val gate: DataFrame => DataFrame =
+      if (setsBatch.count() <= D14BroadcastMaxRows)
+        df => broadcast(df)
+      else identity
+    // NEW edges: every exact-Jaccard pair with ≥ 1 batch endpoint
+    // (batch–corpus and batch–batch), via the two-sided prefix
+    // filter — the corpus prefixes stream against the broadcast
+    // batch prefixes.
+    val newEdges = graft.ops.Subplan.once(
+      verifyJaccard(
+        jaccardCandidatesBetween(sets, setsBatch, t, gate),
+        sets, t)
+        .select(col("doc_a"), col("doc_b")))
+    // Touched clusters = assignment rows hit by a new-edge endpoint;
+    // then their full membership as star edges (member → old root).
+    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+      .unionAll(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedC = assign.join(gate(endpoints), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val star = assign.join(gate(touchedC), Seq("cluster_id"))
+    connectedComponents(
+      star.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .unionAll(newEdges))
+      .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 
   /** d14's broadcast gate (the [[graft.ext.Text.T21BroadcastMaxKeys]]
     * discipline): batch-derived frames — batch prefix blocks, new-edge

@@ -744,4 +744,68 @@ object DocStreams extends Serializable {
           .otherwise(lit((k - 1) * 4294967296.0) /
             element_at(col("mins"), k))
           .as("est_distinct"))
+
+  /** Daily-ingest near-dup cluster maintenance — the streaming twin of
+    * d14. Connectivity is GLOBAL (one component can span every trigger
+    * ever seen), so unlike the keyed twins above the state cannot live
+    * in per-key GroupState: the honest Structured Streaming shape is
+    * `foreachBatch`, folding each microbatch through
+    * [[Dedup.clusterDelta]] against the stored (corpus, assignment)
+    * tables a deployment keeps in its lake, and upserting ONLY the
+    * touched components (d14's contract — the stored assignment never
+    * shuffles in the delta path, untouched clusters are never
+    * rewritten). Per trigger the ordered shingle frontier is rebuilt
+    * over corpus ∪ batch — ONE fixed global order per delta, which is
+    * all the prefix-filter recall proof needs; a deployment would
+    * maintain the df counts incrementally, trading that corpus pass
+    * for an updatable frontier table.
+    *
+    * State here is two localCheckpointed frames (the stored-table
+    * stand-in, [[graft.ops.Subplan.once]] truncating lineage each
+    * trigger so plans don't grow with trigger count); `foreachBatch`
+    * bodies run driver-side, so the vars need no serialization.
+    * StreamingSpec pins the end identity: after replaying the d14
+    * corpus in cross-cutting microbatches, the maintained assignment
+    * equals a full d07-style rebuild of the whole corpus. */
+  final class ClusterMaintenance(threshold: Double = 0.5) {
+    @volatile private var corpus: Option[DataFrame] = None
+    @volatile private var assignDf: Option[DataFrame] = None
+
+    /** The maintained (doc_id, cluster_id) assignment — None before
+      * the first non-empty trigger. */
+    def assignment: Option[DataFrame] = assignDf
+
+    /** Fold one microbatch of (doc_id, text) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val spark = batchDs.sparkSession
+      import spark.implicits._
+      val batch = graft.ops.Subplan.once(
+        batchDs.toDF().select(col("doc_id"), col("text")))
+      if (batch.isEmpty) return
+      val all = graft.ops.Subplan.once(
+        corpus.map(_.unionAll(batch)).getOrElse(batch))
+      val sets = graft.ops.Subplan.once(
+        Dedup.orderShingleSets(Dedup.gatherShingleSets(Dedup.shinglesOf(all))))
+      val batchSets = sets.join(batch.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val prev = assignDf.getOrElse(
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      val delta = graft.ops.Subplan.once(
+        Dedup.clusterDelta(prev, sets, batchSets, threshold))
+      // delta covers the FULL membership of every touched component
+      // (clusterDelta contracts star edges of touched ∪ new edges), so
+      // the old rows to retire are exactly the clusters holding a
+      // delta member.
+      val touchedOld = prev.join(delta.select(col("doc_id")),
+        Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct()
+      // unionByName, not unionAll: the using-column anti-join reorders
+      // its output (cluster_id first) and a positional union would
+      // silently swap ids and labels for every untouched row.
+      val merged = graft.ops.Subplan.once(
+        prev.join(touchedOld, Seq("cluster_id"), "left_anti")
+          .unionByName(delta))
+      corpus = Some(all)
+      assignDf = Some(merged)
+    }
+  }
 }

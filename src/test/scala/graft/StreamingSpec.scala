@@ -301,6 +301,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster maintenance converges to the full d07-style rebuild") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_clmaint_stream").toString
+    // The d14 planted corpus (PressPlant at doc_id % 20 == 4), split
+    // into two microbatches that CUT the planted cluster: ids ≡ 4 and
+    // ≡ 24 (mod 40) land in opposite triggers, so the cross-trigger
+    // merge path (star edges of a touched existing component ∪ new
+    // batch edges) genuinely runs — a parity split would co-deliver
+    // the whole planted cluster (every planted id is even).
+    val planted = Tables(spark, sf, "documents").select(col("doc_id"),
+      when(col("doc_id") % 20 === 4, lit(ext.Dedup.PressPlant))
+        .otherwise(col("text")).as("text"))
+    val base = planted.select(col("doc_id"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+      col("text"))
+    val cm = new DocStreams.ClusterMaintenance(0.5)
+    val q = spark.readStream.schema(DocStreams.docSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      // NOT `% 40 / 20 === half`: Spark's `/` is double division, so
+      // that predicate silently keeps only ids ≡ 0 (mod 40).
+      Seq(col("doc_id") % 40 < 20, col("doc_id") % 40 >= 20).foreach { half =>
+        base.filter(half).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = cm.assignment.getOrElse(fail("no assignment after replay"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    val want = ext.Dedup.connectedComponents(
+        ext.Dedup.jaccardPairsPrefix(ext.Dedup.shinglesOf(planted), 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"maintained assignment diverges from the full rebuild: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the planted cluster genuinely crossed triggers: both halves present
+    val plantRows = got.filter(_._1 % 20 == 4)
+    assert(plantRows.exists(_._1 % 40 == 4) && plantRows.exists(_._1 % 40 == 24),
+      "planted members from both microbatches must share the cluster")
+    assert(plantRows.map(_._2).size == 1 || plantRows.groupBy(_._2).size == 1,
+      "planted duplicates must collapse into one cluster")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString
