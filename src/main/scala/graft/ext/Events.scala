@@ -197,6 +197,29 @@ object Events {
     // join adds no exchange, and the final count_distinct partial-
     // aggregates per (cohort, offset). Nothing is per-event after the
     // first distinct — state tracks users, not events.
+    // Trending: per tumbling hour, the top-3 event types by count.
+    // Two bounded aggregations — the (window, type) count is an
+    // ordinary partial agg, then the per-window top-3 rides the
+    // bounded-heap [[graft.functions.TopKAgg]] (≤ 3 structs per
+    // window per task enter the final shuffle). The window-function
+    // formulation (rank over a per-window sort) would shuffle and
+    // sort every (window, type) row globally; the heap keeps the
+    // plan Window-free (PlanSpec pins it). Ties break to the LARGER
+    // event_type (struct max-ordering) — deterministic in both
+    // engines (binary string comparison; ASCII values).
+    "e10_trending" -> ((s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("wstart"))
+        .agg(graft.functions.TopKAgg.topK(
+          struct(col("n"), col("event_type")), 3).as("top"))
+        .select(col("wstart"), posexplode(col("top")))
+        .select(col("wstart"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.event_type").as("event_type"), col("col.n").as("n"))
+    }),
+
     "e09_cohort_retention" -> ((s, dir) => {
       val days = graft.ops.Subplan.once(ev(s, dir)
         .select(col("user_id"),
@@ -307,6 +330,19 @@ object Events {
         |  COUNT(DISTINCT d.user_id) AS n_active
         |FROM days d JOIN coh c USING (user_id)
         |WHERE date_diff('day', c.cohort_day, d.day) <= 7
-        |GROUP BY c.cohort_day, day_offset""".stripMargin
+        |GROUP BY c.cohort_day, day_offset""".stripMargin,
+    // The window-rank restatement of the heap: ties to the LARGER
+    // event_type, matching top_k's struct max-ordering.
+    "e10_trending" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY wstart, event_type),
+        |r AS (SELECT wstart, event_type, n,
+        |    row_number() OVER (PARTITION BY wstart
+        |      ORDER BY n DESC, event_type DESC) AS rk
+        |  FROM c)
+        |SELECT wstart, CAST(rk AS INTEGER) AS rk, event_type, n
+        |FROM r WHERE rk <= 3""".stripMargin
   )
 }

@@ -65,6 +65,13 @@ class PlanSpec extends AnyFunSuite {
       s"no side of the exact NN-1 may broadcast the corpus:\n$p")
   }
 
+  test("e10: per-window top-3 is the bounded heap, not a window sort") {
+    val p = plan("e10_trending")
+    assert(!p.contains("Window"),
+      s"rank-over-sort would shuffle+sort every (window, type) row:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregates:\n$p")
+  }
+
   test("engine-wide: no registered query broadcasts an unkeyed build " +
       "(zero BroadcastNestedLoopJoin / IdentityBroadcastMode)") {
     // The grading rule this pins: a plan with a full-relation
