@@ -58,6 +58,13 @@ object Similarity {
             .otherwise(lit("0"))): _*).as("sig"))
     }: _*)
 
+  /** The t08/t13 md5 eval draw applied to vec_id — ONE split
+    * discipline across n-gram (t13/t23) and embedding (s09)
+    * decontamination; the oracle states the same expression. */
+  private[graft] def isEvalVec: Column =
+    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":eval"))),
+      1, 8), 16, 10).cast("long") % 8 === 0
+
   /** The planted-twin corpus the sign-LSH queries are exercised on: the
     * random corpus (max natural pairwise cosine ~0.51 — no near-dups)
     * unions with a deterministically perturbed copy of itself (dim 0
@@ -208,6 +215,41 @@ object Similarity {
       clusters.join(canon, "cluster_id")
         .select(col("vec_id"), col("cluster_id"), col("keep_id"),
           col("n_members"))
+    }),
+
+    // Semantic decontamination — the embedding-space sibling of t13's
+    // n-gram decontamination (the FineWeb/SemDeDup contamination
+    // check): flag every corpus vector whose embedding near-matches a
+    // HELD-OUT eval vector (cosine ≥ 0.99 — paraphrased or reformatted
+    // contamination that shares no 8-gram and slips past t13). The
+    // eval split is the t08/t13 md5 draw on vec_id; candidates come
+    // from d05's 4×16-bit sign bands (corpus bands ⋈ eval bands —
+    // content-keyed equi-join; at deploy the eval side is a small
+    // benchmark set and broadcasts on its own), then the exact cosine
+    // verify on collisions only. Emits one row per contaminated
+    // corpus vector: (vec_id, n_eval_matches, max_cos) — max is
+    // order-free, so the double hash-matches. Exercised on the
+    // planted-twin corpus: the md5 draw splits each (original, twin)
+    // pair across eval/corpus with prob ~2·(1/8)·(7/8), giving a
+    // planted cross-split match class (ExtSpec pins it).
+    "s09_semantic_decontam" -> ((s, dir) => {
+      val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+      def bandsOf(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bandsOf(all.filter(!isEvalVec)).as("a")
+        .join(bandsOf(all.filter(isEvalVec)).as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.vec_id").as("cvec"), col("b.vec_id").as("evec"))
+        .distinct()
+      cand
+        .join(all.as("sa"), col("cvec") === col("sa.vec_id"))
+        .join(all.as("sb"), col("evec") === col("sb.vec_id"))
+        .select(col("cvec"), cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.99)
+        .groupBy(col("cvec"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos_sim")).as("max_cos"))
+        .select(col("cvec").as("vec_id"), col("n_eval_matches"), col("max_cos"))
     }),
 
     // Blocked NN-1 — the SCALE path for per-vector nearest neighbor
@@ -527,11 +569,10 @@ object Similarity {
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
       .stripMargin
 
-  /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
-    * bands + exact cosine verify) shared by the d05 and d13 oracles —
-    * one SQL statement of the construction so the pair and cluster
-    * oracles can never drift (the m06/m07 `ahashCte` discipline). */
-  private val signPairsCte =
+  /** The planted-twin corpus + sign-band CTE prefix (e/pert/al/bands)
+    * shared by every sign-LSH oracle — one SQL statement of the
+    * banding so no oracle can drift from another. */
+  private val signBaseCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |pert AS (SELECT vec_id + 1000000000 AS vec_id,
       |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
@@ -543,7 +584,14 @@ object Similarity {
       |               '' ORDER BY i) AS sig
       |  FROM al, unnest(generate_series(0, 3)) u(b),
       |           unnest(generate_series(1, 16)) w(i)
-      |  GROUP BY vec_id, b),
+      |  GROUP BY vec_id, b)""".stripMargin
+
+  /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
+    * bands + exact cosine verify) shared by the d05 and d13 oracles —
+    * one SQL statement of the construction so the pair and cluster
+    * oracles can never drift (the m06/m07 `ahashCte` discipline). */
+  private val signPairsCte =
+    s"""$signBaseCte,
       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -559,6 +607,29 @@ object Similarity {
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
+    // The corpus-side × eval-side restatement of the band join (same
+    // signBaseCte banding; the eval flag is the t08/t13 md5 draw).
+    "s09_semantic_decontam" ->
+      s"""WITH $signBaseCte,
+         |fl AS (SELECT vec_id,
+         |    ('0x' || substr(md5(vec_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+         |      AS is_eval
+         |  FROM al),
+         |cand AS (SELECT DISTINCT a.vec_id AS cvec, b.vec_id AS evec
+         |  FROM bands a
+         |  JOIN fl fa ON fa.vec_id = a.vec_id AND NOT fa.is_eval
+         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  JOIN fl fb ON fb.vec_id = b.vec_id AND fb.is_eval),
+         |scored AS (SELECT c.cvec,
+         |    list_dot_product(sa.v, sb.v)
+         |      / (sqrt(list_dot_product(sa.v, sa.v))
+         |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+         |  FROM cand c
+         |  JOIN al sa ON sa.vec_id = c.cvec
+         |  JOIN al sb ON sb.vec_id = c.evec)
+         |SELECT cvec AS vec_id, COUNT(*) AS n_eval_matches,
+         |  MAX(cos_sim) AS max_cos
+         |FROM scored WHERE cos_sim >= 0.99 GROUP BY cvec""".stripMargin,
     // d07's recursive min-label walk over d05's exhaustive pair graph,
     // then the max-norm canonical (ties to the smallest vec_id).
     "d13_embedding_clusters" ->

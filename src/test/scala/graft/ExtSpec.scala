@@ -638,6 +638,32 @@ class ExtSpec extends AnyFunSuite {
         s"extra=${(rows.toSet -- want).take(3)}")
   }
 
+  test("s09 semantic decontamination flags every cross-split planted twin") {
+    val res = SparkEntry.queries("s09_semantic_decontam")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_eval_matches"), r.getAs[Double]("max_cos"))).toMap
+    assert(res.nonEmpty && res.values.forall { case (n, c) => n >= 1 && c >= 0.99 })
+    // Replicate the registered md5 draw over originals AND twins; every
+    // (original, twin) pair the draw splits across eval/corpus is a
+    // guaranteed contamination hit for its corpus-side member.
+    val e = ext.Similarity.emb(spark, sf)
+    val flags = e.select(col("vec_id"))
+      .unionAll(e.select((col("vec_id") + lit(1000000000L)).as("vec_id")))
+      .select(col("vec_id"), ext.Similarity.isEvalVec.as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val planted = e.select(col("vec_id")).collect().map(_.getLong(0)).flatMap { o =>
+      val t = o + 1000000000L
+      if (flags(o) && !flags(t)) Some(t)
+      else if (!flags(o) && flags(t)) Some(o)
+      else None
+    }
+    assert(planted.nonEmpty, "the md5 draw must split some twin pairs")
+    planted.foreach { v =>
+      assert(res.contains(v) && res(v)._2 >= 0.99,
+        s"corpus vector $v has an eval-side twin but was not flagged")
+    }
+  }
+
   test("m08 clip containment: every full-frame planted clip is recovered " +
       "at exactly 1.0, and no hit overstates the exhaustive recompute") {
     val hits = SparkEntry.queries("m08_clip_containment")(spark, sf).collect()
