@@ -717,8 +717,10 @@ object Dedup {
     * and Catalyst/AQE re-plan as ordinary shuffle joins. */
   private[graft] def clusterDelta(assign: DataFrame, sets: DataFrame,
       setsBatch: DataFrame, t: Double): DataFrame = {
-    // Size gate: sets is checkpointed, so the batch row count is a
-    // cheap scan, and the decision reflects the REAL batch size.
+    // Size gate: both callers pass a checkpointed setsBatch (d14
+    // slices the checkpointed sets; ClusterMaintenance Subplan.onces
+    // its semi-join), so the row count is a cheap scan and the
+    // decision reflects the REAL batch size.
     val gate: DataFrame => DataFrame =
       if (setsBatch.count() <= D14BroadcastMaxRows)
         df => broadcast(df)

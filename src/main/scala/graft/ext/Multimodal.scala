@@ -281,9 +281,11 @@ object Multimodal {
     // ids (the house hash discipline; a production system would drop
     // in a per-frame perceptual hash — the plumbing is identical).
     // Planted clips: media_id + 2·10⁹ = payload bytes [33, 128] — a
-    // cut at frame boundaries, so for payloads ≥ 129 bytes the
-    // clip's 3 full frames are byte-identical to the video's frames
-    // 2-4 and containment = 1.0 exactly (ExtSpec pins recovery);
+    // cut at frame boundaries, so for payloads ≥ 128 bytes (the
+    // video's 4th frame, bytes 97-128, is already complete at 128)
+    // the clip's 3 full frames are byte-identical to the video's
+    // frames 2-4 and containment = 1.0 exactly (ExtSpec pins
+    // recovery);
     // shorter payloads yield a short final frame that matches
     // nothing, scoring below threshold by design. The oracle is the
     // exhaustive all-ordered-pairs form — the prefix filter must

@@ -764,6 +764,15 @@ object DocStreams extends Serializable {
     * stand-in, [[graft.ops.Subplan.once]] truncating lineage each
     * trigger so plans don't grow with trigger count); `foreachBatch`
     * bodies run driver-side, so the vars need no serialization.
+    * Storage-growth caveat of the stand-in: each trigger checkpoints a
+    * NEW corpus ∪ batch frame and rebuilds the shingle frontier over
+    * it, so per-trigger cost grows with total ingest, and superseded
+    * checkpoint blocks are freed only when ContextCleaner GCs the
+    * dropped frames — a long-running stream accumulates executor
+    * storage between GC cycles. A deployment replaces both vars with
+    * lake tables (and incremental df counts), which is the shape this
+    * class stands in for; the stand-in is for spec replay, not
+    * unbounded production runs.
     * StreamingSpec pins the end identity: after replaying the d14
     * corpus in cross-cutting microbatches, the maintained assignment
     * equals a full d07-style rebuild of the whole corpus. */
@@ -786,8 +795,11 @@ object DocStreams extends Serializable {
         corpus.map(_.unionAll(batch)).getOrElse(batch))
       val sets = graft.ops.Subplan.once(
         Dedup.orderShingleSets(Dedup.gatherShingleSets(Dedup.shinglesOf(all))))
-      val batchSets = sets.join(batch.select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // Materialized: clusterDelta reads it twice (the size-gate
+      // count() probe + candidate generation) — un-checkpointed, the
+      // semi-join would recompute once per read.
+      val batchSets = graft.ops.Subplan.once(
+        sets.join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       val prev = assignDf.getOrElse(
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
       val delta = graft.ops.Subplan.once(

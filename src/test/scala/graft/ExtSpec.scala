@@ -673,7 +673,7 @@ class ExtSpec extends AnyFunSuite {
     // FULL frames must come back contained in their source at 1.0 —
     // the frame-aligned cut guarantees byte-identical frames.
     val longDocs = Tables(spark, sf, "documents")
-      .filter(col("text").isNotNull && length(col("text")) >= 129)
+      .filter(col("text").isNotNull && length(col("text")) >= 128)
       .select("doc_id").collect().map(_.getLong(0))
     assert(longDocs.nonEmpty)
     longDocs.foreach { id =>

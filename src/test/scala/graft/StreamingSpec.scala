@@ -345,7 +345,7 @@ class StreamingSpec extends AnyFunSuite {
     val plantRows = got.filter(_._1 % 20 == 4)
     assert(plantRows.exists(_._1 % 40 == 4) && plantRows.exists(_._1 % 40 == 24),
       "planted members from both microbatches must share the cluster")
-    assert(plantRows.map(_._2).size == 1 || plantRows.groupBy(_._2).size == 1,
+    assert(plantRows.map(_._2).size == 1,
       "planted duplicates must collapse into one cluster")
   }
 
