@@ -639,7 +639,34 @@ object Text {
           count(col("hit")).as("n_hits"),
           (count(col("hit")).cast("double") / count(lit(1)))
             .as("contam_ratio"))
-    })
+    }),
+
+    // BPE vocabulary TRAINING — the tokenizer-training job a pipeline
+    // runs before t07/t14/t17 can be configured (t07 APPLIES a fixed
+    // tokenization; this LEARNS the merge table). Classic iterative
+    // most-frequent-adjacent-pair merging (Sennrich et al., "Neural
+    // Machine Translation of Rare Words with Subword Units"), kept
+    // inside the house discipline end to end: exact integer pair
+    // counts (occurrences × word frequency — no sampling, no floats),
+    // a total deterministic tie-break (count desc, then pair asc), and
+    // a BOUNDED driver loop of aggregations with Subplan.once between
+    // rounds — the d07 contraction shape; the driver carries only the
+    // round counter, never data. Applying a merge is the greedy
+    // left-to-right fold (acc's last symbol + next == the pair ⟹
+    // replace, else append) as an `aggregate` higher-order function —
+    // per-word, map-side, codegen'd; the oracle restates the identical
+    // fold via DuckDB's list_reduce, so the two engines agree on
+    // chain cases like a·a·a → (aa)·a exactly. The chosen pair rides
+    // a ConstKey-keyed broadcast back over the vocab (never a nested
+    // loop; an empty pair inventory degrades to a no-op via the left
+    // join, not a driver branch). Scale: ONE corpus-wide shuffle
+    // builds the (word, count) vocab frontier; every round after that
+    // touches only the vocab — bounded by DISTINCT words, not corpus
+    // size — so 100 TB of text trains at the same per-round cost as
+    // 100 GB once the frontier is built. Emits the merge table
+    // (merge_rank, lhs, rhs, pair_count).
+    "t24_bpe_train" -> ((s, dir) =>
+      bpeTrain(docs(s, dir), BpeMergeRounds))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
