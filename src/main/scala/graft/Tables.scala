@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table catalog over a driver-provided scale-factor directory
   * (see /root/repo/TESTDATA.md). The storage swap for the reference's
@@ -20,13 +20,22 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    // a long (spark.sql.legacy.parquet.nanosAsLong). Convert to a real
-    // microsecond timestamp with exact integer arithmetic — `div`
-    // truncates like DuckDB's own ns→µs read of the same file.
-    if (name == "events" &&
-        df.schema.find(_.name == "ts").exists(_.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts arrives in whatever physical shape the generator chose
+    // for that fixture: TIMESTAMP(NANOS) — which Spark 4 only reads as
+    // a long (spark.sql.legacy.parquet.nanosAsLong) — or naive
+    // TIMESTAMP(MICROS), which Spark infers as TIMESTAMP_NTZ. Both
+    // normalize to ONE engine-facing type, session-tz TIMESTAMP (every
+    // main and the test session pin the session tz to UTC), so every
+    // downstream unix_micros/window/watermark sees identical values:
+    // the nanos path truncates with exact integer `div` like DuckDB's
+    // own ns→µs read; the NTZ cast reinterprets the wall-clock in UTC
+    // exactly as DuckDB treats the same naive column.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) if name == "events" =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) if name == "events" =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

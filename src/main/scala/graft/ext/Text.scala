@@ -822,7 +822,127 @@ object Text {
       .transform(tf).select(col("doc_id"), col("tfidf"))
   }
 
+  /** t24's merge-round bound: the driver loop runs exactly this many
+    * most-frequent-pair merges (Sennrich BPE trains to a vocab-size
+    * budget; the fixture trains a fixed, small merge table so the
+    * oracle's unrolled restatement stays readable). Shared by the
+    * query registration and the oracle generator — ONE definition, so
+    * the two sides can never train different table sizes. */
+  private[graft] val BpeMergeRounds = 10
+
+  /** BPE vocabulary training (design + scale argument at the t24
+    * registration comment). Returns the learned merge table
+    * (merge_rank, lhs, rhs, pair_count) — `rounds` rows, fewer only if
+    * the pair inventory dries up first.
+    *
+    * Loop shape is the d07 contraction discipline: the corpus touches
+    * ONE wide shuffle (word frequencies), every round after that is
+    * column algebra over the [[graft.ops.Subplan.once]]-materialized
+    * (syms, cnt) vocab — bounded by DISTINCT words, not corpus size —
+    * and the driver carries only the round counter. The chosen pair
+    * re-enters the vocab as a [[graft.ops.ConstKey]]-keyed broadcast
+    * hash join (the Zero-BNLJ invariant); a 0-row pair inventory
+    * degrades to a no-op through the left join, never a driver branch.
+    * Merge application is the greedy left-to-right `aggregate` fold
+    * (acc's last symbol = lhs ∧ next = rhs ⟹ replace-last-with-merged,
+    * else append), which resolves chains like a·a·a → (aa)·a exactly
+    * as the oracle's DuckDB list_reduce restatement does. */
+  private[graft] def bpeTrain(d: DataFrame, rounds: Int): DataFrame = {
+    import graft.ops.{ConstKey, Subplan}
+    // The one corpus-wide shuffle: whitespace-word frequencies, each
+    // word split to its codepoint symbol sequence. Everything after
+    // reads this frontier, never the corpus.
+    var vocab = Subplan.once(
+      d.select(explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
+          col("cnt")))
+    val merged = (1 to rounds).map { r =>
+      // Exact-integer adjacent-pair counts: each in-word occurrence
+      // weighted by the word's corpus frequency (the t22 bigram zip —
+      // no per-position row explosion survives past the partial agg).
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("z"))
+        .groupBy(col("z.0").as("lhs"), col("z.1").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      // Total deterministic winner: count desc, then (lhs, rhs) asc —
+      // binary UTF-8 string order on both engines. Materialized once;
+      // both the merge table and the application join read these rows.
+      val best = Subplan.once(
+        pairs.orderBy(col("pair_count").desc, col("lhs").asc,
+          col("rhs").asc).limit(1))
+      vocab = Subplan.once(
+        vocab.withColumn("k", ConstKey.one(col("cnt")))
+          .join(broadcast(best.select(
+            ConstKey.one(col("pair_count")).as("k"),
+            col("lhs"), col("rhs"))), Seq("k"), "left")
+          .select(
+            when(col("lhs").isNull, col("syms"))
+              .otherwise(aggregate(
+                slice(col("syms"), lit(2), size(col("syms")) - 1),
+                slice(col("syms"), 1, 1),
+                (acc, x) => when(
+                  element_at(acc, -1) === col("lhs") && x === col("rhs"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("lhs"), col("rhs")))))
+                  .otherwise(concat(acc, array(x)))))
+              .as("syms"),
+            col("cnt")))
+      best.select(lit(r).as("merge_rank"), col("lhs"), col("rhs"),
+        col("pair_count"))
+    }
+    merged.reduce(_ unionByName _)
+  }
+
+  /** The t24 oracle: the identical bounded loop, unrolled to
+    * `rounds` chained CTE blocks (pair counts → deterministic best →
+    * list_reduce greedy fold), so DuckDB replays the exact training
+    * run. The fold carries the space-joined symbol string (symbols
+    * are \s+-split word fragments, so ' ' can never occur inside
+    * one); '[^ ]*$' is its last symbol, replace-first rewrites it to
+    * the merged pair. LEFT JOIN ON TRUE mirrors the Spark side's
+    * empty-inventory no-op. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val v0 =
+      """WITH v0 AS (
+        |  SELECT regexp_extract_all(w, '.') AS syms, cnt FROM (
+        |    SELECT w, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |      FROM documents)
+        |    WHERE w <> '' GROUP BY w))""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      val pb =
+        s""", p$r AS (
+           |  SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(cnt) AS pair_count FROM (
+           |    SELECT unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
+           |      for i in generate_series(1, len(syms) - 1)]) AS p, cnt
+           |    FROM v${r - 1} WHERE len(syms) >= 2) GROUP BY 1, 2)
+           |, b$r AS (
+           |  SELECT lhs, rhs, pair_count FROM p$r
+           |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""".stripMargin
+      val vb = if (r == rounds) "" else
+        s"""
+           |, v$r AS (
+           |  SELECT CASE WHEN b.lhs IS NULL THEN v.syms
+           |    ELSE string_split(list_reduce(v.syms, (acc, x) -> CASE
+           |      WHEN regexp_extract(acc, '[^ ]*$$') = b.lhs AND x = b.rhs
+           |      THEN regexp_replace(acc, '[^ ]*$$', '') || b.lhs || b.rhs
+           |      ELSE acc || ' ' || x END), ' ') END AS syms, v.cnt AS cnt
+           |  FROM v${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
+      pb + vb
+    }.mkString
+    val sel = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS merge_rank, lhs, rhs,
+         |  CAST(pair_count AS BIGINT) AS pair_count FROM b$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    v0 + blocks + sel
+  }
+
   val oracle: Map[String, String] = Map(
+    "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,

@@ -961,4 +961,31 @@ class ExtSpec extends AnyFunSuite {
         bytes.take(8).map("%02X".format(_)).mkString)
     }
   }
+
+  test("t24 bpe training resolves chains greedily and dries up to a no-op") {
+    import spark.implicits._
+    // aaa ×3: round 1 merges (a,a) — 2 in-word occurrences × 3 words =
+    // 6, and the greedy fold yields (aa)·a, NOT a·(aa); round 2 merges
+    // (aa,a) = 3; round 3 has an empty pair inventory and must emit
+    // nothing (the left-join no-op), not fail.
+    val rows = ext.Text.bpeTrain(Seq("aaa aaa aaa").toDF("text"), 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)))
+  }
+
+  test("t24 bpe training: Sennrich fixture merges in frequency-then-pair order") {
+    import spark.implicits._
+    // low ×3, lower ×2, newest ×4, widest ×1 — the worked example from
+    // the BPE paper. Round 1: (w,e) = 2+4 = 6. Round 2 is the
+    // tie-break pin: (l,o) and (s,t) both count 5; pair-asc picks
+    // (l,o). Round 3: (s,t) = 5 (newest ×4 + widest).
+    val corpus = Seq("low low low lower lower",
+      "newest newest newest newest widest").toDF("text")
+    val rows = ext.Text.bpeTrain(corpus, 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1, "w", "e", 6L), (2, "l", "o", 5L), (3, "s", "t", 5L)))
+  }
 }
