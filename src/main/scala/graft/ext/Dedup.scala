@@ -729,11 +729,25 @@ object Dedup {
     // (batch–corpus and batch–batch), via the two-sided prefix
     // filter — the corpus prefixes stream against the broadcast
     // batch prefixes.
-    val newEdges = graft.ops.Subplan.once(
+    val newEdges =
       verifyJaccard(
         jaccardCandidatesBetween(sets, setsBatch, t, gate),
         sets, t)
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b"))
+    clusterDeltaEdges(assign, newEdges, gate)
+  }
+
+  /** The pair-source-agnostic core of [[clusterDelta]]: fold a NEW-edge
+    * frontier (every verified pair with ≥ 1 batch endpoint — shingle
+    * Jaccard, embedding cosine (d15), media signatures alike) into the
+    * stored assignment, re-contracting exactly the touched components.
+    * The star-contraction identity this rests on never mentions where
+    * the pairs came from, so one definition serves every pair family.
+    * `gate` is the caller's batch-size-derived broadcast decision
+    * ([[D14BroadcastMaxRows]]); the assignment itself never shuffles. */
+  private[graft] def clusterDeltaEdges(assign: DataFrame, edges: DataFrame,
+      gate: DataFrame => DataFrame): DataFrame = {
+    val newEdges = graft.ops.Subplan.once(edges)
     // Touched clusters = assignment rows hit by a new-edge endpoint;
     // then their full membership as star edges (member → old root).
     val endpoints = newEdges.select(col("doc_a").as("doc_id"))

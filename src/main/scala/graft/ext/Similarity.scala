@@ -78,6 +78,29 @@ object Similarity {
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
 
+  /** d15's corpus: the d05 planted-twin corpus plus a SECOND twin
+    * (+2·10⁹, dim-1 × 1.02) for every tenth original — so some
+    * components have three members. Positive scaling preserves every
+    * sign band, and the pairwise cosines stay ≥ 0.99, so the triplets
+    * are full cliques under d05's machinery. The point of the third
+    * member: the d15 batch draw (vec_id % 7 — 10⁹ ≡ 6 and 2·10⁹ ≡ 5
+    * mod 7, so a planted family SPLITS across the draw where any
+    * %-2^k draw would keep it together) then yields components whose
+    * existing two members are already a stored cluster that the batch
+    * member must merge INTO — the maintenance path a twin-only corpus
+    * never exercises (its split pairs always pair a batch vector with
+    * a stored SINGLETON). */
+  private[graft] def d15Corpus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    withPlantedTwins(e).unionAll(
+      e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            when(i === 0, x * lit(1.02)).otherwise(x)).as("v")))
+  }
+
+  private[graft] def d15IsBatch: Column = col("vec_id") % 7 === 0
+
   /** d05's pair pipeline over a MATERIALIZED (vec_id, v) corpus
     * (callers wrap in [[graft.ops.Subplan.once]] — it is referenced
     * 3×: banding + verify sa/sb): 4×16-bit sign-band candidate
@@ -86,7 +109,7 @@ object Similarity {
     * the clusters can never stop being the components of the pairs
     * (the m06/m07 `ahashSigs` discipline). Emits
     * (vec_a < vec_b, cos_sim). */
-  private def signNearDupPairs(all: DataFrame): DataFrame = {
+  private[graft] def signNearDupPairs(all: DataFrame): DataFrame = {
     val bands = all.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("a")
@@ -101,6 +124,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.99)
+  }
+
+  /** The batch-incident restriction of [[signNearDupPairs]] — d15's
+    * edge source, the d14 `jaccardCandidatesBetween` shape for
+    * embeddings: batch bands probe the corpus bands (batch–corpus AND
+    * batch–batch collisions, since batch ⊆ all), exact cosine verifies
+    * collisions. Every batch-derived frame rides the caller's
+    * size-gated broadcast, so the corpus side never shuffles: two
+    * broadcast hash joins against the candidate set, nothing wider.
+    * Emits verified (doc_a < doc_b) pairs with ≥ 1 batch endpoint. */
+  private def signNearDupPairsBetween(all: DataFrame, batch: DataFrame,
+      gate: DataFrame => DataFrame): DataFrame = {
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bandsOf(all).as("a")
+      .join(gate(bandsOf(batch)).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val withA = all.as("sa")
+      .join(gate(cand), col("vec_a") === col("sa.vec_id"))
+      .select(col("vec_a"), col("vec_b"), col("sa.v").as("va"))
+    all.as("sb")
+      .join(gate(withA), col("vec_b") === col("sb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("sb.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
   /** Per-query top-k via the bounded-heap aggregate: partial
@@ -215,6 +269,37 @@ object Similarity {
       clusters.join(canon, "cluster_id")
         .select(col("vec_id"), col("cluster_id"), col("keep_id"),
           col("n_members"))
+    }),
+
+    // Incremental EMBEDDING-cluster maintenance — d14's delta fold
+    // applied to d13's cluster family, proving the contraction delta
+    // really is pair-source-agnostic: the batch's sign-band collisions
+    // (exact-cosine verified) are the new edges, and the SAME
+    // [[graft.ext.Dedup.clusterDeltaEdges]] re-contracts exactly the
+    // touched components. The stored assignment never shuffles —
+    // batch bands, candidates, endpoints, and touched cluster ids all
+    // ride size-gated broadcasts (D14BroadcastMaxRows). Fixture:
+    // the d15 corpus plants a THIRD member on every tenth family and
+    // draws the batch as vec_id % 7 (which splits planted families —
+    // see [[d15Corpus]]), so the delta exercises both merge-into-
+    // stored-cluster and fresh-pair paths. Emits the re-contracted
+    // (vec_id, cluster_id) rows of touched components — the upsert a
+    // vector-store sink applies.
+    "d15_incremental_embedding_clusters" -> ((s, dir) => {
+      val all = graft.ops.Subplan.once(d15Corpus(s, dir))
+      val assign = graft.ops.Subplan.once(
+        Dedup.connectedComponents(
+          signNearDupPairs(all.filter(!d15IsBatch))
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
+      val batch = all.filter(d15IsBatch)
+      val gate: DataFrame => DataFrame =
+        if (batch.count() <= Dedup.D14BroadcastMaxRows)
+          df => broadcast(df)
+        else identity
+      Dedup.clusterDeltaEdges(assign,
+          signNearDupPairsBetween(all, batch, gate), gate)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
     // Semantic decontamination — the embedding-space sibling of t13's
@@ -569,22 +654,44 @@ object Similarity {
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
       .stripMargin
 
+  /** The 4×16-bit sign banding of corpus CTE `src`, as a CTE named
+    * `name` — ONE SQL statement of the banding formula however many
+    * corpora an oracle bands (d05/d13/s09 band `al`; d15 bands its
+    * extended `al2`), so no oracle's bands can drift from another's. */
+  private def bandsCteOver(name: String, src: String): String =
+    s"""$name AS (SELECT vec_id, b AS band,
+      |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
+      |               '' ORDER BY i) AS sig
+      |  FROM $src, unnest(generate_series(0, 3)) u(b),
+      |           unnest(generate_series(1, 16)) w(i)
+      |  GROUP BY vec_id, b)""".stripMargin
+
+  /** Band-collision candidates + exact-cosine verify over a banded
+    * corpus — the pair half of the d05 construction, parameterized the
+    * same way as [[bandsCteOver]]. */
+  private def pairsCteOver(al: String, bands: String): String =
+    s"""cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM $bands a JOIN $bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      |scored AS (SELECT c.vec_a, c.vec_b,
+      |    list_dot_product(sa.v, sb.v)
+      |      / (sqrt(list_dot_product(sa.v, sa.v))
+      |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+      |  FROM cand c
+      |  JOIN $al sa ON sa.vec_id = c.vec_a
+      |  JOIN $al sb ON sb.vec_id = c.vec_b)""".stripMargin
+
   /** The planted-twin corpus + sign-band CTE prefix (e/pert/al/bands)
     * shared by every sign-LSH oracle — one SQL statement of the
     * banding so no oracle can drift from another. */
   private val signBaseCte =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |pert AS (SELECT vec_id + 1000000000 AS vec_id,
       |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
       |     for i in generate_series(1, len(v))] AS v
       |  FROM e),
       |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
-      |bands AS (SELECT vec_id, b AS band,
-      |    string_agg(CASE WHEN v[b*16 + i] >= 0 THEN '1' ELSE '0' END,
-      |               '' ORDER BY i) AS sig
-      |  FROM al, unnest(generate_series(0, 3)) u(b),
-      |           unnest(generate_series(1, 16)) w(i)
-      |  GROUP BY vec_id, b)""".stripMargin
+      |${bandsCteOver("bands", "al")}""".stripMargin
 
   /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
     * bands + exact cosine verify) shared by the d05 and d13 oracles —
@@ -592,16 +699,21 @@ object Similarity {
     * oracles can never drift (the m06/m07 `ahashCte` discipline). */
   private val signPairsCte =
     s"""$signBaseCte,
-      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
-      |scored AS (SELECT c.vec_a, c.vec_b,
-      |    list_dot_product(sa.v, sb.v)
-      |      / (sqrt(list_dot_product(sa.v, sa.v))
-      |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
-      |  FROM cand c
-      |  JOIN al sa ON sa.vec_id = c.vec_a
-      |  JOIN al sb ON sb.vec_id = c.vec_b)""".stripMargin
+      |${pairsCteOver("al", "bands")}""".stripMargin
+
+  /** d15's corpus/pair skeleton: the d05 prefix extended with the
+    * second twin family ([[d15Corpus]] — +2·10⁹, dim-1 × 1.02, every
+    * tenth original), rebanded and rescored over the extended corpus
+    * through the SAME parameterized CTEs d05 uses. */
+  private val d15PairsCte =
+    s"""$signBaseCte,
+      |pert2 AS (SELECT vec_id + 2000000000 AS vec_id,
+      |    [CASE WHEN i = 1 THEN v[i] * 1.02 ELSE v[i] END
+      |     for i in generate_series(1, len(v))] AS v
+      |  FROM e WHERE vec_id % 10 = 0),
+      |al2 AS (SELECT vec_id, v FROM al UNION ALL SELECT vec_id, v FROM pert2),
+      |${bandsCteOver("bands2", "al2")},
+      |${pairsCteOver("al2", "bands2")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d05_embedding_neardup" ->
@@ -652,6 +764,23 @@ object Similarity {
          |  FROM rk WHERE rk = 1)
          |SELECT c.vec_id, c.cluster_id, k.keep_id, k.n_members
          |FROM comp c JOIN keep k USING (cluster_id)""".stripMargin,
+    // The d14 oracle identity for embeddings: a full rebuild over the
+    // extended corpus's exhaustive pair graph, restricted to the
+    // components containing a batch (vec_id % 7 = 0) vector — the
+    // incremental path may touch fewer components, never relabel one.
+    "d15_incremental_embedding_clusters" ->
+      s"""WITH RECURSIVE $d15PairsCte,
+         |pairs AS (SELECT vec_a, vec_b FROM scored WHERE cos_sim >= 0.99),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION SELECT vec_b, vec_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+         |comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |touched AS (SELECT DISTINCT cluster_id FROM comp WHERE vec_id % 7 = 0)
+         |SELECT c.vec_id, c.cluster_id
+         |FROM comp c JOIN touched USING (cluster_id)""".stripMargin,
     "s04_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, CAST(j AS INTEGER) AS j,

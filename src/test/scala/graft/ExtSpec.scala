@@ -519,6 +519,41 @@ class ExtSpec extends AnyFunSuite {
       "the planted cluster must span the batch/corpus split")
   }
 
+  test("d15 incremental embedding clusters: merged assignment equals the " +
+      "full rebuild on touched components") {
+    // The d14 identity, for the embedding pair family: the delta must
+    // equal a full d13-style rebuild over the d15 corpus restricted to
+    // components containing a batch (vec_id % 7 == 0) vector.
+    val full = ext.Dedup.connectedComponents(
+        ext.Similarity.signNearDupPairs(
+            graft.ops.Subplan.once(ext.Similarity.d15Corpus(spark, sf)))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl")))
+    val touched = full.groupBy(_._2).collect {
+      case (cid, members) if members.exists(_._1 % 7 == 0) => cid
+    }.toSet
+    val want = full.filter(p => touched(p._2)).toSet
+    val got = SparkEntry.queries("d15_incremental_embedding_clusters")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    assert(got == want,
+      s"merged delta diverges from the full rebuild on touched components: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // untouched components stay untouched: the delta is a strict subset
+    assert(got.size < full.length,
+      "the delta must not rewrite the whole assignment")
+    // the batch draw splits planted families (10⁹ ≡ 6, 2·10⁹ ≡ 5
+    // mod 7), so the merge-INTO-stored-cluster path must actually
+    // occur: some touched component holds one batch member and ≥ 2
+    // existing members (a stored two-member cluster absorbing a batch
+    // vector), not just fresh batch–singleton pairs.
+    val byCluster = got.groupBy(_._2).values
+    assert(byCluster.exists(ms =>
+        ms.count(_._1 % 7 == 0) == 1 && ms.count(_._1 % 7 != 0) >= 2),
+      "no touched component shows a stored multi-member cluster " +
+        "absorbing a batch vector")
+  }
+
   test("t22 LM surprise: scores are >= 1, vary, and cover every scorable doc") {
     val rows = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),

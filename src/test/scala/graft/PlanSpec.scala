@@ -252,6 +252,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("d15: the embedding delta reads materialized frontiers only") {
+    // Same discipline as the d14 pin: the registered plan is the label
+    // pass over the contracted edge checkpoint — parquet never
+    // re-scans, and the engine-wide loop forbids nested-loop shapes.
+    val p = plan("d15_incremental_embedding_clusters")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"the delta must read the materialized contraction, not re-scan parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
