@@ -532,6 +532,48 @@ object DocStreams extends Serializable {
           .as("contam_ratio"))
   }
 
+  /** Ingest-time SEMANTIC decontamination — batch s09's stream twin,
+    * the embedding-space sibling of [[decontaminate]] (which gates on
+    * shared 8-grams; this gates on cosine ≥ `threshold` to a held-out
+    * eval vector — paraphrased contamination that shares no 8-gram).
+    * Deployment shape: the benchmark side is fixed and tiny at ingest
+    * time, so the eval vectors band ONCE
+    * ([[graft.ext.Similarity.signBandStructs]] — the exact batch
+    * banding, vector carried alongside so verify needs no second
+    * static join) into a [[graft.ops.Subplan.once]]-materialized
+    * static relation that re-broadcasts per trigger: the stream never
+    * shuffles for the match and there is no pairing state — a
+    * vector's verdict depends only on itself and the static set.
+    * The roll-up is ONE watermarked (vec_id, ts) aggregate;
+    * band-collision multiplicity (the same eval vector colliding in
+    * several bands) is absorbed by collect_set/max instead of a
+    * distinct-before-aggregate, so no second stateful operator
+    * exists and per-key state stays bounded by the eval set. Emits
+    * batch s09's row per CONTAMINATED stream vector:
+    * (vec_id, ts, n_eval_matches, max_cos). */
+  def semanticDecontaminate(vecs: DataFrame, evalVecs: DataFrame,
+      threshold: Double = 0.99,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.ext.Similarity.signBandStructs
+    val evalSide = graft.ops.Subplan.once(
+      evalVecs.select(col("vec_id").as("evec"), col("v").as("ev"),
+          explode(signBandStructs(col("v"))).as("bs"))
+        .select(col("evec"), col("ev"),
+          col("bs.band").as("band"), col("bs.sig").as("sig")))
+    vecs.withWatermark("ts", watermarkDelay)
+      .select(col("vec_id"), col("ts"), col("v"),
+        explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("ts"), col("v"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .join(broadcast(evalSide), Seq("band", "sig"))
+      .select(col("vec_id"), col("ts"), col("evec"),
+        graft.ext.Similarity.cosine(col("v"), col("ev")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vec_id"), col("ts"))
+      .agg(size(collect_set(col("evec"))).cast("long").as("n_eval_matches"),
+        max(col("cos_sim")).as("max_cos"))
+  }
+
   /** The documents schema with a source column, as the budget gate
     * expects it (ingestion ts attached upstream). */
   val srcDocSchema: StructType = StructType(Seq(

@@ -523,6 +523,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination replays to exactly the batch s09 rows") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_semdecontam_stream").toString
+    // The batch s09 fixture: the planted-twin corpus split by the SAME
+    // md5 eval draw — eval vectors become the static held-out side,
+    // the rest become the stream (ts packs 1 vector/second, twins at
+    // their original's second, as in the d05 replay).
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val al = e.unionAll(e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        when(i === 0, x * lit(1.01)).otherwise(x)).as("v")))
+    val evalVecs = al.filter(ext.Similarity.isEvalVec)
+    al.filter(!ext.Similarity.isEvalVec)
+      .select(col("vec_id"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L)).as("ts"),
+        col("v"))
+      .write.mode("append").parquet(srcDir)
+    // Complete mode: the (vec_id, ts) aggregate would be held back by a
+    // never-advancing end-of-data watermark in append, as with t13.
+    val stream = DocStreams.semanticDecontaminate(
+      spark.readStream.schema(DocStreams.embSchema).parquet(srcDir), evalVecs)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("semdecontam_stream").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eval_matches"),
+          r.getAs[Double]("max_cos"))
+      val got = spark.table("semdecontam_stream").collect().map(key).toSet
+      val want = SparkEntry.queries("s09_semantic_decontam")(spark, sf).collect()
+        .map(key).toSet
+      assert(want.nonEmpty, "fixture must contain cross-split planted matches")
+      assert(got == want,
+        s"streamed semantic verdicts diverge: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming ahash filter replays to exactly the batch m06 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_ahash_stream").toString
