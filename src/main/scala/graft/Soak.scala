@@ -58,10 +58,28 @@ object Soak {
           .filter(col("nn_id") === col("a_nn")).count())
       val (h05, t05) = recallOf(ext.Similarity.bandedNn1(all))
       val (h08, t08) = recallOf(ext.Similarity.gridNn1(all))
+      // The s08 probe-radius recall-vs-cost curve: for each radius,
+      // recall@1 (grid NN-1 = exact NN-1), recall@5 (exact NN-1 lands
+      // anywhere in the grid top-5), and the candidate-pair count the
+      // wider probe pays for it. Radii beyond 2 add cells the ~N(0,
+      // 1/64) mass never reaches (cells are 1 std wide), so the curve
+      // stops where the geometry does.
+      val curve = Seq(1, 2).map { r =>
+        val (h1, tr) = recallOf(ext.Similarity.gridNn1(all, r))
+        val (h5, _) = timed(exact.select(col("vec_id"), col("nn_id"))
+          .join(ext.Similarity.gridTopKNn(all, r, 5)
+              .select(col("vec_id"), col("nn_id").as("a_nn")),
+            Seq("vec_id"))
+          .filter(col("nn_id") === col("a_nn")).count())
+        val (cand, _) = timed(ext.Similarity.gridCandidateCount(all, r))
+        s""""r$r":{"recall1":${h1.toDouble / n},"recall5":${h5.toDouble / n},""" +
+          s""""cand":$cand,"sec":$tr}"""
+      }.mkString(",")
       println(
         s"""{"dir":"$sfDir","mode":"ann","n_vec":$n,"exact_sec":$tExact,""" +
         s""""s05":{"hits":$h05,"recall":${h05.toDouble / n},"sec":$t05},""" +
-        s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08}}""")
+        s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08},""" +
+        s""""s08_curve":{$curve}}""")
       spark.stop()
       return
     }

@@ -930,6 +930,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The batch-incident restriction of [[simhashPairs]] — the
+    * signature-space sibling of `jaccardCandidatesBetween` and d15's
+    * cosine between-pairs, for incremental media/simhash cluster
+    * maintenance (m09): batch band keys probe the corpus bands under
+    * the caller's size-gated broadcast, the exact bit_count filter
+    * runs on collisions only, and the corpus side never shuffles.
+    * Emits verified (doc_a < doc_b) pairs with ≥ 1 batch endpoint. */
+  private[graft] def simhashPairsBetween(signatures: DataFrame,
+      batch: DataFrame, maxHamming: Int,
+      gate: DataFrame => DataFrame): DataFrame = {
+    require(maxHamming <= 5, "6-band pigeonhole guarantees recall only for hamming <= 5")
+    def bandedOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("simhash"),
+        explode(simhashBandStructs(col("simhash"))).as("bs"))
+        .select(col("doc_id"), col("simhash"),
+          col("bs.band").as("band"), col("bs.key").as("key"))
+    bandedOf(signatures).as("a")
+      .join(gate(bandedOf(batch)).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private val shingleCte =
     """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents

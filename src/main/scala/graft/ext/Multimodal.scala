@@ -267,6 +267,36 @@ object Multimodal {
             .select(col("doc_a"), col("doc_b")))
         .select(col("u").as("media_id"), col("lbl").as("cluster_id"))),
 
+    // Incremental MEDIA-cluster maintenance — the third instantiation
+    // of [[Dedup.clusterDeltaEdges]] (d14 folds Jaccard edges, d15
+    // cosine edges; this folds aHash-hamming edges), completing the
+    // incremental form across every cluster family the engine
+    // maintains. New edges come from
+    // [[Dedup.simhashPairsBetween]] — batch signature bands probe the
+    // corpus bands under the D14BroadcastMaxRows gate — and the
+    // stored assignment never shuffles. The batch draw is media_id %
+    // 7 (the d15 discipline: 10⁹ ≡ 6 mod 7, so m06's planted
+    // single-byte-edit twins split across the draw and genuinely
+    // cross it). Emits the re-contracted (media_id, cluster_id) rows
+    // of touched components — the delta an asset-store sink upserts.
+    "m09_incremental_media_clusters" -> ((s, dir) => {
+      val sigs = ahashSigs(s, dir)
+      val isBatch = col("doc_id") % 7 === 0
+      val assign = graft.ops.Subplan.once(
+        Dedup.connectedComponents(
+          Dedup.simhashPairs(sigs.filter(!isBatch), 3)
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
+      val batch = sigs.filter(isBatch)
+      val gate: DataFrame => DataFrame =
+        if (batch.count() <= Dedup.D14BroadcastMaxRows)
+          df => broadcast(df)
+        else identity
+      Dedup.clusterDeltaEdges(assign,
+          Dedup.simhashPairsBetween(sigs, batch, 3, gate), gate)
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+    }),
+
     // Video CLIP containment — the media-asset lift of d12's
     // asymmetric containment (the content-ID shape: "which videos
     // contain this clip?"): each payload becomes its set of
@@ -333,7 +363,7 @@ object Multimodal {
     * a signature-pipeline change can never land in one and miss the
     * other, which would silently make m07's clusters stop being the
     * components of m06's pairs. */
-  private def ahashSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ahashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.ops.Subplan.once(
       m06Base(s, dir).mapPartitions(StubDecoders.ahash60)
@@ -489,6 +519,27 @@ object Multimodal {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS media_id, MIN(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    // The d14/d15 oracle identity for media: m07's full rebuild
+    // restricted to components containing a batch (media_id % 7 = 0)
+    // member.
+    "m09_incremental_media_clusters" ->
+      s"""WITH RECURSIVE $ahashCte,
+         |pairs AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT media_a AS u, media_b AS v FROM pairs
+         |  UNION SELECT media_b, media_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS media_id, MIN(v) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |touched AS (SELECT DISTINCT cluster_id FROM comp
+         |  WHERE media_id % 7 = 0)
+         |SELECT c.media_id, c.cluster_id
+         |FROM comp c JOIN touched USING (cluster_id)""".stripMargin,
     // States the m08 fixture + frame grid exactly (ASCII-payload
     // assumption as in m05/m06: char positions == byte positions);
     // the exhaustive all-ordered-pairs containment form — the

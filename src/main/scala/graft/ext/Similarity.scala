@@ -467,9 +467,7 @@ object Similarity {
       val probes = g.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("c1").as("qc1"), col("c2").as("qc2"))
-        .withColumn("d", explode(array(
-          (for (i <- -1 to 1; j <- -1 to 1)
-            yield struct(lit(i).as("i"), lit(j).as("j"))): _*)))
+        .withColumn("d", explode(probeOffsets(1)))
         .select(col("qid"), col("qv"),
           (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
       val scored = g.join(probes, Seq("c1", "c2"))
@@ -558,6 +556,16 @@ object Similarity {
         cosine(col("sa.v"), col("sb.v")).as("cos_sim")))
   }
 
+  /** The multi-probe neighborhood of the s08 grid quantizer: the
+    * (2r+1)² integer offset pairs a probe explodes to. r is the ONE
+    * recall-vs-cost knob of the grid index (candidates grow ~(2r+1)²,
+    * recall@k is non-decreasing in r because a wider probe's candidate
+    * set is a superset — ExtSpec pins the monotonicity, Soak --ann
+    * measures the curve, PLANS.md records it). */
+  private[graft] def probeOffsets(r: Int): Column = array(
+    (for (i <- -r to r; j <- -r to r)
+      yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+
   /** s08's coarse quantizer for axis `i` (1-based): ⌊vᵢ / 0.125⌋ —
     * division by a power of two and floor are single correctly-rounded
     * IEEE ops, so cell ids hash-match across engines. ONE definition
@@ -565,26 +573,50 @@ object Similarity {
   private[graft] def gridCell(v: Column, i: Int): Column =
     floor(element_at(v, i) / lit(0.125)).cast("long")
 
-  /** s08's IVF topology generalized to per-vector NN-1: EVERY vector
-    * probes its 3×3 cell neighborhood (the registered query probes 10
-    * vectors at top-5). The recall-soak twin of s08 — shares the cell
-    * quantizer, so the measured recall is the registered index's. */
-  private[graft] def gridNn1(all: DataFrame): DataFrame = {
+  /** The scored grid-candidate set of [[gridNn1]]/[[gridTopKNn]]:
+    * every (vector, candidate) pair inside the vector's (2r+1)²
+    * probe neighborhood, with exact cosine. ONE definition of the
+    * probe topology for both roll-ups, so the recall curve and the
+    * NN-1 floor always measure the same index. */
+  private def gridScored(all: DataFrame, probeRadius: Int): DataFrame = {
     val g = all.select(col("vec_id"), col("v"),
       gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
     val probes = g
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("c1").as("qc1"), col("c2").as("qc2"))
-      .withColumn("d", explode(array(
-        (for (i <- -1 to 1; j <- -1 to 1)
-          yield struct(lit(i).as("i"), lit(j).as("j"))): _*)))
+      .withColumn("d", explode(probeOffsets(probeRadius)))
       .select(col("qid"), col("qv"),
         (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
-    best1(g.join(probes, Seq("c1", "c2"))
+    g.join(probes, Seq("c1", "c2"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid").as("vec_id"), col("vec_id").as("nn_id"),
-        cosine(col("qv"), col("v")).as("cos_sim")))
+        cosine(col("qv"), col("v")).as("cos_sim"))
   }
+
+  /** s08's IVF topology generalized to per-vector NN-1: EVERY vector
+    * probes its (2r+1)² cell neighborhood (the registered query probes
+    * 10 vectors at top-5, r = 1). The recall-soak twin of s08 — shares
+    * the cell quantizer, so the measured recall is the registered
+    * index's. */
+  private[graft] def gridNn1(all: DataFrame, probeRadius: Int = 1): DataFrame =
+    best1(gridScored(all, probeRadius))
+
+  /** Per-vector top-k over the same grid candidates (bounded-heap
+    * partial agg, the s07/e10 discipline) — the recall@k side of the
+    * probe-radius curve: recall@k = P(exact NN-1 ∈ grid top-k). */
+  private[graft] def gridTopKNn(all: DataFrame, probeRadius: Int,
+      k: Int): DataFrame =
+    topK(gridScored(all, probeRadius)
+        .select(col("vec_id").as("qid"), col("nn_id"),
+          col("cos_sim").as("cos_sim")),
+      col("qid"), k)
+      .select(col("qid").as("vec_id"), col("nn_id"), col("rk"))
+
+  /** The candidate-pair count a probe radius pays — the cost axis of
+    * the recall curve. */
+  private[graft] def gridCandidateCount(all: DataFrame,
+      probeRadius: Int): Long =
+    gridScored(all, probeRadius).count()
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
     * (block = vec_id mod B), each probe vector is replicated to all B

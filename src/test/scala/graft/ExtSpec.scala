@@ -554,6 +554,33 @@ class ExtSpec extends AnyFunSuite {
         "absorbing a batch vector")
   }
 
+  test("m09 incremental media clusters: merged assignment equals the " +
+      "full rebuild on touched components") {
+    // The d14/d15 identity, for the aHash-hamming pair family.
+    val sigs = ext.Multimodal.ahashSigs(spark, sf)
+    val full = ext.Dedup.connectedComponents(
+        ext.Dedup.simhashPairs(sigs, 3).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl")))
+    val touched = full.groupBy(_._2).collect {
+      case (cid, members) if members.exists(_._1 % 7 == 0) => cid
+    }.toSet
+    val want = full.filter(p => touched(p._2)).toSet
+    val got = SparkEntry.queries("m09_incremental_media_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    assert(got == want,
+      s"merged delta diverges from the full rebuild on touched components: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.size < full.length,
+      "the delta must not rewrite the whole assignment")
+    // m06's planted twins split across the % 7 draw (10⁹ ≡ 6 mod 7),
+    // so the delta must contain genuinely cross-draw components.
+    assert(got.groupBy(_._2).values.exists(ms =>
+        ms.exists(_._1 % 7 == 0) && ms.exists(_._1 % 7 != 0)),
+      "no touched component spans the batch/corpus draw")
+  }
+
   test("t22 LM surprise: scores are >= 1, vary, and cover every scorable doc") {
     val rows = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
@@ -627,6 +654,35 @@ class ExtSpec extends AnyFunSuite {
     assert(b < n / 10,
       s"banded NN-1 suddenly behaves like a general-NN index — check the " +
         s"band width has not saturated: $b/$n")
+  }
+
+  test("s08 probe radius: recall is non-decreasing, candidates pay for it") {
+    // The multi-probe knob's contract: a wider probe's candidate set
+    // is a SUPERSET (same quantizer, more cells), so if the exact NN
+    // was found at r it is still the cosine argmax at r+1 — recall@1
+    // can only rise. The cost side must actually rise too, or the
+    // "knob" is a no-op.
+    val all = ops.Subplan.once(
+      ext.Similarity.emb(spark, sf).select(col("vec_id"), col("v")))
+    val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
+    def hits(r: Int): Long =
+      exact.select(col("vec_id"), col("nn_id"))
+        .join(ext.Similarity.gridNn1(all, r)
+            .select(col("vec_id"), col("nn_id").as("a_nn")), Seq("vec_id"))
+        .filter(col("nn_id") === col("a_nn")).count()
+    def hits5(r: Int): Long =
+      exact.select(col("vec_id"), col("nn_id"))
+        .join(ext.Similarity.gridTopKNn(all, r, 5)
+            .select(col("vec_id"), col("nn_id").as("a_nn")), Seq("vec_id"))
+        .filter(col("nn_id") === col("a_nn")).count()
+    val (h1, h2) = (hits(1), hits(2))
+    assert(h2 >= h1, s"recall@1 fell as the probe widened: $h2 < $h1")
+    val (f1, f2) = (hits5(1), hits5(2))
+    assert(f2 >= f1, s"recall@5 fell as the probe widened: $f2 < $f1")
+    assert(f1 >= h1 && f2 >= h2, "recall@5 must dominate recall@1")
+    val (c1, c2) = (ext.Similarity.gridCandidateCount(all, 1),
+      ext.Similarity.gridCandidateCount(all, 2))
+    assert(c2 > c1, s"the 5×5 probe must score more candidates: $c2 <= $c1")
   }
 
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {

@@ -262,6 +262,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("m09: the media delta reads materialized frontiers only") {
+    val p = plan("m09_incremental_media_clusters")
+    assert("Scan parquet".r.findAllIn(p).isEmpty && p.contains("ExistingRDD"),
+      s"the delta must read the materialized contraction, not re-scan parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
