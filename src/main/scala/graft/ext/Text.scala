@@ -666,7 +666,34 @@ object Text {
     // 100 GB once the frontier is built. Emits the merge table
     // (merge_rank, lhs, rhs, pair_count).
     "t24_bpe_train" -> ((s, dir) =>
-      bpeTrain(docs(s, dir), BpeMergeRounds))
+      bpeTrain(docs(s, dir), BpeMergeRounds)),
+
+    // BPE segmentation APPLY — t24's other half, closing the
+    // learn/apply split the pipeline honors for RF (SURVEY §2: train
+    // once, apply everywhere): tokenize the corpus with the LEARNED
+    // merge table by joining each word occurrence to the trained
+    // vocab's final symbol sequence (the post-all-merges vocab IS the
+    // segmenter — one loop, so learn and apply can never disagree).
+    // Per doc: word count, subword count, and the fertility ratio a
+    // budget planner feeds on (t01 counts words, t07 estimates with a
+    // fixed regex; this is the true learned-tokenizer count). Scale:
+    // the apply side is ONE (word-keyed) shuffle join of the exploded
+    // corpus against the vocab — the t06 term-stats topology; the
+    // vocab is bounded by distinct words, never corpus size, and at
+    // deploy the hot head of the vocab AQE-broadcasts on its own.
+    "t25_bpe_segment" -> ((s, dir) => {
+      val vocab = bpeTrainFull(docs(s, dir), BpeMergeRounds)._2
+      docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .join(vocab.select(col("w"), size(col("syms")).as("n_pieces")),
+          Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_subtok"),
+          (sum(col("n_pieces")).cast("double") / count(lit(1)))
+            .as("subtok_per_word"))
+    })
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -847,7 +874,17 @@ object Text {
     * (acc's last symbol = lhs ∧ next = rhs ⟹ replace-last-with-merged,
     * else append), which resolves chains like a·a·a → (aa)·a exactly
     * as the oracle's DuckDB list_reduce restatement does. */
-  private[graft] def bpeTrain(d: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(d: DataFrame, rounds: Int): DataFrame =
+    bpeTrainFull(d, rounds)._1
+
+  /** [[bpeTrain]] plus the trained SEGMENTER state: returns
+    * (merge table, final vocab (w, syms, cnt)) — the vocab after all
+    * `rounds` merges IS the word → subword segmentation t25 applies,
+    * so learn and apply can never disagree on a word's pieces. The
+    * word string rides the loop untouched (pair counting reads only
+    * syms/cnt); ONE loop serves both queries. */
+  private[graft] def bpeTrainFull(d: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     import graft.ops.{ConstKey, Subplan}
     // The one corpus-wide shuffle: whitespace-word frequencies, each
     // word split to its codepoint symbol sequence. Everything after
@@ -856,7 +893,8 @@ object Text {
       d.select(explode(toks).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .select(regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
+        .select(col("w"),
+          regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
           col("cnt")))
     val merged = (1 to rounds).map { r =>
       // Exact-integer adjacent-pair counts: each in-word occurrence
@@ -879,7 +917,7 @@ object Text {
           .join(broadcast(best.select(
             ConstKey.one(col("pair_count")).as("k"),
             col("lhs"), col("rhs"))), Seq("k"), "left")
-          .select(
+          .select(col("w"),
             when(col("lhs").isNull, col("syms"))
               .otherwise(aggregate(
                 slice(col("syms"), lit(2), size(col("syms")) - 1),
@@ -894,7 +932,7 @@ object Text {
       best.select(lit(r).as("merge_rank"), col("lhs"), col("rhs"),
         col("pair_count"))
     }
-    merged.reduce(_ unionByName _)
+    (merged.reduce(_ unionByName _), vocab)
   }
 
   /** The t24 oracle: the identical bounded loop, unrolled to
@@ -905,44 +943,63 @@ object Text {
     * one); '[^ ]*$' is its last symbol, replace-first rewrites it to
     * the merged pair. LEFT JOIN ON TRUE mirrors the Spark side's
     * empty-inventory no-op. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The unrolled training chain shared by the t24 and t25 oracles:
+    * v0 (word-frequency vocab, word string threaded through) and, per
+    * round r, pair counts p_r → deterministic best b_r → folded vocab
+    * v_r. t24 reads the b_r rows, t25 reads the final v_rounds (CTEs
+    * are lazy, so each oracle pays only for what it references). */
+  private def bpeChainCte(rounds: Int): String = {
     val v0 =
-      """WITH v0 AS (
-        |  SELECT regexp_extract_all(w, '.') AS syms, cnt FROM (
+      """v0 AS (
+        |  SELECT w, regexp_extract_all(w, '.') AS syms, cnt FROM (
         |    SELECT w, COUNT(*) AS cnt FROM (
         |      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |      FROM documents)
         |    WHERE w <> '' GROUP BY w))""".stripMargin
     val blocks = (1 to rounds).map { r =>
-      val pb =
-        s""", p$r AS (
-           |  SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(cnt) AS pair_count FROM (
-           |    SELECT unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
-           |      for i in generate_series(1, len(syms) - 1)]) AS p, cnt
-           |    FROM v${r - 1} WHERE len(syms) >= 2) GROUP BY 1, 2)
-           |, b$r AS (
-           |  SELECT lhs, rhs, pair_count FROM p$r
-           |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""".stripMargin
-      val vb = if (r == rounds) "" else
-        s"""
-           |, v$r AS (
-           |  SELECT CASE WHEN b.lhs IS NULL THEN v.syms
-           |    ELSE string_split(list_reduce(v.syms, (acc, x) -> CASE
-           |      WHEN regexp_extract(acc, '[^ ]*$$') = b.lhs AND x = b.rhs
-           |      THEN regexp_replace(acc, '[^ ]*$$', '') || b.lhs || b.rhs
-           |      ELSE acc || ' ' || x END), ' ') END AS syms, v.cnt AS cnt
-           |  FROM v${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
-      pb + vb
+      s""", p$r AS (
+         |  SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(cnt) AS pair_count FROM (
+         |    SELECT unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
+         |      for i in generate_series(1, len(syms) - 1)]) AS p, cnt
+         |    FROM v${r - 1} WHERE len(syms) >= 2) GROUP BY 1, 2)
+         |, b$r AS (
+         |  SELECT lhs, rhs, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)
+         |, v$r AS (
+         |  SELECT v.w AS w, CASE WHEN b.lhs IS NULL THEN v.syms
+         |    ELSE string_split(list_reduce(v.syms, (acc, x) -> CASE
+         |      WHEN regexp_extract(acc, '[^ ]*$$') = b.lhs AND x = b.rhs
+         |      THEN regexp_replace(acc, '[^ ]*$$', '') || b.lhs || b.rhs
+         |      ELSE acc || ' ' || x END), ' ') END AS syms, v.cnt AS cnt
+         |  FROM v${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
     }.mkString
+    v0 + blocks
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS INTEGER) AS merge_rank, lhs, rhs,
          |  CAST(pair_count AS BIGINT) AS pair_count FROM b$r""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
-    v0 + blocks + sel
+    "WITH " + bpeChainCte(rounds) + sel
   }
+
+  private def bpeSegmentOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainCte(rounds)},
+       |seg AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '')
+       |SELECT s.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(len(v.syms)) AS BIGINT) AS n_subtok,
+       |  CAST(SUM(len(v.syms)) AS DOUBLE) / COUNT(*) AS subtok_per_word
+       |FROM seg s JOIN v$rounds v ON v.w = s.w
+       |GROUP BY s.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
+    "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,

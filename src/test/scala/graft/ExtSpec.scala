@@ -1079,4 +1079,25 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       (1, "w", "e", 6L), (2, "l", "o", 5L), (3, "s", "t", 5L)))
   }
+
+  test("t25 bpe segmentation: the trained vocab segments the Sennrich words") {
+    import spark.implicits._
+    // The same fixture's POST-merge vocab, hand-applied: after (w,e),
+    // (l,o), (s,t) — low = lo·w, lower = lo·we·r, newest = n·e·we·st,
+    // widest = w·i·d·e·st. The vocab IS t25's segmenter, so this pins
+    // the apply side of the learn/apply split end to end.
+    val corpus = Seq("low low low lower lower",
+      "newest newest newest newest widest").toDF("text")
+    val vocab = ext.Text.bpeTrainFull(corpus, 3)._2.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(vocab == Map(
+      "low" -> List("lo", "w"),
+      "lower" -> List("lo", "we", "r"),
+      "newest" -> List("n", "e", "we", "st"),
+      "widest" -> List("w", "i", "d", "e", "st")))
+    // Chain corpus fully merges: aaa ends as the single symbol [aaa].
+    val chain = ext.Text.bpeTrainFull(Seq("aaa aaa aaa").toDF("text"), 3)._2
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(chain == Map("aaa" -> List("aaa")))
+  }
 }
