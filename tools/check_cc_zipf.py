@@ -20,12 +20,21 @@ Usage: python3 tools/check_cc_zipf.py <sfDir> <verifyOutDir> [chunks=32]
 where <verifyOutDir> holds Verify's d07_dedup_clusters/ and
 d08_canonical_docs/ parquet dumps for the same <sfDir>.
 
+--d14 mode checks d14_incremental_clusters instead: same chunked
+machinery over the d14 PLANTED corpus (PressPlant at doc_id % 20 == 4),
+components restricted to those containing a batch (doc_id % 8 == 0)
+member — the registered oracle's exact semantics, which OOM as one
+recursive CTE at sf1.
+
 Dev-only tool (driver-side python); the shipped library never reads it.
 """
 import sys
 import time
 
 import duckdb
+
+PRESS_PLANT = ("shared press release body reused verbatim by every "
+               "mirror site in the batch and the corpus alike for this test")
 
 
 def frame_key(con, rel_sql):
@@ -40,10 +49,22 @@ def frame_key(con, rel_sql):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    k_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    args = [a for a in sys.argv[1:] if a != "--d14"]
+    d14 = "--d14" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    k_chunks = int(args[2]) if len(args) > 2 else 32
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    if d14:
+        # The registered d14 fixture: PressPlant replaces text at
+        # doc_id % 20 == 4, so planted clusters span the % 8 batch draw.
+        con.execute(f"""
+          CREATE VIEW documents AS
+          SELECT doc_id,
+            CASE WHEN doc_id % 20 = 4 THEN '{PRESS_PLANT}' ELSE text END AS text
+          FROM '{sf_dir}/documents.parquet'""")
+    else:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
 
     t0 = time.time()
     # Shingle frontier — verbatim from the registered d07 oracle CTE.
@@ -116,6 +137,12 @@ def main():
 
     n_pass = 0
     checks = {
+        "d14_incremental_clusters": """
+          WITH touched AS (
+            SELECT DISTINCT lbl FROM lbl WHERE u % 8 = 0)
+          SELECT l.u AS doc_id, l.lbl AS cluster_id
+          FROM lbl l JOIN touched t ON t.lbl = l.lbl""",
+    } if d14 else {
         "d07_dedup_clusters": "SELECT u AS doc_id, lbl AS cluster_id FROM lbl",
         "d08_canonical_docs": """
           WITH scored AS (
