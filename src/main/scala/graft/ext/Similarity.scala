@@ -134,8 +134,8 @@ object Similarity {
     * size-gated broadcast, so the corpus side never shuffles: two
     * broadcast hash joins against the candidate set, nothing wider.
     * Emits verified (doc_a < doc_b) pairs with ≥ 1 batch endpoint. */
-  private def signNearDupPairsBetween(all: DataFrame, batch: DataFrame,
-      gate: DataFrame => DataFrame): DataFrame = {
+  private[graft] def signNearDupPairsBetween(all: DataFrame, batch: DataFrame,
+      gate: DataFrame => DataFrame, threshold: Double = 0.99): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame = df
       .select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -153,7 +153,7 @@ object Similarity {
       .join(gate(withA), col("vec_b") === col("sb.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("sb.v")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.99)
+      .filter(col("cos_sim") >= threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 

@@ -846,20 +846,72 @@ object DocStreams extends Serializable {
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
       val delta = graft.ops.Subplan.once(
         Dedup.clusterDelta(prev, sets, batchSets, threshold))
-      // delta covers the FULL membership of every touched component
-      // (clusterDelta contracts star edges of touched ∪ new edges), so
-      // the old rows to retire are exactly the clusters holding a
-      // delta member.
-      val touchedOld = prev.join(delta.select(col("doc_id")),
-        Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct()
-      // unionByName, not unionAll: the using-column anti-join reorders
-      // its output (cluster_id first) and a positional union would
-      // silently swap ids and labels for every untouched row.
-      val merged = graft.ops.Subplan.once(
-        prev.join(touchedOld, Seq("cluster_id"), "left_anti")
-          .unionByName(delta))
       corpus = Some(all)
-      assignDf = Some(merged)
+      assignDf = Some(mergeClusterDelta(prev, delta))
+    }
+  }
+
+  /** Retire-exactly-touched + merge, shared by BOTH maintenance folds
+    * (shingle [[ClusterMaintenance]], embedding
+    * [[EmbeddingClusterMaintenance]]) — the delta covers the FULL
+    * membership of every touched component (clusterDeltaEdges
+    * contracts star edges of touched ∪ new edges), so the old rows to
+    * retire are exactly the clusters holding a delta member.
+    * unionByName, not unionAll: the using-column anti-join reorders
+    * its output (cluster_id first) and a positional union would
+    * silently swap ids and labels for every untouched row. */
+  private def mergeClusterDelta(prev: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val touchedOld = prev.join(delta.select(col("doc_id")),
+      Seq("doc_id"), "left_semi").select(col("cluster_id")).distinct()
+    graft.ops.Subplan.once(
+      prev.join(touchedOld, Seq("cluster_id"), "left_anti")
+        .unionByName(delta))
+  }
+
+  /** Live EMBEDDING-cluster maintenance — the streaming twin of batch
+    * d15, exactly as [[ClusterMaintenance]] twins d14: fold each
+    * microbatch of (vec_id, v) rows into the maintained assignment by
+    * generating batch-incident sign-band edges
+    * ([[graft.ext.Similarity.signNearDupPairsBetween]] — batch bands
+    * probe the accumulated corpus under the size gate) and
+    * re-contracting only the touched components through the SAME
+    * pair-source-agnostic [[graft.ext.Dedup.clusterDeltaEdges]] core.
+    * Global connectivity cannot be keyed GroupState, so state is the
+    * pair of localCheckpointed frames (corpus, assignment) — lineage
+    * truncates per trigger; at deploy both live in a store and the
+    * fold is the upsert job. */
+  final class EmbeddingClusterMaintenance(threshold: Double = 0.99) {
+    @volatile private var corpus: Option[DataFrame] = None
+    @volatile private var assignDf: Option[DataFrame] = None
+
+    /** The maintained (vec_id, cluster_id) assignment — None before
+      * the first non-empty trigger. */
+    def assignment: Option[DataFrame] =
+      assignDf.map(_.select(col("doc_id").as("vec_id"), col("cluster_id")))
+
+    /** Fold one microbatch of (vec_id, v) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val spark = batchDs.sparkSession
+      import spark.implicits._
+      val batch = graft.ops.Subplan.once(
+        batchDs.toDF().select(col("vec_id"), col("v")))
+      if (batch.isEmpty) return
+      val all = graft.ops.Subplan.once(
+        corpus.map(_.unionAll(batch)).getOrElse(batch))
+      val prev = assignDf.getOrElse(
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      val gate: DataFrame => DataFrame =
+        if (batch.count() <= Dedup.D14BroadcastMaxRows)
+          df => broadcast(df)
+        else identity
+      val delta = graft.ops.Subplan.once(
+        Dedup.clusterDeltaEdges(prev,
+          graft.ext.Similarity.signNearDupPairsBetween(all, batch, gate,
+            threshold),
+          gate))
+      corpus = Some(all)
+      assignDf = Some(mergeClusterDelta(prev, delta))
     }
   }
 }

@@ -349,6 +349,52 @@ class StreamingSpec extends AnyFunSuite {
       "planted duplicates must collapse into one cluster")
   }
 
+  test("streaming embedding cluster maintenance converges to the full " +
+      "d13-style rebuild") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_embmaint_stream").toString
+    // The d15 corpus (planted twins + third-member families), split by
+    // the d15 batch draw itself: the non-batch 6/7 arrives first (the
+    // stored-assignment world), then the batch 1/7 — so the
+    // cross-trigger merge path (a stored multi-member cluster
+    // absorbing a batch vector) genuinely runs, exactly as in the
+    // registered d15 scenario.
+    val corpus = ext.Similarity.d15Corpus(spark, sf)
+    val base = corpus.select(col("vec_id"),
+      timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L))
+        .as("ts"),
+      col("v"))
+    val cm = new DocStreams.EmbeddingClusterMaintenance(0.99)
+    val q = spark.readStream.schema(DocStreams.embSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      Seq(!ext.Similarity.d15IsBatch, ext.Similarity.d15IsBatch).foreach { half =>
+        base.filter(half).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = cm.assignment.getOrElse(fail("no assignment after replay"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    val want = ext.Dedup.connectedComponents(
+        ext.Similarity.signNearDupPairs(
+            graft.ops.Subplan.once(corpus))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"maintained assignment diverges from the full rebuild: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the merge path genuinely crossed triggers: some cluster holds a
+    // batch (≡ 0 mod 7) member AND ≥ 2 first-trigger members.
+    assert(got.groupBy(_._2).values.exists(ms =>
+        ms.count(_._1 % 7 == 0) >= 1 && ms.count(_._1 % 7 != 0) >= 2),
+      "no cluster shows a stored multi-member component absorbing a batch vector")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString
