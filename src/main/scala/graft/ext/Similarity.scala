@@ -460,22 +460,14 @@ object Similarity {
     // best-effort by construction (IVF semantics): a true neighbor
     // outside the 3×3 neighborhood is missed — the oracle probes the
     // same 9 cells, so the check is exact over the same candidates.
-    "s08_ivf_grid" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val g = e.select(col("vec_id"), col("v"),
-        gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
-      val probes = g.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("c1").as("qc1"), col("c2").as("qc2"))
-        .withColumn("d", explode(probeOffsets(1)))
-        .select(col("qid"), col("qv"),
-          (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
-      val scored = g.join(probes, Seq("c1", "c2"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          cosine(col("qv"), col("v")).as("cos_sim"))
-      topK(scored, col("qid"), 5)
-    }),
+    "s08_ivf_grid" -> ((s, dir) => ivfGridQuery(s, dir, 1)),
+
+    // The wide probe of the SAME grid index: radius 2 = 5×5 cells,
+    // the measured +0.29/+0.26 recall@1 point of the PLANS.md curve,
+    // registered under its own oracle so the knob's semantics (probe
+    // set = the 25 neighbor cells, exactly) are hash-checked, not
+    // just soak-measured. One query body serves both radii.
+    "s10_ivf_grid_wide" -> ((s, dir) => ivfGridQuery(s, dir, 2)),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
@@ -554,6 +546,27 @@ object Similarity {
       .join(all.as("sb"), col("c.nn_id") === col("sb.vec_id"))
       .select(col("c.vec_id").as("vec_id"), col("c.nn_id").as("nn_id"),
         cosine(col("sa.v"), col("sb.v")).as("cos_sim")))
+  }
+
+  /** The registered grid-IVF probe at radius `r` — ONE body for s08
+    * (r = 1) and s10 (r = 2), so the radii can only ever differ by
+    * the probe set: 10 query vectors explode to their (2r+1)² cells,
+    * equi-join the cell-keyed postings, rank by bounded-heap top-5. */
+  private def ivfGridQuery(s: SparkSession, dir: String, r: Int): DataFrame = {
+    val e = emb(s, dir)
+    val g = e.select(col("vec_id"), col("v"),
+      gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+    val probes = g.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("c1").as("qc1"), col("c2").as("qc2"))
+      .withColumn("d", explode(probeOffsets(r)))
+      .select(col("qid"), col("qv"),
+        (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
+    val scored = g.join(probes, Seq("c1", "c2"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    topK(scored, col("qid"), 5)
   }
 
   /** The multi-probe neighborhood of the s08 grid quantizer: the
@@ -680,6 +693,33 @@ object Similarity {
     df.withColumn(vecCol, transform(col(s"${vecCol}_q8"), q =>
         q.cast("double") * col(s"${vecCol}_scale") + col(s"${vecCol}_offset")))
       .drop(s"${vecCol}_q8", s"${vecCol}_offset", s"${vecCol}_scale")
+
+  /** The grid-IVF oracle at probe radius `r` — the BETWEEN window is
+    * the SQL statement of [[probeOffsets]]'s (2r+1)² explode, one
+    * generator for s08 (r = 1) and s10 (r = 2). */
+  private def ivfGridOracleSql(r: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |g AS (SELECT vec_id, v,
+       |    CAST(floor(v[1] / 0.125) AS BIGINT) AS c1,
+       |    CAST(floor(v[2] / 0.125) AS BIGINT) AS c2
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, c1 AS qc1, c2 AS qc2
+       |  FROM g WHERE vec_id < 10),
+       |cand AS (SELECT q.qid, q.qv, g.vec_id AS nn_id, g.v
+       |  FROM q JOIN g
+       |    ON g.c1 BETWEEN q.qc1 - $r AND q.qc1 + $r
+       |   AND g.c2 BETWEEN q.qc2 - $r AND q.qc2 + $r
+       |   AND g.vec_id <> q.qid),
+       |scored AS (SELECT qid, nn_id,
+       |    list_dot_product(qv, v)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+       |      AS cos_sim
+       |  FROM cand),
+       |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM rk WHERE rk <= 5""".stripMargin
 
   private val cosSql =
     """list_dot_product(a.v, b.v)
@@ -904,29 +944,8 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, nn_id, qdot, CAST(rk AS INTEGER) AS rk
         |FROM rk WHERE rk <= 5""".stripMargin,
-    "s08_ivf_grid" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |g AS (SELECT vec_id, v,
-         |    CAST(floor(v[1] / 0.125) AS BIGINT) AS c1,
-         |    CAST(floor(v[2] / 0.125) AS BIGINT) AS c2
-         |  FROM e),
-         |q AS (SELECT vec_id AS qid, v AS qv, c1 AS qc1, c2 AS qc2
-         |  FROM g WHERE vec_id < 10),
-         |cand AS (SELECT q.qid, q.qv, g.vec_id AS nn_id, g.v
-         |  FROM q JOIN g
-         |    ON g.c1 BETWEEN q.qc1 - 1 AND q.qc1 + 1
-         |   AND g.c2 BETWEEN q.qc2 - 1 AND q.qc2 + 1
-         |   AND g.vec_id <> q.qid),
-         |scored AS (SELECT qid, nn_id,
-         |    list_dot_product(qv, v)
-         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
-         |      AS cos_sim
-         |  FROM cand),
-         |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
-         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
-         |  FROM scored)
-         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
-         |FROM rk WHERE rk <= 5""".stripMargin,
+    "s08_ivf_grid" -> ivfGridOracleSql(1),
+    "s10_ivf_grid_wide" -> ivfGridOracleSql(2),
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
