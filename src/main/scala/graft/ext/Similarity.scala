@@ -130,10 +130,17 @@ object Similarity {
     * edge source, the d14 `jaccardCandidatesBetween` shape for
     * embeddings: batch bands probe the corpus bands (batch–corpus AND
     * batch–batch collisions, since batch ⊆ all), exact cosine verifies
-    * collisions. Every batch-derived frame rides the caller's
-    * size-gated broadcast, so the corpus side never shuffles: two
-    * broadcast hash joins against the candidate set, nothing wider.
-    * Emits verified (doc_a < doc_b) pairs with ≥ 1 batch endpoint. */
+    * collisions. `gate` (the caller's BATCH-size-derived broadcast
+    * decision) applies ONLY to the batch-bands probe side — the frame
+    * the gate's row count actually bounds. The verify joins are plain
+    * equi-joins, the [[graft.ext.Dedup]] verifyJaccard discipline:
+    * `cand`/`withA` are COLLISION-volume-sized, not batch-sized (a hot
+    * sign band can make them orders of magnitude larger than the
+    * batch, and withA carries a 64-double vector per row), so a forced
+    * broadcast there would bypass autoBroadcastJoinThreshold and risk
+    * OOM exactly under the skew the zipf soaks target; AQE still
+    * converts them at runtime when they measure small. Emits verified
+    * (doc_a < doc_b) pairs with ≥ 1 batch endpoint. */
   private[graft] def signNearDupPairsBetween(all: DataFrame, batch: DataFrame,
       gate: DataFrame => DataFrame, threshold: Double = 0.99): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame = df
@@ -147,10 +154,10 @@ object Similarity {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
       .distinct()
     val withA = all.as("sa")
-      .join(gate(cand), col("vec_a") === col("sa.vec_id"))
+      .join(cand, col("vec_a") === col("sa.vec_id"))
       .select(col("vec_a"), col("vec_b"), col("sa.v").as("va"))
     all.as("sb")
-      .join(gate(withA), col("vec_b") === col("sb.vec_id"))
+      .join(withA, col("vec_b") === col("sb.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("sb.v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -276,9 +283,11 @@ object Similarity {
     // really is pair-source-agnostic: the batch's sign-band collisions
     // (exact-cosine verified) are the new edges, and the SAME
     // [[graft.ext.Dedup.clusterDeltaEdges]] re-contracts exactly the
-    // touched components. The stored assignment never shuffles —
-    // batch bands, candidates, endpoints, and touched cluster ids all
-    // ride size-gated broadcasts (D14BroadcastMaxRows). Fixture:
+    // touched components. The stored assignment never shuffles in the
+    // delta fold — batch bands, new-edge endpoints, and touched
+    // cluster ids ride size-gated broadcasts (D14BroadcastMaxRows);
+    // the collision-sized verify frames are plain joins (see
+    // [[signNearDupPairsBetween]] — AQE converts when small). Fixture:
     // the d15 corpus plants a THIRD member on every tenth family and
     // draws the batch as vec_id % 7 (which splits planted families —
     // see [[d15Corpus]]), so the delta exercises both merge-into-

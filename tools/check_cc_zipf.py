@@ -163,8 +163,9 @@ def main():
             print(f"PASS {name} ({len(got)} rows, {rounds} label rounds)")
         else:
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-            only_g = [r for r in got if r not in set(want)][:3]
-            only_w = [r for r in want if r not in set(got)][:3]
+            want_set, got_set = set(want), set(got)
+            only_g = [r for r in got if r not in want_set][:3]
+            only_w = [r for r in want if r not in got_set][:3]
             for d in only_g:
                 print(f"  spark-only: {d[:200]}")
             for d in only_w:
