@@ -693,6 +693,48 @@ object Text {
           sum(col("n_pieces")).as("n_subtok"),
           (sum(col("n_pieces")).cast("double") / count(lit(1)))
             .as("subtok_per_word"))
+    }),
+
+    // BPE merge-table APPLY to UNSEEN words — the deployment half of
+    // the tokenizer story t25's vocab join cannot cover: t25 segments
+    // by looking a word up in the training vocab, which only works
+    // because its apply corpus IS its training corpus. A production
+    // tokenizer meets out-of-vocabulary words and segments them by
+    // replaying the LEARNED MERGE TABLE in rank order — the reason
+    // the merge table exists at all (the reference's own learn/apply
+    // split: randomforest.py:42-81 trains a model once, :90-103
+    // applies it to chips the fit never saw). Here: train on the
+    // NON-eval split (the t08/t13 md5 draw on doc_id holds 1/8 of
+    // docs out), then segment the held-out docs' words — including
+    // words that never occurred in training — via
+    // [[bpeApplySegments]]: fold merges 1..R in rank order over each
+    // word's codepoint symbols, each merge the SAME greedy
+    // left-to-right `aggregate` fold t24's training loop applies
+    // (replay after R merges ≡ training state after round R, so a
+    // word seen in training segments EXACTLY as t25's vocab says —
+    // ExtSpec pins the identity). Emits t25's per-doc shape over the
+    // held-out split. Scale: the merge table is `rounds` rows — a
+    // trivial ConstKey broadcast; segmentation is map-side column
+    // algebra over the DISTINCT held-out words (one distinct
+    // shuffle); the occurrence roll-up is one word-keyed join (the
+    // t06/t25 topology). Nothing anywhere scales with training-corpus
+    // size at apply time — exactly the deployment property a
+    // tokenizer needs.
+    "t26_bpe_apply" -> ((s, dir) => {
+      val merges = bpeTrainFull(docs(s, dir).filter(!isEvalCol),
+        BpeMergeRounds)._1
+      val heldOut = docs(s, dir).filter(isEvalCol)
+      val words = heldOut.select(explode(toks).as("w"))
+        .filter(col("w") =!= "").distinct()
+      heldOut.select(col("doc_id"), explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .join(bpeApplySegments(words, merges)
+          .select(col("w"), size(col("syms")).as("n_pieces")), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_subtok"),
+          (sum(col("n_pieces")).cast("double") / count(lit(1)))
+            .as("subtok_per_word"))
     })
   )
 
@@ -919,14 +961,7 @@ object Text {
             col("lhs"), col("rhs"))), Seq("k"), "left")
           .select(col("w"),
             when(col("lhs").isNull, col("syms"))
-              .otherwise(aggregate(
-                slice(col("syms"), lit(2), size(col("syms")) - 1),
-                slice(col("syms"), 1, 1),
-                (acc, x) => when(
-                  element_at(acc, -1) === col("lhs") && x === col("rhs"),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(col("lhs"), col("rhs")))))
-                  .otherwise(concat(acc, array(x)))))
+              .otherwise(bpeMergeFold(col("syms"), col("lhs"), col("rhs")))
               .as("syms"),
             col("cnt")))
       best.select(lit(r).as("merge_rank"), col("lhs"), col("rhs"),
@@ -935,26 +970,89 @@ object Text {
     (merged.reduce(_ unionByName _), vocab)
   }
 
-  /** The t24 oracle: the identical bounded loop, unrolled to
-    * `rounds` chained CTE blocks (pair counts → deterministic best →
-    * list_reduce greedy fold), so DuckDB replays the exact training
-    * run. The fold carries the space-joined symbol string (symbols
-    * are \s+-split word fragments, so ' ' can never occur inside
-    * one); '[^ ]*$' is its last symbol, replace-first rewrites it to
-    * the merged pair. LEFT JOIN ON TRUE mirrors the Spark side's
-    * empty-inventory no-op. */
-  /** The unrolled training chain shared by the t24 and t25 oracles:
-    * v0 (word-frequency vocab, word string threaded through) and, per
-    * round r, pair counts p_r → deterministic best b_r → folded vocab
-    * v_r. t24 reads the b_r rows, t25 reads the final v_rounds (CTEs
-    * are lazy, so each oracle pays only for what it references). */
-  private def bpeChainCte(rounds: Int): String = {
+  /** ONE application of a single BPE merge (lhs, rhs) to a symbol
+    * array: the greedy left-to-right `aggregate` fold (acc's last
+    * symbol = lhs ∧ next = rhs ⟹ replace-last-with-merged, else
+    * append), which resolves chains like a·a·a → (aa)·a exactly as
+    * the oracle's DuckDB list_reduce restatement does. THE one
+    * definition of merge application, shared by [[bpeTrainFull]]'s
+    * training rounds and [[bpeApplySegments]]'s rank-ordered replay —
+    * so learn and apply can never disagree on what a merge does. */
+  private def bpeMergeFold(syms: Column, lhs: Column, rhs: Column): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      slice(syms, 1, 1),
+      (acc, x) => when(
+        element_at(acc, -1) === lhs && x === rhs,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(lhs, rhs))))
+        .otherwise(concat(acc, array(x))))
+
+  /** t26's segmenter: apply a learned merge table to a frame of words
+    * `w` — ANY words, seen in training or not — by replaying the
+    * merges in rank order over each word's codepoint symbols (the
+    * standard BPE apply; Sennrich's learn/apply split). Returns
+    * (w, syms).
+    *
+    * Replay after R merges ≡ the training vocab's state after round R
+    * (same [[bpeMergeFold]], same order — a round-R training step IS
+    * one replay step applied vocab-wide), so for words the training
+    * corpus contained this reproduces t25's vocab lookup exactly
+    * (ExtSpec pins it); for OOV words it produces what a deployed
+    * tokenizer produces. Shape: the merge table collapses to ONE
+    * rank-sorted array row (array_sort on (merge_rank, lhs, rhs)
+    * structs orders by rank) and rides a [[graft.ops.ConstKey]]-keyed
+    * broadcast onto the words — bounded by `rounds`, never corpus
+    * size; the replay itself is a map-side nested `aggregate` fold
+    * (merges outer, symbols inner), zero shuffles. */
+  private[graft] def bpeApplySegments(words: DataFrame,
+      merges: DataFrame): DataFrame = {
+    import graft.ops.ConstKey
+    val ms = merges.agg(array_sort(collect_list(
+      struct(col("merge_rank"), col("lhs"), col("rhs")))).as("ms"))
+    words
+      .withColumn("k", ConstKey.one(length(col("w"))))
+      .join(broadcast(ms.select(
+        ConstKey.one(size(col("ms"))).as("k"), col("ms"))), Seq("k"))
+      .select(col("w"),
+        aggregate(col("ms"),
+          regexp_extract_all(col("w"), lit("."), lit(0)),
+          (accSyms, m) => bpeMergeFold(accSyms,
+            m.getField("lhs"), m.getField("rhs")))
+          .as("syms"))
+  }
+
+  /** The one-merge fold of [[bpeMergeFold]], restated for DuckDB: the
+    * space-joined list_reduce over `$alias.syms` against the round's
+    * b-row. Symbols are \s+-split word fragments, so ' ' can never
+    * occur inside one; '[^ ]*$' is the accumulator's last symbol,
+    * replace-first rewrites it to the merged pair. The NULL guard
+    * mirrors the Spark side's empty-inventory no-op (LEFT JOIN ON
+    * TRUE). ONE statement for the training chain's v_r blocks and the
+    * apply chain's a_r blocks — the SQL twin of [[bpeMergeFold]]'s
+    * one-definition rule. */
+  private def bpeFoldCase(alias: String): String =
+    s"""CASE WHEN b.lhs IS NULL THEN $alias.syms
+       |    ELSE string_split(list_reduce($alias.syms, (acc, x) -> CASE
+       |      WHEN regexp_extract(acc, '[^ ]*$$') = b.lhs AND x = b.rhs
+       |      THEN regexp_replace(acc, '[^ ]*$$', '') || b.lhs || b.rhs
+       |      ELSE acc || ' ' || x END), ' ') END""".stripMargin
+
+  /** The unrolled training chain shared by the t24, t25, and t26
+    * oracles: v0 (word-frequency vocab over `documents$where`, word
+    * string threaded through) and, per round r, pair counts p_r →
+    * deterministic best b_r → folded vocab v_r. t24 reads the b_r
+    * rows, t25 the final v_rounds, t26 replays the b_r rows over its
+    * held-out words (CTEs are lazy, so each oracle pays only for what
+    * it references). `where` restricts the training corpus (t26
+    * trains on the non-eval split; t24/t25 pass the empty default). */
+  private def bpeChainCte(rounds: Int, where: String = ""): String = {
     val v0 =
-      """v0 AS (
+      s"""v0 AS (
         |  SELECT w, regexp_extract_all(w, '.') AS syms, cnt FROM (
         |    SELECT w, COUNT(*) AS cnt FROM (
-        |      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |      FROM documents)
+        |      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |      FROM documents$where)
         |    WHERE w <> '' GROUP BY w))""".stripMargin
     val blocks = (1 to rounds).map { r =>
       s""", p$r AS (
@@ -966,15 +1064,50 @@ object Text {
          |  SELECT lhs, rhs, pair_count FROM p$r
          |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)
          |, v$r AS (
-         |  SELECT v.w AS w, CASE WHEN b.lhs IS NULL THEN v.syms
-         |    ELSE string_split(list_reduce(v.syms, (acc, x) -> CASE
-         |      WHEN regexp_extract(acc, '[^ ]*$$') = b.lhs AND x = b.rhs
-         |      THEN regexp_replace(acc, '[^ ]*$$', '') || b.lhs || b.rhs
-         |      ELSE acc || ' ' || x END), ' ') END AS syms, v.cnt AS cnt
+         |  SELECT v.w AS w, ${bpeFoldCase("v")} AS syms, v.cnt AS cnt
          |  FROM v${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
     }.mkString
     v0 + blocks
   }
+
+  /** t26's replay chain: a0 = the DISTINCT words of
+    * `documents$where` as codepoint symbols, then per round r the
+    * SAME fold as v_r against the training chain's b_r — the SQL
+    * statement of [[bpeApplySegments]]'s rank-ordered replay. */
+  private def bpeApplyCte(rounds: Int, where: String): String = {
+    val a0 =
+      s"""a0 AS (
+         |  SELECT w, regexp_extract_all(w, '.') AS syms FROM (
+         |    SELECT DISTINCT
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents$where)
+         |  WHERE w <> '')""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""
+         |, a$r AS (
+         |  SELECT v.w AS w, ${bpeFoldCase("v")} AS syms
+         |  FROM a${r - 1} v LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }.mkString
+    a0 + blocks
+  }
+
+  /** The t08/t13 md5 eval draw as DuckDB SQL (the doc_id form). */
+  private val evalDrawSql =
+    "('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0"
+
+  private def bpeApplyOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainCte(rounds, s" WHERE NOT ($evalDrawSql)")},
+       |${bpeApplyCte(rounds, s" WHERE $evalDrawSql")},
+       |seg AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE $evalDrawSql)
+       |  WHERE w <> '')
+       |SELECT s.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(len(a.syms)) AS BIGINT) AS n_subtok,
+       |  CAST(SUM(len(a.syms)) AS DOUBLE) / COUNT(*) AS subtok_per_word
+       |FROM seg s JOIN a$rounds a ON a.w = s.w
+       |GROUP BY s.doc_id""".stripMargin
 
   private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map { r =>
@@ -1000,6 +1133,7 @@ object Text {
   val oracle: Map[String, String] = Map(
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
+    "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),
     "t01_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,

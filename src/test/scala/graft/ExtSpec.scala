@@ -1100,4 +1100,42 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(chain == Map("aaa" -> List("aaa")))
   }
+
+  test("t26 bpe apply: merge replay reproduces the vocab for seen words " +
+      "and segments unseen words through the merges") {
+    import spark.implicits._
+    // Learn/apply identity — the invariant t26 rests on: replaying the
+    // learned merge table in rank order over a word's codepoints must
+    // land EXACTLY where the training loop left that word's vocab
+    // entry, for every word of the training corpus (replay step r ≡
+    // training round r, by one shared bpeMergeFold). Pinned on the
+    // real sf0.001 corpus, not a toy, so every chain/tie case the
+    // corpus contains is covered.
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    val (merges, vocab) = ext.Text.bpeTrainFull(corpus, 5)
+    val replayed = ext.Text.bpeApplySegments(
+      vocab.select(col("w")), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val trained = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(trained.nonEmpty)
+    assert(replayed == trained,
+      s"replay diverges from training on seen words: " +
+        s"${trained.collect { case (w, s) if replayed.get(w) != Some(s) =>
+          (w, s, replayed.get(w)) }.take(3)}")
+    // OOV path: words the training corpus never saw still segment —
+    // through the Sennrich fixture's merges (w,e), (l,o), (s,t):
+    // "lowest" (unseen) = lo·we·st, and a fully-alien word falls back
+    // to codepoints.
+    val fixtureMerges = ext.Text.bpeTrainFull(
+      Seq("low low low lower lower",
+        "newest newest newest newest widest").toDF("text"), 3)._1
+    val oov = ext.Text.bpeApplySegments(
+      Seq("lowest", "xyz").toDF("w"), fixtureMerges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(oov == Map(
+      "lowest" -> List("lo", "we", "st"),
+      "xyz" -> List("x", "y", "z")))
+  }
 }
