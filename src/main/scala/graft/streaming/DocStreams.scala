@@ -914,4 +914,59 @@ object DocStreams extends Serializable {
       assignDf = Some(mergeClusterDelta(prev, delta))
     }
   }
+
+  /** Live MEDIA-cluster maintenance — the third member of the
+    * maintenance trio (shingle [[ClusterMaintenance]] twins d14,
+    * embedding [[EmbeddingClusterMaintenance]] twins d15; this twins
+    * batch m09): fold each microbatch of (media_id, ts, kind,
+    * payload) rows into the maintained assignment. Each arriving
+    * payload is signed by the EXACT batch aHash kernel
+    * ([[graft.ext.Multimodal.StubDecoders.ahash60Of]] — the
+    * [[ahashNearPairs]] discipline, so stream and batch signatures
+    * can never drift); batch-incident edges come from
+    * [[graft.ext.Dedup.simhashPairsBetween]] (batch signature bands
+    * probe the accumulated corpus bands under the D14BroadcastMaxRows
+    * gate, exact bit_count on collisions only) and re-contract
+    * through the SAME pair-source-agnostic
+    * [[graft.ext.Dedup.clusterDeltaEdges]] core. State is the pair of
+    * localCheckpointed frames (signatures — 2 longs per asset, never
+    * the payloads — and the assignment); at deploy both live in a
+    * store and the fold is the upsert job. StreamingSpec pins
+    * convergence: replaying the m06 fixture in draw-cutting
+    * microbatches reproduces the full m07-style rebuild exactly. */
+  final class MediaClusterMaintenance(maxHamming: Int = 3) {
+    @volatile private var sigs: Option[DataFrame] = None
+    @volatile private var assignDf: Option[DataFrame] = None
+
+    /** The maintained (media_id, cluster_id) assignment — None before
+      * the first non-empty trigger. */
+    def assignment: Option[DataFrame] =
+      assignDf.map(_.select(col("doc_id").as("media_id"), col("cluster_id")))
+
+    /** Fold one microbatch of (media_id, ts, kind, payload) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val spark = batchDs.sparkSession
+      import spark.implicits._
+      val batchSigs = graft.ops.Subplan.once(
+        batchDs.filter(col("payload").isNotNull).as[TsMediaRow]
+          .mapPartitions(rows => rows.map(r => (r.media_id,
+            graft.ext.Multimodal.StubDecoders.ahash60Of(r.payload))))
+          .toDF("doc_id", "simhash"))
+      if (batchSigs.isEmpty) return
+      val all = graft.ops.Subplan.once(
+        sigs.map(_.unionAll(batchSigs)).getOrElse(batchSigs))
+      val prev = assignDf.getOrElse(
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      val gate: DataFrame => DataFrame =
+        if (batchSigs.count() <= Dedup.D14BroadcastMaxRows)
+          df => broadcast(df)
+        else identity
+      val delta = graft.ops.Subplan.once(
+        Dedup.clusterDeltaEdges(prev,
+          Dedup.simhashPairsBetween(all, batchSigs, maxHamming, gate),
+          gate))
+      sigs = Some(all)
+      assignDf = Some(mergeClusterDelta(prev, delta))
+    }
+  }
 }

@@ -395,6 +395,51 @@ class StreamingSpec extends AnyFunSuite {
       "no cluster shows a stored multi-member component absorbing a batch vector")
   }
 
+  test("streaming media cluster maintenance converges to the full " +
+      "m07-style rebuild") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_mediamaint_stream").toString
+    // The m06 fixture corpus (single-byte-edit twins at media_id +
+    // 10⁹), split by the m09 batch draw itself: 10⁹ ≡ 6 mod 7, so a
+    // twin family whose original draws ≡ 0 lands its twin in the
+    // FIRST trigger and its original in the second — the planted
+    // pairs genuinely cross triggers, exactly as in the registered
+    // m09 scenario.
+    val corpus = ext.Multimodal.m06Base(spark, sf).toDF()
+    val base = corpus.select(col("media_id"),
+      timestamp_seconds(lit(1700000000L) + col("media_id") % lit(1000000000L))
+        .as("ts"),
+      col("kind"), col("payload"))
+    val cm = new DocStreams.MediaClusterMaintenance(3)
+    val q = spark.readStream.schema(DocStreams.mediaSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      Seq(col("media_id") % 7 =!= 0, col("media_id") % 7 === 0).foreach { half =>
+        base.filter(half).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = cm.assignment.getOrElse(fail("no assignment after replay"))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("cluster_id")))
+      .toSet
+    val want = ext.Dedup.connectedComponents(
+        ext.Dedup.simhashPairs(ext.Multimodal.ahashSigs(spark, sf), 3)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("lbl"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"maintained assignment diverges from the full rebuild: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the merge path genuinely crossed triggers: some cluster holds
+    // both a second-trigger (≡ 0 mod 7) member and a first-trigger one.
+    assert(got.groupBy(_._2).values.exists(ms =>
+        ms.exists(_._1 % 7 == 0) && ms.exists(_._1 % 7 != 0)),
+      "no cluster crossed the microbatch draw")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString
