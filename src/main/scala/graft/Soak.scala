@@ -58,21 +58,26 @@ object Soak {
           .filter(col("nn_id") === col("a_nn")).count())
       val (h05, t05) = recallOf(ext.Similarity.bandedNn1(all))
       val (h08, t08) = recallOf(ext.Similarity.gridNn1(all))
-      // The s08 probe-radius recall-vs-cost curve: for each radius,
-      // recall@1 (grid NN-1 = exact NN-1), recall@5 (exact NN-1 lands
-      // anywhere in the grid top-5), and the candidate-pair count the
-      // wider probe pays for it. Radii beyond 2 add cells the ~N(0,
-      // 1/64) mass never reaches (cells are 1 std wide), so the curve
-      // stops where the geometry does.
-      val curve = Seq(1, 2).map { r =>
-        val (h1, tr) = recallOf(ext.Similarity.gridNn1(all, r))
+      // The grid (axes, radii) recall-vs-cost curve: for each probe
+      // configuration, recall@1 (grid NN-1 = exact NN-1), recall@5
+      // (exact NN-1 lands anywhere in the grid top-5), and the
+      // candidate-pair count the probe pays for it. Per-axis radii
+      // beyond 2 add cells the ~N(0, 1/64) mass never reaches (cells
+      // are 1 std wide), so each axis's window stops where the
+      // geometry does; the AXIS COUNT is the density knob (cell count
+      // ~9^axes) — the 3-axis configs measure the s11 re-arm point.
+      val curve = Seq(
+        "r1" -> Seq(1, 1), "r2" -> Seq(2, 2),
+        "a3r111" -> Seq(1, 1, 1), "a3r221" -> Seq(2, 2, 1),
+        "a3r222" -> Seq(2, 2, 2)).map { case (label, radii) =>
+        val (h1, tr) = recallOf(ext.Similarity.gridNn1R(all, radii))
         val (h5, _) = timed(exact.select(col("vec_id"), col("nn_id"))
-          .join(ext.Similarity.gridTopKNn(all, r, 5)
+          .join(ext.Similarity.gridTopKNnR(all, radii, 5)
               .select(col("vec_id"), col("nn_id").as("a_nn")),
             Seq("vec_id"))
           .filter(col("nn_id") === col("a_nn")).count())
-        val (cand, _) = timed(ext.Similarity.gridCandidateCount(all, r))
-        s""""r$r":{"recall1":${h1.toDouble / n},"recall5":${h5.toDouble / n},""" +
+        val (cand, _) = timed(ext.Similarity.gridCandidateCountR(all, radii))
+        s""""$label":{"recall1":${h1.toDouble / n},"recall5":${h5.toDouble / n},""" +
           s""""cand":$cand,"sec":$tr}"""
       }.mkString(",")
       println(

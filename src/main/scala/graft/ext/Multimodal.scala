@@ -282,7 +282,11 @@ object Multimodal {
     "m09_incremental_media_clusters" -> ((s, dir) => {
       val sigs = ahashSigs(s, dir)
       val isBatch = col("doc_id") % 7 === 0
-      val assign = graft.ops.Subplan.once(
+      // Stored assignment via the session store (the d14 discipline):
+      // landed once per JVM through Sink.write, read back after — so
+      // a repeat invocation times the delta, not the stand-in build.
+      val assign = graft.sources.SessionStore.storedOrBuild(
+        s, "m09_assign", dir, Seq("doc_id"))(
         Dedup.connectedComponents(
           Dedup.simhashPairs(sigs.filter(!isBatch), 3)
             .select(col("doc_a"), col("doc_b")))

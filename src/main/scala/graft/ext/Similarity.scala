@@ -296,7 +296,11 @@ object Similarity {
     // vector-store sink applies.
     "d15_incremental_embedding_clusters" -> ((s, dir) => {
       val all = graft.ops.Subplan.once(d15Corpus(s, dir))
-      val assign = graft.ops.Subplan.once(
+      // Stored assignment via the session store (the d14 discipline):
+      // landed once per JVM through Sink.write, read back after — so
+      // a repeat invocation times the delta, not the stand-in build.
+      val assign = graft.sources.SessionStore.storedOrBuild(
+        s, "d15_assign", dir, Seq("doc_id"))(
         Dedup.connectedComponents(
           signNearDupPairs(all.filter(!d15IsBatch))
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -469,14 +473,29 @@ object Similarity {
     // best-effort by construction (IVF semantics): a true neighbor
     // outside the 3×3 neighborhood is missed — the oracle probes the
     // same 9 cells, so the check is exact over the same candidates.
-    "s08_ivf_grid" -> ((s, dir) => ivfGridQuery(s, dir, 1)),
+    "s08_ivf_grid" -> ((s, dir) => ivfGridQuery(s, dir, Seq(1, 1))),
 
     // The wide probe of the SAME grid index: radius 2 = 5×5 cells,
     // the measured +0.29/+0.26 recall@1 point of the PLANS.md curve,
     // registered under its own oracle so the knob's semantics (probe
     // set = the 25 neighbor cells, exactly) are hash-checked, not
-    // just soak-measured. One query body serves both radii.
-    "s10_ivf_grid_wide" -> ((s, dir) => ivfGridQuery(s, dir, 2)),
+    // just soak-measured. One query body serves every variant.
+    "s10_ivf_grid_wide" -> ((s, dir) => ivfGridQuery(s, dir, Seq(2, 2))),
+
+    // The THIRD-AXIS grid index — the re-arm knob when the 2-axis
+    // quantizer saturates (PLANS.md round-10 curve: ~10k
+    // candidates/vector at sf1 r=1, the density limit of a 2-D
+    // coarse grid at ~10⁵ vectors; a user at 10⁸ vectors needs more
+    // cells, not a wider probe). Axis count multiplies cell count by
+    // ~9 per axis (v₃ is ~N(0, 1/64) like v₁/v₂), so the 3-axis grid
+    // has ~729 populated cells and each probe's candidate pool drops
+    // ~9× at equal radii. The registered point probes (2, 2, 1) —
+    // 5×5×3 = 75 cells: at sf1 the measured curve (PLANS.md round 11)
+    // gives recall@1 ABOVE the 2-axis r=1 point at FEWER candidates —
+    // strictly dominating it. Same one query body; the oracle states
+    // the 3-axis BETWEEN windows, so the probe-set semantics are
+    // hash-checked, not just soak-measured.
+    "s11_ivf_grid3" -> ((s, dir) => ivfGridQuery(s, dir, Seq(2, 2, 1))),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
@@ -557,88 +576,115 @@ object Similarity {
         cosine(col("sa.v"), col("sb.v")).as("cos_sim")))
   }
 
-  /** The registered grid-IVF probe at radius `r` — ONE body for s08
-    * (r = 1) and s10 (r = 2), so the radii can only ever differ by
-    * the probe set: 10 query vectors explode to their (2r+1)² cells,
-    * equi-join the cell-keyed postings, rank by bounded-heap top-5. */
-  private def ivfGridQuery(s: SparkSession, dir: String, r: Int): DataFrame = {
+  /** The registered grid-IVF probe — ONE body for s08 (radii (1,1)),
+    * s10 ((2,2)), and s11 (the 3-axis point), so the variants can
+    * only ever differ by the probe set: 10 query vectors explode to
+    * their ∏(2rᵢ+1) neighbor cells, equi-join the cell-keyed
+    * postings, rank by bounded-heap top-5. `radii` is per-axis: its
+    * LENGTH is the quantizer's axis count (more axes = finer cells =
+    * fewer candidates per cell — the knob that re-arms the index when
+    * a 2-axis grid saturates at ~10⁵ vectors), its VALUES the
+    * per-axis probe widths (recall-vs-cost, non-decreasing in each
+    * rᵢ by candidate-superset). */
+  private def ivfGridQuery(s: SparkSession, dir: String,
+      radii: Seq[Int]): DataFrame = {
+    val n = radii.length
     val e = emb(s, dir)
-    val g = e.select(col("vec_id"), col("v"),
-      gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+    val g = e.select(col("vec_id") +: col("v") +:
+      (1 to n).map(i => gridCell(col("v"), i).as(s"c$i")): _*)
     val probes = g.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("c1").as("qc1"), col("c2").as("qc2"))
-      .withColumn("d", explode(probeOffsets(r)))
-      .select(col("qid"), col("qv"),
-        (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
-    val scored = g.join(probes, Seq("c1", "c2"))
+      .select(col("vec_id").as("qid") +: col("v").as("qv") +:
+        (1 to n).map(i => col(s"c$i").as(s"qc$i")): _*)
+      .withColumn("d", explode(probeOffsets(radii)))
+      .select(col("qid") +: col("qv") +:
+        (1 to n).map(i => (col(s"qc$i") + col(s"d.d$i")).as(s"c$i")): _*)
+    val scored = g.join(probes, (1 to n).map(i => s"c$i"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
     topK(scored, col("qid"), 5)
   }
 
-  /** The multi-probe neighborhood of the s08 grid quantizer: the
-    * (2r+1)² integer offset pairs a probe explodes to. r is the ONE
-    * recall-vs-cost knob of the grid index (candidates grow ~(2r+1)²,
-    * recall@k is non-decreasing in r because a wider probe's candidate
-    * set is a superset — ExtSpec pins the monotonicity, Soak --ann
-    * measures the curve, PLANS.md records it). */
-  private[graft] def probeOffsets(r: Int): Column = array(
-    (for (i <- -r to r; j <- -r to r)
-      yield struct(lit(i).as("i"), lit(j).as("j"))): _*)
+  /** The multi-probe neighborhood of the grid quantizer: the
+    * ∏(2rᵢ+1) integer offset tuples (fields d1..dn) a probe explodes
+    * to — the cartesian product of per-axis windows −rᵢ..rᵢ.
+    * Recall@k is non-decreasing in every rᵢ because a wider probe's
+    * candidate set is a superset — ExtSpec pins the monotonicity,
+    * Soak --ann measures the (axes, radii) curve, PLANS.md records
+    * it. */
+  private[graft] def probeOffsets(radii: Seq[Int]): Column = {
+    val combos = radii.map(r => (-r to r).toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, rs) => acc.flatMap(c => rs.map(c :+ _)))
+    array(combos.map(c => struct(c.zipWithIndex.map { case (o, i) =>
+      lit(o).as(s"d${i + 1}") }: _*)): _*)
+  }
 
   /** s08's coarse quantizer for axis `i` (1-based): ⌊vᵢ / 0.125⌋ —
     * division by a power of two and floor are single correctly-rounded
     * IEEE ops, so cell ids hash-match across engines. ONE definition
-    * for the registered s08 probe and [[gridNn1]]. */
+    * for the registered probes and [[gridNn1]]. Each coordinate of a
+    * unit-normalized 64-d vector is ~N(0, 1/64) (std exactly 0.125),
+    * so 0.125-wide cells give ~9 populated values per axis — cell
+    * count ~9^axes, the density budget of the index. */
   private[graft] def gridCell(v: Column, i: Int): Column =
     floor(element_at(v, i) / lit(0.125)).cast("long")
 
   /** The scored grid-candidate set of [[gridNn1]]/[[gridTopKNn]]:
-    * every (vector, candidate) pair inside the vector's (2r+1)²
+    * every (vector, candidate) pair inside the vector's ∏(2rᵢ+1)
     * probe neighborhood, with exact cosine. ONE definition of the
     * probe topology for both roll-ups, so the recall curve and the
     * NN-1 floor always measure the same index. */
-  private def gridScored(all: DataFrame, probeRadius: Int): DataFrame = {
-    val g = all.select(col("vec_id"), col("v"),
-      gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+  private def gridScored(all: DataFrame, radii: Seq[Int]): DataFrame = {
+    val n = radii.length
+    val g = all.select(col("vec_id") +: col("v") +:
+      (1 to n).map(i => gridCell(col("v"), i).as(s"c$i")): _*)
     val probes = g
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("c1").as("qc1"), col("c2").as("qc2"))
-      .withColumn("d", explode(probeOffsets(probeRadius)))
-      .select(col("qid"), col("qv"),
-        (col("qc1") + col("d.i")).as("c1"), (col("qc2") + col("d.j")).as("c2"))
-    g.join(probes, Seq("c1", "c2"))
+      .select(col("vec_id").as("qid") +: col("v").as("qv") +:
+        (1 to n).map(i => col(s"c$i").as(s"qc$i")): _*)
+      .withColumn("d", explode(probeOffsets(radii)))
+      .select(col("qid") +: col("qv") +:
+        (1 to n).map(i => (col(s"qc$i") + col(s"d.d$i")).as(s"c$i")): _*)
+    g.join(probes, (1 to n).map(i => s"c$i"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid").as("vec_id"), col("vec_id").as("nn_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
   }
 
-  /** s08's IVF topology generalized to per-vector NN-1: EVERY vector
-    * probes its (2r+1)² cell neighborhood (the registered query probes
-    * 10 vectors at top-5, r = 1). The recall-soak twin of s08 — shares
+  /** The IVF topology generalized to per-vector NN-1: EVERY vector
+    * probes its cell neighborhood (the registered queries probe 10
+    * vectors at top-5). The recall-soak twin of s08/s10/s11 — shares
     * the cell quantizer, so the measured recall is the registered
-    * index's. */
+    * index's. The Int form is the legacy 2-axis symmetric radius. */
   private[graft] def gridNn1(all: DataFrame, probeRadius: Int = 1): DataFrame =
-    best1(gridScored(all, probeRadius))
+    gridNn1R(all, Seq(probeRadius, probeRadius))
+
+  private[graft] def gridNn1R(all: DataFrame, radii: Seq[Int]): DataFrame =
+    best1(gridScored(all, radii))
 
   /** Per-vector top-k over the same grid candidates (bounded-heap
     * partial agg, the s07/e10 discipline) — the recall@k side of the
     * probe-radius curve: recall@k = P(exact NN-1 ∈ grid top-k). */
   private[graft] def gridTopKNn(all: DataFrame, probeRadius: Int,
       k: Int): DataFrame =
-    topK(gridScored(all, probeRadius)
+    gridTopKNnR(all, Seq(probeRadius, probeRadius), k)
+
+  private[graft] def gridTopKNnR(all: DataFrame, radii: Seq[Int],
+      k: Int): DataFrame =
+    topK(gridScored(all, radii)
         .select(col("vec_id").as("qid"), col("nn_id"),
           col("cos_sim").as("cos_sim")),
       col("qid"), k)
       .select(col("qid").as("vec_id"), col("nn_id"), col("rk"))
 
-  /** The candidate-pair count a probe radius pays — the cost axis of
-    * the recall curve. */
+  /** The candidate-pair count a probe configuration pays — the cost
+    * axis of the recall curve. */
   private[graft] def gridCandidateCount(all: DataFrame,
       probeRadius: Int): Long =
-    gridScored(all, probeRadius).count()
+    gridCandidateCountR(all, Seq(probeRadius, probeRadius))
+
+  private[graft] def gridCandidateCountR(all: DataFrame,
+      radii: Seq[Int]): Long =
+    gridScored(all, radii).count()
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
     * (block = vec_id mod B), each probe vector is replicated to all B
@@ -703,21 +749,28 @@ object Similarity {
         q.cast("double") * col(s"${vecCol}_scale") + col(s"${vecCol}_offset")))
       .drop(s"${vecCol}_q8", s"${vecCol}_offset", s"${vecCol}_scale")
 
-  /** The grid-IVF oracle at probe radius `r` — the BETWEEN window is
-    * the SQL statement of [[probeOffsets]]'s (2r+1)² explode, one
-    * generator for s08 (r = 1) and s10 (r = 2). */
-  private def ivfGridOracleSql(r: Int): String =
+  /** The grid-IVF oracle at per-axis probe radii — the BETWEEN
+    * windows are the SQL statement of [[probeOffsets]]'s cartesian
+    * explode, ONE generator for s08 ((1,1)), s10 ((2,2)), and s11
+    * ((2,2,1)). */
+  private def ivfGridOracleSql(radii: Seq[Int]): String = {
+    val n = radii.length
+    val cells = (1 to n).map(i =>
+      s"    CAST(floor(v[$i] / 0.125) AS BIGINT) AS c$i").mkString(",\n")
+    val qcells = (1 to n).map(i => s"c$i AS qc$i").mkString(", ")
+    val windows = radii.zipWithIndex.map { case (r, i0) =>
+      val i = i0 + 1
+      s"g.c$i BETWEEN q.qc$i - $r AND q.qc$i + $r"
+    }.mkString("\n   AND ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |g AS (SELECT vec_id, v,
-       |    CAST(floor(v[1] / 0.125) AS BIGINT) AS c1,
-       |    CAST(floor(v[2] / 0.125) AS BIGINT) AS c2
+       |$cells
        |  FROM e),
-       |q AS (SELECT vec_id AS qid, v AS qv, c1 AS qc1, c2 AS qc2
+       |q AS (SELECT vec_id AS qid, v AS qv, $qcells
        |  FROM g WHERE vec_id < 10),
        |cand AS (SELECT q.qid, q.qv, g.vec_id AS nn_id, g.v
        |  FROM q JOIN g
-       |    ON g.c1 BETWEEN q.qc1 - $r AND q.qc1 + $r
-       |   AND g.c2 BETWEEN q.qc2 - $r AND q.qc2 + $r
+       |    ON $windows
        |   AND g.vec_id <> q.qid),
        |scored AS (SELECT qid, nn_id,
        |    list_dot_product(qv, v)
@@ -729,6 +782,7 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM rk WHERE rk <= 5""".stripMargin
+  }
 
   private val cosSql =
     """list_dot_product(a.v, b.v)
@@ -953,8 +1007,9 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, nn_id, qdot, CAST(rk AS INTEGER) AS rk
         |FROM rk WHERE rk <= 5""".stripMargin,
-    "s08_ivf_grid" -> ivfGridOracleSql(1),
-    "s10_ivf_grid_wide" -> ivfGridOracleSql(2),
+    "s08_ivf_grid" -> ivfGridOracleSql(Seq(1, 1)),
+    "s10_ivf_grid_wide" -> ivfGridOracleSql(Seq(2, 2)),
+    "s11_ivf_grid3" -> ivfGridOracleSql(Seq(2, 2, 1)),
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

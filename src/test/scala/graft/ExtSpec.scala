@@ -683,6 +683,17 @@ class ExtSpec extends AnyFunSuite {
     val (c1, c2) = (ext.Similarity.gridCandidateCount(all, 1),
       ext.Similarity.gridCandidateCount(all, 2))
     assert(c2 > c1, s"the 5×5 probe must score more candidates: $c2 <= $c1")
+    // The s11 AXIS knob's contract, density side: adding a third axis
+    // at equal per-axis radii PARTITIONS every 2-axis cell (same c1/c2
+    // plus a c3 constraint), so the candidate set is a SUBSET —
+    // strictly cheaper at equal radii. The registered (2,2,1) point
+    // must also stay a subset of the 2-axis r=2 probe (same first two
+    // windows, plus the c3 cut).
+    val c3 = ext.Similarity.gridCandidateCountR(all, Seq(2, 2, 2))
+    val c221 = ext.Similarity.gridCandidateCountR(all, Seq(2, 2, 1))
+    assert(c3 < c2, s"the third axis must cut the candidate pool: $c3 >= $c2")
+    assert(c221 <= c3,
+      s"narrowing the third window must not add candidates: $c221 > $c3")
   }
 
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {

@@ -269,6 +269,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("stored-assignment delta: the read-back table streams through " +
+      "broadcast probes and never shuffles") {
+    // d14/d15/m09 now read their stored assignment back from parquet
+    // (SessionStore — the deployment shape). The touched-star probe is
+    // where the stored table meets the delta: under the gate BOTH
+    // probe joins must broadcast the bounded batch-derived side, so
+    // the assignment is scanned and STREAMED — a sort-merge or
+    // shuffled-hash join here means the whole stored table shuffled
+    // per batch, the exact cost the incremental path exists to avoid.
+    // (The one expected exchange is the post-join cluster-id distinct
+    // — a projected column of the touched rows only, batch-bounded.)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_store").toString
+    spark.range(0, 1000)
+      .select(col("id").as("doc_id"), (col("id") % 50).as("cluster_id"))
+      .write.mode("overwrite").parquet(dir)
+    val assign = spark.read.parquet(dir)
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val p = ext.Dedup.touchedStar(assign, edges, df => broadcast(df))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"the stored assignment feeds both probes from its parquet scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"both probes must broadcast the batch-derived side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the stored assignment must never shuffle in the delta probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
