@@ -89,6 +89,42 @@ object Soak {
       return
     }
 
+    // Query-timing mode (`Soak <dir> --queries e02_...,e04_...`):
+    // best-of-3 wall time of named REGISTERED queries — the per-family
+    // soak probe (run at sf0.1 then scaledata/sf1 and compare ratios)
+    // without paying a full-surface bench at each scale.
+    if (args.contains("--queries")) {
+      val names = args(args.indexOf("--queries") + 1).split(',').toSeq
+      val rows = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val (n, best) = (1 to 3).map(_ => timed(fn(spark, sfDir).count())).minBy(_._2)
+        s""""$name":{"rows":$n,"sec":$best}"""
+      }.mkString(",")
+      println(s"""{"dir":"$sfDir","mode":"queries",$rows}""")
+      spark.stop()
+      return
+    }
+
+    // BPE-depth mode (`Soak <dir> --bpe <rounds>`): wall time of the
+    // t24 training loop at a REAL tokenizer depth (the registered
+    // query trains BpeMergeRounds=10 so the oracle's unrolled CTE
+    // chain stays readable; production tokenizers run 30k-100k
+    // merges). Measures the accepted per-round driver-loop bound: the
+    // frontier shuffle is paid once, every round after is
+    // vocab-bounded, so sec/round should hold flat as rounds grow and
+    // corpus scale should move only the frontier term.
+    if (args.contains("--bpe")) {
+      val rounds = args(args.indexOf("--bpe") + 1).toInt
+      val docs = Tables(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      val merges = ext.Text.bpeTrain(docs, rounds).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"dir":"$sfDir","mode":"bpe","rounds":$rounds,""" +
+        s""""merges":$merges,"sec":$sec,"sec_per_round":${sec / rounds}}""")
+      spark.stop()
+      return
+    }
+
     val d = Tables(spark, sfDir, "documents")
 
     // Corpus shape: shingle document frequencies.

@@ -19,6 +19,16 @@ statistics the dedup/ANN operators key on:
   gaussian vectors, labels uniform over 10 cells -- same distribution
   as the driver corpus (element std 1/8 = unit norm at d=64).
 
+- events (100,000 -> 1,000,000): ten user-shards of the sf0.1 log --
+  copy c keeps every row's ts/type/value/props but maps user_id ->
+  user_id + c*1500 and event_id -> event_id + c*10,000,000, then the
+  union is re-sorted by (ts, event_id). Per-user statistics (events
+  per user, session gaps, funnel step order) are EXACTLY preserved, so
+  the stateful plans (e04 sessionize, e07 funnel) grow in KEY COUNT --
+  the web-scale growth direction -- not in per-key state; window
+  densities (e02/e03/e10) grow exactly 10x. Events queries touch no
+  other table, so the shard offset breaks nothing.
+
 Usage: python3 tools/gen_sf1.py [outdir]   (default scaledata/sf1)
 Other tables are symlinked from sf0.1 so graft.Bench runs unmodified.
 
@@ -41,10 +51,31 @@ import sys
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+
+
+def gen_events(outdir):
+    """10x events as ten user-shards of the sf0.1 log (see module doc)."""
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    n_users = pc.max(ev["user_id"]).as_py() + 1
+    parts = []
+    for c in range(COPIES):
+        parts.append(pa.table({
+            "event_id": pc.add(ev["event_id"], c * 10_000_000),
+            "ts": ev["ts"],
+            "user_id": pc.add(ev["user_id"], c * n_users),
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+            "props": ev["props"],
+        }))
+    big = pa.concat_tables(parts).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")])
+    pq.write_table(big, f"{outdir}/events.parquet")
+    return big.num_rows
 
 
 def _u(key):
@@ -144,12 +175,15 @@ def main(outdir):
         "label": pa.array((np.arange(m) % 10).astype(np.int32), pa.int32()),
     }), f"{outdir}/embeddings.parquet")
 
+    n_ev = gen_events(outdir)
+
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = f"{outdir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
-    print(f"wrote {outdir}: documents={COPIES * n} embeddings={m}")
+    print(f"wrote {outdir}: documents={COPIES * n} embeddings={m} "
+          f"events={n_ev}")
 
 
 if __name__ == "__main__":
