@@ -735,7 +735,27 @@ object Text {
           sum(col("n_pieces")).as("n_subtok"),
           (sum(col("n_pieces")).cast("double") / count(lit(1)))
             .as("subtok_per_word"))
-    })
+    }),
+
+    // Epoch shuffle + sharding — the LAST step between a packed corpus
+    // and the trainer's file reader: every doc draws a deterministic
+    // per-epoch pseudo-random key (md5(doc_id || ':ep1'), the t08
+    // discipline — same docs, different epoch salt, different order),
+    // lands in shard = key mod 16, and gets its exact within-shard
+    // position and token offset in (key, doc_id) order — the manifest
+    // a sharded-file writer consumes (shard file s, seek to tok_start,
+    // write doc at pos). rand()-based shuffles cannot give this: the
+    // epoch order must be reproducible across reruns, engines, and
+    // cluster sizes, or a resumed training run sees different data.
+    // Scale: ONE hash exchange of the narrow frontier on (shard,
+    // bucket); the within-shard rank/prefix-sum does NOT serialize one
+    // window task per shard (6 TB of sort at 100 TB/16 shards) —
+    // [[epochShard]] decomposes it over contiguous draw-key buckets
+    // exactly, the [[twoLevelCum]] discipline keyed by the DRAW
+    // instead of doc_id. Uniformity of the md5 draw balances both
+    // shards and buckets by construction — no skew key exists.
+    "t27_epoch_shard" -> ((s, dir) =>
+      epochShard(docs(s, dir).select(col("doc_id"), size(toks).as("n_tok"))))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -797,6 +817,56 @@ object Text {
       .join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("cum", col("shard_off") + sum(col("n_tok")).over(
         w.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))))
+  }
+
+  /** t27's epoch-shuffle manifest over a (doc_id, n_tok) frontier:
+    * (doc_id, shard, pos, n_tok, tok_start) where shard = draw mod
+    * `shards` and pos / tok_start are the doc's exact rank and running
+    * token offset within its shard in (draw, doc_id) order.
+    *
+    * The within-shard rank is a prefix COUNT, so it decomposes the
+    * same way [[twoLevelCum]]'s token sum does — but keyed by the
+    * DRAW, not doc_id: bucket = draw div `bucketWidth` is a contiguous
+    * range of the order key, a per-(shard, bucket) window ranks
+    * locally in parallel, and a (shards × buckets)-row prefix pass
+    * over per-bucket (row, token) totals supplies each bucket's
+    * starting offsets, broadcast back. pos = bucket row offset +
+    * local row_number − 1 is the identical integer for every
+    * `bucketWidth` (ExtSpec pins width-independence and the
+    * one-window equality), and hash-matches DuckDB's single-window
+    * restatement. The md5 draw is uniform, so bucket population is
+    * binomial-tight around rows/(shards·buckets) — the decomposition
+    * has no skew case. At 100 TB: the frontier is ~20 bytes/doc,
+    * bucketWidth ~2²⁰ yields ~4096 buckets × shards offset rows (an
+    * easy broadcast) and per-task sorts of ~rows/65k docs. The test
+    * default 2²⁸ (16 buckets over the 2³² draw space) keeps every
+    * fixture tier genuinely multi-bucket. */
+  private[graft] def epochShard(frontier: DataFrame, shards: Int = 16,
+      bucketWidth: Long = 1L << 28): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val fr = graft.ops.Subplan.once(frontier
+      .withColumn("h", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":ep1"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+      .withColumn("bkt", expr(s"h div $bucketWidth")))
+    val offsets = fr.groupBy(col("shard"), col("bkt"))
+      .agg(count(lit(1)).as("bkt_rows"), sum(col("n_tok")).as("bkt_tok"))
+      .select(col("shard"), col("bkt"),
+        (sum(col("bkt_rows")).over(
+          w.partitionBy(col("shard")).orderBy(col("bkt")))
+          - col("bkt_rows")).as("row_off"),
+        (sum(col("bkt_tok")).over(
+          w.partitionBy(col("shard")).orderBy(col("bkt")))
+          - col("bkt_tok")).as("tok_off"))
+    val local = w.partitionBy(col("shard"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    fr.join(broadcast(offsets), Seq("shard", "bkt"))
+      .select(col("doc_id"), col("shard"),
+        (col("row_off") + row_number().over(local) - 1).as("pos"),
+        col("n_tok"),
+        (col("tok_off") + sum(col("n_tok")).over(local) - col("n_tok"))
+          .as("tok_start"))
   }
 
   /** First-8-hex-digits-of-md5(source) as a long — the per-source
@@ -1131,6 +1201,18 @@ object Text {
        |GROUP BY s.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t27_epoch_shard" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::INTEGER AS n_tok,
+        |    ('0x' || substr(md5(doc_id || ':ep1'), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+        |  CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start
+        |FROM fr
+        |WINDOW w AS (PARTITION BY h % 16 ORDER BY h, doc_id)""".stripMargin,
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),

@@ -866,6 +866,41 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(7L) == rows(1000000000L))
   }
 
+  test("t27 epoch shard is bucket-width independent and matches a " +
+      "one-window JVM recompute") {
+    import org.apache.spark.sql.functions.{col, expr, size, split, trim}
+    val fr = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    val registered = SparkEntry.queries("t27_epoch_shard")(spark, sf)
+    // the registered width (2^28 over the 2^32 draw space) must
+    // genuinely exercise the two-level path: multiple buckets per run
+    assert(registered.select(expr("pos")).count() > 0)
+    def rows(w: Long) = ext.Text.epochShard(fr, bucketWidth = w)
+      .collect().map(_.toSeq).toSet
+    val wide = rows(1L << 40) // degenerate: one bucket = one-window plan
+    assert(rows(1L << 24) == wide, "bucket width must not change any integer")
+    assert(registered.collect().map(_.toSeq).toSet == wide)
+    // one-window ground truth recomputed in the JVM: per shard, docs
+    // ordered by (draw, doc_id); pos/tok_start are rank and running
+    // token offset; every shard's positions are 0..n-1 dense
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val frontier = fr.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tok")))
+    val expected = frontier
+      .map { case (id, nt) =>
+        (id, nt, java.lang.Long.parseLong(md5hex(s"$id:ep1").take(8), 16)) }
+      .groupBy { case (_, _, h) => (h % 16).toInt }
+      .toSeq.flatMap { case (shard, ds) =>
+        val ordered = ds.sortBy { case (id, _, h) => (h, id) }
+        val cum = ordered.scanLeft(0L) { case (acc, (_, nt, _)) => acc + nt }
+        ordered.zipWithIndex.map { case ((id, nt, _), i) =>
+          Seq[Any](id, shard, i.toLong, nt, cum(i)) }
+      }.toSet
+    assert(wide == expected)
+  }
+
   test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
     val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
