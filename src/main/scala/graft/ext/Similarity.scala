@@ -487,14 +487,19 @@ object Similarity {
     // candidates/vector at sf1 r=1, the density limit of a 2-D
     // coarse grid at ~10⁵ vectors; a user at 10⁸ vectors needs more
     // cells, not a wider probe). Axis count multiplies cell count by
-    // ~9 per axis (v₃ is ~N(0, 1/64) like v₁/v₂), so the 3-axis grid
-    // has ~729 populated cells and each probe's candidate pool drops
-    // ~9× at equal radii. The registered point probes (2, 2, 1) —
-    // 5×5×3 = 75 cells: at sf1 the measured curve (PLANS.md round 11)
-    // gives recall@1 ABOVE the 2-axis r=1 point at FEWER candidates —
-    // strictly dominating it. Same one query body; the oracle states
-    // the 3-axis BETWEEN windows, so the probe-set semantics are
-    // hash-checked, not just soak-measured.
+    // ~9 per axis (v₃ is ~N(0, 1/64) like v₁/v₂): ~729 populated
+    // cells, so per-cell postings — the quantity that must stay
+    // bounded for the landed index (s12) to skip data — drop ~9×,
+    // and at EQUAL radii the probe's candidate pool strictly shrinks
+    // (ExtSpec pins the subset; measured at sf1: (2,2,2) scores 8.5%
+    // fewer candidates than (2,2) for recall 0.9455 vs 0.9622). The
+    // registered point probes (2, 2, 1) — 5×5×3 = 75 cells — and
+    // sits ABOVE the 2-axis recall-per-candidate frontier: at sf1 it
+    // buys recall@1 0.806 at 234M candidates where interpolating the
+    // 2-axis endpoints predicts 0.777 (full curve in PLANS.md round
+    // 11). Same one query body; the oracle states the 3-axis BETWEEN
+    // windows, so the probe-set semantics are hash-checked, not just
+    // soak-measured.
     "s11_ivf_grid3" -> ((s, dir) => ivfGridQuery(s, dir, Seq(2, 2, 1))),
 
     // The grid IVF probed AGAINST ITS LANDED FORM — the deployment
