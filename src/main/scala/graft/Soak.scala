@@ -94,7 +94,11 @@ object Soak {
     // soak probe (run at sf0.1 then scaledata/sf1 and compare ratios)
     // without paying a full-surface bench at each scale.
     if (args.contains("--queries")) {
+      require(args.indexOf("--queries") + 1 < args.length,
+        "usage: Soak <dir> --queries name1,name2,...")
       val names = args(args.indexOf("--queries") + 1).split(',').toSeq
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
       val rows = names.map { name =>
         val fn = SparkEntry.queries(name)
         val (n, best) = (1 to 3).map(_ => timed(fn(spark, sfDir).count())).minBy(_._2)
@@ -114,6 +118,8 @@ object Soak {
     // vocab-bounded, so sec/round should hold flat as rounds grow and
     // corpus scale should move only the frontier term.
     if (args.contains("--bpe")) {
+      require(args.indexOf("--bpe") + 1 < args.length,
+        "usage: Soak <dir> --bpe <rounds>")
       val rounds = args(args.indexOf("--bpe") + 1).toInt
       val docs = Tables(spark, sfDir, "documents")
       val t0 = System.nanoTime()

@@ -1407,20 +1407,20 @@ object Text {
         |FROM counts c LEFT JOIN vocab v ON c.tok = v.tok
         |GROUP BY c.source""".stripMargin,
     "t20_corpus_pipeline" ->
-      """WITH planted AS (SELECT doc_id, source,
+      s"""WITH planted AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 37 = 5 THEN 'graft boilerplate page about nothing at all repeated across mirrors of the same site with identical wording every single time it appears anywhere online today'
         |         ELSE text END AS text
         |  FROM documents),
         |p AS (SELECT doc_id, source, text,
         |    text || ' canary c' || (doc_id % 199)
         |      || ' alpha beta gamma delta epsilon zeta' AS ctext,
-        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+        |    $evalDrawSql
         |      AS is_eval
         |  FROM planted),
         |fr AS (SELECT doc_id, source, is_eval,
-        |    len(regexp_split_to_array(trim(ctext), '\s+'))::BIGINT AS n_tok,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
-        |    regexp_split_to_array(trim(ctext), '\s+') AS t
+        |    len(regexp_split_to_array(trim(ctext), '\\s+'))::BIGINT AS n_tok,
+        |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+        |    regexp_split_to_array(trim(ctext), '\\s+') AS t
         |  FROM p),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |    [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1491,12 +1491,12 @@ object Text {
         |    AS surprise
         |FROM sc GROUP BY doc_id""".stripMargin,
     "t23_lm_heldout" ->
-      """WITH d AS (SELECT doc_id,
-        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+      s"""WITH d AS (SELECT doc_id,
+        |    $evalDrawSql
         |      AS is_eval,
-        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |    regexp_split_to_array(trim(text), '\\s+') AS tk
         |  FROM documents
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
         |pos AS (SELECT doc_id, is_eval,
         |    ('0x' || substr(md5(tk[i]), 1, 9))::BIGINT AS u,
         |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 9))::BIGINT AS b
@@ -1567,15 +1567,15 @@ object Text {
         |    AS tok_kept
         |FROM k GROUP BY source""".stripMargin,
     "t13_decontaminate" ->
-      """WITH p AS (SELECT doc_id,
+      s"""WITH p AS (SELECT doc_id,
         |    text || ' canary c' || (doc_id % 25)
         |      || ' alpha beta gamma delta epsilon zeta' AS text,
-        |    ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+        |    $evalDrawSql
         |      AS is_eval
         |  FROM documents),
         |tk AS (SELECT doc_id, is_eval,
-        |    regexp_split_to_array(trim(text), '\s+') AS t FROM p
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+        |    regexp_split_to_array(trim(text), '\\s+') AS t FROM p
+        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8),
         |g AS (SELECT doc_id, is_eval, unnest(list_distinct(
         |    [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |      || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]

@@ -43,7 +43,11 @@ object SessionStore {
   def storedOrBuild(spark: SparkSession, name: String, dir: String,
       pk: Seq[String], partitionCols: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = {
-    val key = s"${name}_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+    // md5 of the full path, not String.hashCode: a 32-bit hash
+    // collision between two fixture dirs in one JVM would silently
+    // serve one corpus's stored table to the other.
+    val key = s"${name}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val path = built.computeIfAbsent(key, _ => {
       val p = s"$root/$key"
       Sink.write(build, p, pk, partitionCols)

@@ -881,24 +881,40 @@ object DocStreams extends Serializable {
     * pair of localCheckpointed frames (corpus, assignment) — lineage
     * truncates per trigger; at deploy both live in a store and the
     * fold is the upsert job. */
-  final class EmbeddingClusterMaintenance(threshold: Double = 0.99) {
-    @volatile private var corpus: Option[DataFrame] = None
+  /** The ONE fold skeleton of the signature-keyed maintenance twins
+    * (embedding d15, media m09): accumulate the per-row signature
+    * frame, size-gate the batch, generate batch-incident edges,
+    * re-contract through [[graft.ext.Dedup.clusterDeltaEdges]], and
+    * retire-and-merge via [[mergeClusterDelta]] — so a fix to the
+    * gate or merge discipline can never land in one family and miss
+    * the other. Subclasses supply only what genuinely differs: the
+    * batch → signature map and the pair source. (The shingle
+    * [[ClusterMaintenance]] stays separate: it re-derives the global
+    * rarest-first order per trigger and folds through
+    * [[graft.ext.Dedup.clusterDelta]], not the edge core.) */
+  sealed abstract class SignatureClusterMaintenance {
+    @volatile private var state: Option[DataFrame] = None
     @volatile private var assignDf: Option[DataFrame] = None
 
-    /** The maintained (vec_id, cluster_id) assignment — None before
-      * the first non-empty trigger. */
-    def assignment: Option[DataFrame] =
-      assignDf.map(_.select(col("doc_id").as("vec_id"), col("cluster_id")))
+    /** Batch rows → the signature frame the pair source consumes
+      * (first column must be the id the assignment keys on). */
+    protected def prep(batchDs: Dataset[org.apache.spark.sql.Row]): DataFrame
 
-    /** Fold one microbatch of (vec_id, v) rows. */
-    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+    /** Batch-incident (doc_a, doc_b) edges over (accumulated, batch). */
+    protected def pairs(all: DataFrame, batch: DataFrame,
+        gate: DataFrame => DataFrame): DataFrame
+
+    /** The maintained raw (doc_id, cluster_id) frame. */
+    protected final def assignRaw: Option[DataFrame] = assignDf
+
+    /** Fold one microbatch. */
+    final def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
       val spark = batchDs.sparkSession
       import spark.implicits._
-      val batch = graft.ops.Subplan.once(
-        batchDs.toDF().select(col("vec_id"), col("v")))
+      val batch = graft.ops.Subplan.once(prep(batchDs))
       if (batch.isEmpty) return
       val all = graft.ops.Subplan.once(
-        corpus.map(_.unionAll(batch)).getOrElse(batch))
+        state.map(_.unionAll(batch)).getOrElse(batch))
       val prev = assignDf.getOrElse(
         Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
       val gate: DataFrame => DataFrame =
@@ -906,13 +922,27 @@ object DocStreams extends Serializable {
           df => broadcast(df)
         else identity
       val delta = graft.ops.Subplan.once(
-        Dedup.clusterDeltaEdges(prev,
-          graft.ext.Similarity.signNearDupPairsBetween(all, batch, gate,
-            threshold),
-          gate))
-      corpus = Some(all)
+        Dedup.clusterDeltaEdges(prev, pairs(all, batch, gate), gate))
+      state = Some(all)
       assignDf = Some(mergeClusterDelta(prev, delta))
     }
+  }
+
+  final class EmbeddingClusterMaintenance(threshold: Double = 0.99)
+      extends SignatureClusterMaintenance {
+
+    /** The maintained (vec_id, cluster_id) assignment — None before
+      * the first non-empty trigger. */
+    def assignment: Option[DataFrame] =
+      assignRaw.map(_.select(col("doc_id").as("vec_id"), col("cluster_id")))
+
+    /** One microbatch of (vec_id, v) rows. */
+    protected def prep(batchDs: Dataset[org.apache.spark.sql.Row]): DataFrame =
+      batchDs.toDF().select(col("vec_id"), col("v"))
+
+    protected def pairs(all: DataFrame, batch: DataFrame,
+        gate: DataFrame => DataFrame): DataFrame =
+      graft.ext.Similarity.signNearDupPairsBetween(all, batch, gate, threshold)
   }
 
   /** Live MEDIA-cluster maintenance — the third member of the
@@ -934,39 +964,28 @@ object DocStreams extends Serializable {
     * store and the fold is the upsert job. StreamingSpec pins
     * convergence: replaying the m06 fixture in draw-cutting
     * microbatches reproduces the full m07-style rebuild exactly. */
-  final class MediaClusterMaintenance(maxHamming: Int = 3) {
-    @volatile private var sigs: Option[DataFrame] = None
-    @volatile private var assignDf: Option[DataFrame] = None
+  final class MediaClusterMaintenance(maxHamming: Int = 3)
+      extends SignatureClusterMaintenance {
 
     /** The maintained (media_id, cluster_id) assignment — None before
       * the first non-empty trigger. */
     def assignment: Option[DataFrame] =
-      assignDf.map(_.select(col("doc_id").as("media_id"), col("cluster_id")))
+      assignRaw.map(_.select(col("doc_id").as("media_id"), col("cluster_id")))
 
-    /** Fold one microbatch of (media_id, ts, kind, payload) rows. */
-    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+    /** One microbatch of (media_id, ts, kind, payload) rows, signed by
+      * the EXACT batch aHash kernel — 2 longs per asset, never the
+      * payloads. */
+    protected def prep(batchDs: Dataset[org.apache.spark.sql.Row]): DataFrame = {
       val spark = batchDs.sparkSession
       import spark.implicits._
-      val batchSigs = graft.ops.Subplan.once(
-        batchDs.filter(col("payload").isNotNull).as[TsMediaRow]
-          .mapPartitions(rows => rows.map(r => (r.media_id,
-            graft.ext.Multimodal.StubDecoders.ahash60Of(r.payload))))
-          .toDF("doc_id", "simhash"))
-      if (batchSigs.isEmpty) return
-      val all = graft.ops.Subplan.once(
-        sigs.map(_.unionAll(batchSigs)).getOrElse(batchSigs))
-      val prev = assignDf.getOrElse(
-        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
-      val gate: DataFrame => DataFrame =
-        if (batchSigs.count() <= Dedup.D14BroadcastMaxRows)
-          df => broadcast(df)
-        else identity
-      val delta = graft.ops.Subplan.once(
-        Dedup.clusterDeltaEdges(prev,
-          Dedup.simhashPairsBetween(all, batchSigs, maxHamming, gate),
-          gate))
-      sigs = Some(all)
-      assignDf = Some(mergeClusterDelta(prev, delta))
+      batchDs.filter(col("payload").isNotNull).as[TsMediaRow]
+        .mapPartitions(rows => rows.map(r => (r.media_id,
+          graft.ext.Multimodal.StubDecoders.ahash60Of(r.payload))))
+        .toDF("doc_id", "simhash")
     }
+
+    protected def pairs(all: DataFrame, batch: DataFrame,
+        gate: DataFrame => DataFrame): DataFrame =
+      Dedup.simhashPairsBetween(all, batch, maxHamming, gate)
   }
 }

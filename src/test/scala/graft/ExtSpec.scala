@@ -886,8 +886,15 @@ class ExtSpec extends AnyFunSuite {
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
     val registered = SparkEntry.queries("t27_epoch_shard")(spark, sf)
     // the registered width (2^28 over the 2^32 draw space) must
-    // genuinely exercise the two-level path: multiple buckets per run
-    assert(registered.select(expr("pos")).count() > 0)
+    // genuinely exercise the two-level path: multiple draw-key buckets
+    // must actually populate, or a width regression could silently
+    // collapse the decomposition to the one-window plan
+    val nBuckets = fr
+      .select(expr("(conv(substring(md5(concat(cast(doc_id as string), " +
+        "':ep1')), 1, 8), 16, 10) div 268435456) as bkt"))
+      .distinct().count()
+    assert(nBuckets > 1,
+      s"fixture must span multiple 2^28 buckets, got $nBuckets")
     def rows(w: Long) = ext.Text.epochShard(fr, bucketWidth = w)
       .collect().map(_.toSeq).toSet
     val wide = rows(1L << 40) // degenerate: one bucket = one-window plan
