@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -149,6 +150,23 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** The m05/m10 energy track — ONE kernel invocation (64-byte
+    * frames, exact integer per-frame energy) for the registered
+    * energy query and the shot-cut query built on it, so the cuts can
+    * never drift from the energies they threshold. */
+  private[graft] def frameEnergyRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(StubDecoders.frameEnergy(64))
+      .toDF("media_id", "frame", "n_samples", "energy")
+  }
+
+  /** m10's cut threshold on the PER-SAMPLE energy delta (byte² units;
+    * measured at sf0.01: median per-sample delta ~274, p90 ~686 — 500
+    * yields 432 cuts over 264 of 500 payloads, a real shot
+    * structure). Compared cross-multiplied so the flag is exact
+    * int64. */
+  private val ShotCutThreshold = 500L
+
   /** The real decode path: typed mapPartitions over the payload column. */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
@@ -231,10 +249,40 @@ object Multimodal {
     // per-frame sum of squared bytes — exact integer math (all-ASCII
     // corpus ⇒ byte values == code points), emitted one row per frame
     // so no array cells reach the row-sorting harness.
-    "m05_frame_energy" -> ((s, dir) => {
-      import s.implicits._
-      mediaTable(s, dir).mapPartitions(StubDecoders.frameEnergy(64))
-        .toDF("media_id", "frame", "n_samples", "energy")
+    "m05_frame_energy" -> ((s, dir) => frameEnergyRows(s, dir)),
+
+    // Shot-cut detection over the m05 energy track — the video
+    // segmentation step a frame-sampling pipeline runs before choosing
+    // which frames to keep (sample per SHOT, not per fixed stride):
+    // a cut falls between consecutive frames whose PER-SAMPLE energy
+    // changes by more than [[ShotCutThreshold]]; shot id = running
+    // count of cuts; shots roll up to (start, end, frames, energy).
+    // The per-sample normalization is cross-multiplied —
+    // |e·nₚ − eₚ·n| > T·n·nₚ — so the comparison is exact int64 (a
+    // division would make the cut flag float-sensitive, and the raw
+    // delta would fire spuriously on every short final frame). Rides
+    // the SAME [[frameEnergyRows]] kernel as m05 — the cuts can never
+    // drift from the registered energy track. Plan: per-media lag +
+    // running-sum windows (the e04 sessionize discipline — key count
+    // scales, per-key frame counts stay bounded by payload size), then
+    // one partial-aggregating roll-up on (media, shot).
+    "m10_scene_shots" -> ((s, dir) => {
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+      val cuts = frameEnergyRows(s, dir)
+        .withColumn("pe", lag(col("energy"), 1).over(w))
+        .withColumn("pn", lag(col("n_samples"), 1).over(w))
+        .withColumn("cut", when(col("pe").isNotNull &&
+          abs(col("energy") * col("pn") - col("pe") * col("n_samples")) >
+            lit(ShotCutThreshold) * col("n_samples") * col("pn"),
+          lit(1L)).otherwise(lit(0L)))
+        .withColumn("shot", sum(col("cut"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      cuts.groupBy(col("media_id"), col("shot"))
+        .agg(min(col("frame")).as("start_frame"),
+          max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("shot_energy"))
     }),
 
     // Media near-dup — perceptual-hash dedup, the image-pipeline
@@ -431,6 +479,25 @@ object Multimodal {
       |      AS simhash
       |  FROM cells)""".stripMargin
 
+  /** The m05 energy track as a CTE chain ending in
+    * `en`(media_id, frame, n_samples, energy) — ONE SQL statement of
+    * the frame-energy kernel shared by the m05 and m10 oracles, so
+    * the shot cuts are checked against the same energies the energy
+    * query registers. */
+  private val frameEnergyCte =
+    """d AS (SELECT doc_id, text,
+      |    octet_length(encode(text))::BIGINT AS n FROM documents
+      |  WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, text, n, u.frame
+      |  FROM d, unnest(generate_series(0, ((n + 63) // 64) - 1)) u(frame)),
+      |en AS (SELECT doc_id AS media_id, CAST(frame AS INTEGER) AS frame,
+      |  CAST(LEAST(64, n - frame * 64) AS INTEGER) AS n_samples,
+      |  CAST(list_sum([ascii(substring(text, (frame * 64 + i)::INT, 1))
+      |      * ascii(substring(text, (frame * 64 + i)::INT, 1))
+      |    for i in generate_series(1, LEAST(64, n - frame * 64)::INT)])
+      |    AS BIGINT) AS energy
+      |FROM f)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m01_binary_stats" ->
       """SELECT doc_id,
@@ -490,18 +557,28 @@ object Multimodal {
     // States StubDecoders.frameEnergy(64) exactly: frames of 64 bytes
     // (last short), energy = sum of squared byte values.
     "m05_frame_energy" ->
-      """WITH d AS (SELECT doc_id, text,
-        |    octet_length(encode(text))::BIGINT AS n FROM documents
-        |  WHERE octet_length(encode(text)) > 0),
-        |f AS (SELECT doc_id, text, n, u.frame
-        |  FROM d, unnest(generate_series(0, ((n + 63) // 64) - 1)) u(frame))
-        |SELECT doc_id AS media_id, CAST(frame AS INTEGER) AS frame,
-        |  CAST(LEAST(64, n - frame * 64) AS INTEGER) AS n_samples,
-        |  CAST(list_sum([ascii(substring(text, (frame * 64 + i)::INT, 1))
-        |      * ascii(substring(text, (frame * 64 + i)::INT, 1))
-        |    for i in generate_series(1, LEAST(64, n - frame * 64)::INT)])
-        |    AS BIGINT) AS energy
-        |FROM f""".stripMargin,
+      s"""WITH $frameEnergyCte
+        |SELECT media_id, frame, n_samples, energy FROM en""".stripMargin,
+    // The shot roll-up over the SAME energy CTE (one statement of the
+    // kernel for both oracles): per-media lag, the cross-multiplied
+    // exact-integer cut flag, running cut count = shot id, roll up.
+    "m10_scene_shots" ->
+      s"""WITH $frameEnergyCte,
+        |lg AS (SELECT media_id, frame, n_samples, energy,
+        |    lag(energy) OVER w AS pe, lag(n_samples) OVER w AS pn
+        |  FROM en WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
+        |ct AS (SELECT media_id, frame, energy,
+        |    SUM(CASE WHEN pe IS NOT NULL
+        |          AND abs(energy * pn - pe * n_samples)
+        |            > $ShotCutThreshold * n_samples * pn
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY media_id ORDER BY frame
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM lg)
+        |SELECT media_id, CAST(shot AS INTEGER) AS shot,
+        |  MIN(frame) AS start_frame, MAX(frame) AS end_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy) AS BIGINT) AS shot_energy
+        |FROM ct GROUP BY media_id, shot""".stripMargin,
     // States StubDecoders.ahash60 exactly: 60 byte-range cells,
     // truncating means, bit i iff cell_i*60 > sum(cells); pairs are
     // the exhaustive all-pairs bit_count filter (banding must lose

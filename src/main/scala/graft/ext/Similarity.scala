@@ -463,9 +463,10 @@ object Similarity {
     // 0.125), so 0.125-wide cells give ~9 populated values per axis;
     // division by a power of two and floor are both single
     // correctly-rounded IEEE ops, so cell ids — and therefore the
-    // CANDIDATE SET — hash-match DuckDB exactly (the determinism
-    // KMeans centroids can never give; the trained-quantizer variant
-    // lives in ext.demo.MlAnn with no correctness row). Probe = the
+    // CANDIDATE SET — hash-match DuckDB exactly with no training at
+    // all (s13 is the TRAINED quantizer, made just as deterministic
+    // by exact-integer Lloyd iterations; the float spark.ml variant
+    // stays in ext.demo.MlAnn with no correctness row). Probe = the
     // 3×3 neighbor cells: each query explodes to 9 (c1, c2) keys and
     // equi-joins the postings — at 100 TB the corpus shuffles ONCE on
     // cell id at build time, probes replicate 9× (tiny side), and
@@ -536,6 +537,24 @@ object Similarity {
           cosine(col("qv"), col("v")).as("cos_sim"))
       topK(scored, col("qid"), 5)
     }),
+
+    // IVF with a LEARNED coarse quantizer — exact-integer k-means
+    // under the FULL cross-engine hash check (see the kmAssign block
+    // comment for why determinism holds: fixed-point ⌊v·2²⁰⌋ lattice
+    // coordinates, exact int64 distances, truncating-division centroid
+    // means). This closes the gap the grid family documents ("the
+    // determinism KMeans centroids can never give"): the trained
+    // quantizer IS oracle-checkable once Lloyd's iteration is integer.
+    // Topology: training = [[KmIters]] broadcast-assign (pure map over
+    // the corpus — the corpus never shuffles) + partial-agg update
+    // (≤ K rows/task cross the wire) rounds, the spark.ml
+    // treeAggregate shape restated as column algebra; index build =
+    // one more assign; probe = each query's 2 nearest cells equi-join
+    // the cell-keyed postings, exact-cosine bounded-heap top-5 (the
+    // s08 probe). K is the scale knob (K ~ √N keeps per-cell postings
+    // bounded); the landed/partition-pruned storage form is s12's,
+    // unchanged — only the quantizer is learned here.
+    "s13_ivf_kmeans" -> ((s, dir) => kmeansIvfQuery(s, dir)),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
@@ -726,6 +745,153 @@ object Similarity {
       radii: Seq[Int]): Long =
     gridScored(all, radii).count()
 
+  // ---------------------------------------------------------------
+  // s13: IVF with a LEARNED coarse quantizer — exact-integer k-means.
+  //
+  // The grid quantizer (s08/s10/s11) is oracle-exact because cell
+  // assignment is a single correctly-rounded IEEE op per axis — but it
+  // only indexes well when coordinates are individually informative
+  // (~N(0, 1/64) axes). A LEARNED quantizer adapts its cells to the
+  // data, and the standard objection (float centroid means make the
+  // fit nondeterministic across engines — the reason the earlier
+  // rounds kept the trained variant in ext.demo.MlAnn with no
+  // correctness row) dissolves once Lloyd's iteration is stated in
+  // exact integer arithmetic:
+  //
+  //   * coordinates are fixed-point longs: x = ⌊v·2²⁰⌋ — multiplying
+  //     a double by a power of two is exact (exponent shift) and floor
+  //     is exactly specified, so every engine derives the SAME lattice
+  //     point (the s08 gridCell argument, applied per dimension);
+  //   * distances are exact int64 sums of squared differences
+  //     (|x−m| ≤ 2²¹ ⇒ Σ over 64 dims ≤ 2⁴⁸ — no overflow, no
+  //     rounding, no accumulation-order dependence);
+  //   * centroid updates are exact integer sums + ONE truncating
+  //     division on a non-negative-shifted numerator:
+  //     m = (Σx + 2²⁰·n) div n − 2²⁰ (Spark `div` and DuckDB `//`
+  //     both truncate toward zero; the shift makes truncation = floor
+  //     in both), so iteration k's centroids — and therefore every
+  //     assignment, posting list, and candidate set — are
+  //     bit-identical across engines.
+  //
+  // The learn/apply split mirrors the reference's train-then-apply
+  // discipline (randomforest.py:42-81 trains a model that :90-103
+  // applies to new chips): kmeansCentroids is the training loop,
+  // kmAssign the apply — ONE assignment definition shared by the
+  // training iterations, the posting build, and (transposed) the
+  // probe, so learn and apply can never disagree.
+  // ---------------------------------------------------------------
+
+  /** k-means knobs: K centroids, fixed Lloyd iterations, probes per
+    * query. K is the scale knob (real IVF sizes K ~ √N so per-cell
+    * postings stay bounded); iterations are fixed so the oracle can
+    * unroll them. */
+  private[graft] val KmK = 8
+  private[graft] val KmIters = 3
+  private val KmNProbe = 2
+  private val KmShift = 1048576L // 2^20
+
+  /** Fixed-point lattice coordinates: ⌊vᵢ·2²⁰⌋ per dimension — exact
+    * in every engine (power-of-two scale + floor). */
+  private[graft] def fixedPoint(v: Column): Column =
+    transform(v, e => floor(e * lit(1048576.0)).cast("long"))
+
+  /** Exact int64 squared distance between two array<long> lattice
+    * points. */
+  private def kmDist(x: Column, m: Column): Column =
+    aggregate(zip_with(x, m, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** THE assignment: each vector's nearest centroid (ties → lowest
+    * cid). The K-row centroid table collapses to ONE broadcast row
+    * holding the cid-sorted centroid array, and assignment is a pure
+    * map — an argmin fold over the array per corpus row. The corpus
+    * NEVER shuffles: per Lloyd iteration the only exchange is the
+    * partial-agged (cid, 64 sums) update frame (≤ K rows/task). */
+  private[graft] def kmAssign(fx: DataFrame, cents: DataFrame): DataFrame = {
+    val one = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("m")))).as("cents"))
+      .withColumn("one", graft.ops.ConstKey.one(size(col("cents"))))
+    fx.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(one), "one")
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
+        (acc, c) => {
+          val d = kmDist(col("x"), c.getField("m"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"), col("x"), col("best.cid").as("cid"))
+  }
+
+  /** One Lloyd update: per-centroid exact integer coordinate sums
+    * (64 partial-aggregating column sums — the shuffle carries ≤ K
+    * rows per task), then the truncating-division mean; a centroid
+    * that lost every member keeps its previous position (the
+    * deterministic empty-cluster rule, stated identically in the
+    * oracle's LEFT JOIN + COALESCE). */
+  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("cnt"),
+        (1 to 64).map(i => sum(element_at(col("x"), i)).as(s"s$i")): _*)
+    val mNew = sums.select(col("cid"), array((1 to 64).map(i =>
+      expr(s"((s$i + $KmShift * cnt) div cnt) - $KmShift")): _*).as("mn"))
+    prev.select(col("cid"), col("m").as("pm"))
+      .join(mNew, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mn"), col("pm")).as("m"))
+  }
+
+  /** The training loop: seeds = the K corpus vectors with the
+    * smallest md5(vec_id‖':seed') draws (cid = draw rank — a
+    * bounded-heap global top-K, the e10 discipline, so seeding needs
+    * no global sort), then [[KmIters]] exact Lloyd iterations.
+    * Subplan.once pins each iteration's K-row centroid table so the
+    * composed plan stays flat (the t24 round-frontier discipline). */
+  private[graft] def kmeansCentroids(fx: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":seed"))), 1, 8), 16, 10).cast("long")
+    val seedIds = fx.select(col("vec_id"), draw.as("draw"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("draw")).as("nd"), (-col("vec_id")).as("nv"),
+          col("vec_id")), KmK).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("pos").cast("int").as("cid"), col("col.vec_id").as("vec_id"))
+    var cents = graft.ops.Subplan.once(
+      fx.join(broadcast(seedIds), Seq("vec_id"))
+        .select(col("cid"), col("x").as("m")))
+    for (_ <- 1 to KmIters)
+      cents = graft.ops.Subplan.once(kmUpdate(kmAssign(fx, cents), cents))
+    cents
+  }
+
+  /** The registered s13 body: train the quantizer, build the posting
+    * lists (one more [[kmAssign]] — the index build), probe each
+    * query's [[KmNProbe]] nearest cells, rank candidates by exact
+    * cosine (the s08 probe topology: postings equi-join a broadcast
+    * probe frame, bounded-heap top-5). */
+  private def kmeansIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
+    val probes = fx.filter(col("vec_id") < 10)
+      .withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(cents.withColumn("one",
+        graft.ops.ConstKey.one(col("cid")))), "one")
+      .withColumn("dist", kmDist(col("x"), col("m")))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("dist")).as("nd"), (-col("cid")).as("nc"), col("cid")),
+        KmNProbe).as("top"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(col("top")).as("t"))
+      .select(col("qid"), col("qv"), col("t.cid").as("cid"))
+    val scored = post.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    topK(scored, col("qid"), 5)
+  }
+
   /** s03's block-grid width: the corpus splits into B = 32 blocks
     * (block = vec_id mod B), each probe vector is replicated to all B
     * blocks, and the exact NN-1 join runs as B co-partitioned
@@ -822,6 +988,66 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM rk WHERE rk <= 5""".stripMargin
+  }
+
+  /** The s13 oracle: the exact-integer Lloyd loop unrolled to
+    * [[KmIters]] CTE rounds — every arithmetic step (fixed-point
+    * floor, int64 squared distance, truncating-division mean with the
+    * 2²⁰ non-negative shift, LEFT JOIN + COALESCE empty-cluster rule)
+    * restated in the SAME integer semantics the Spark body computes,
+    * so centroids, postings, probe cells, and the final top-5 all
+    * hash-match. DuckDB `//` truncates toward zero exactly like Spark
+    * `div`; the shifted numerator is non-negative, so truncation =
+    * floor in both engines. */
+  private def kmeansOracleSql: String = {
+    def dist(x: String, m: String): String =
+      s"list_sum([($x[i] - $m[i]) * ($x[i] - $m[i]) for i in generate_series(1, 64)])"
+    val rounds = (1 to KmIters).map { it =>
+      val p = it - 1
+      s"""asg$it AS (SELECT vec_id, x, cid FROM (
+         |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
+         |  FROM fx s, cent$p c) WHERE rn = 1),
+         |cent$it AS (SELECT p.cid, COALESCE(n.m, p.m) AS m FROM cent$p p
+         |  LEFT JOIN (SELECT cid, list(mi ORDER BY i) AS m FROM (
+         |    SELECT cid, u.i,
+         |      CAST((SUM(x[u.i]) + $KmShift * COUNT(*)) // COUNT(*) - $KmShift
+         |        AS BIGINT) AS mi
+         |    FROM asg$it, unnest(generate_series(1, 64)) u(i)
+         |    GROUP BY cid, u.i) GROUP BY cid) n
+         |  ON n.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |fx AS (SELECT vec_id, v,
+       |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+       |     for i in generate_series(1, 64)] AS x
+       |  FROM e),
+       |cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, x AS m FROM (
+       |  SELECT x, ROW_NUMBER() OVER (ORDER BY
+       |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
+       |  FROM fx) WHERE rn <= $KmK),
+       |$rounds,
+       |post AS (SELECT vec_id, cid FROM (
+       |  SELECT s.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
+       |  FROM fx s, cent$KmIters c) WHERE rn = 1),
+       |pr AS (SELECT qid, cid FROM (
+       |  SELECT s.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
+       |  FROM fx s, cent$KmIters c WHERE s.vec_id < 10) WHERE rn <= 2),
+       |cand AS (SELECT p.qid, g.vec_id AS nn_id
+       |  FROM pr p JOIN post g ON g.cid = p.cid WHERE g.vec_id <> p.qid),
+       |scored AS (SELECT c.qid, c.nn_id,
+       |    list_dot_product(qe.v, ge.v)
+       |      / (sqrt(list_dot_product(qe.v, qe.v))
+       |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+       |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+       |  JOIN e ge ON ge.vec_id = c.nn_id),
+       |rnk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+       |  FROM scored)
+       |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM rnk WHERE rk <= 5""".stripMargin
   }
 
   private val cosSql =
@@ -1054,6 +1280,7 @@ object Similarity {
     // same 9 cells — one oracle text states both (the storage topology
     // is not oracle-visible; the partition-pruned plan is PlanSpec's).
     "s12_ivf_grid_stored" -> ivfGridOracleSql(Seq(1, 1)),
+    "s13_ivf_kmeans" -> kmeansOracleSql,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

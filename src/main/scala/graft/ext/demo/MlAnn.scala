@@ -14,9 +14,11 @@ import graft.ext.Similarity
   * corpus handling, NOT as part of the graded query surface. The
   * oracle-checked ANN paths are: s01 (brute force), s02 (IVF probe
   * topology), s05 (sign-band blocked NN-1), s07 (quantized rerank),
-  * and s08 (integer-grid IVF — the deterministic coarse-quantizer
-  * build these demos approximate with trained state). Specs exercise
-  * the demos' internal invariants only (BucketSpec, ExtSpec).
+  * s08/s10/s11/s12 (integer-grid IVF), and s13 — the trained
+  * k-means quantizer these demos approximate, made oracle-checkable
+  * by restating Lloyd's iteration in exact integer arithmetic (see
+  * Similarity.kmAssign). Specs exercise the demos' internal
+  * invariants only (BucketSpec, ExtSpec).
   */
 object MlAnn {
 

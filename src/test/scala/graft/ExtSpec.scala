@@ -1102,6 +1102,118 @@ class ExtSpec extends AnyFunSuite {
     assert(want.exists(_._3 < 64), "a short last frame must exist")
   }
 
+  test("s13 exact-integer k-means: a JVM Lloyd recompute reproduces the " +
+      "centroids bit-for-bit, and the query is the probed cells' exact top-5") {
+    // Full independent JVM replay of the training loop — fixed-point
+    // lattice, exact int64 distances, truncating-division means, the
+    // empty-cluster keep rule — the t27 one-window-recompute
+    // discipline applied to the trained quantizer.
+    val raw = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    val fx = raw.map { case (id, v) =>
+      id -> v.map(e => math.floor(e * 1048576.0).toLong)
+    }
+    val k = ext.Similarity.KmK
+    val seeds = fx.keys.toSeq
+      .sortBy(id => (java.lang.Long.parseLong(md5hex(s"$id:seed").take(8), 16), id))
+      .take(k)
+    var cents: Map[Int, Array[Long]] =
+      seeds.zipWithIndex.map { case (id, i) => i -> fx(id) }.toMap
+    def dist(x: Array[Long], m: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < x.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+      d
+    }
+    def assign(): Map[Long, Int] = fx.map { case (id, x) =>
+      id -> (0 until k).minBy(c => (dist(x, cents(c)), c))
+    }
+    for (_ <- 1 to ext.Similarity.KmIters) {
+      val asg = assign()
+      cents = (0 until k).map { c =>
+        val members = asg.collect { case (id, `c`) => fx(id) }.toSeq
+        if (members.isEmpty) c -> cents(c)
+        else {
+          val n = members.size.toLong
+          c -> Array.tabulate(64) { i =>
+            val s = members.map(_(i)).sum
+            (s + 1048576L * n) / n - 1048576L
+          }
+        }
+      }.toMap
+    }
+    val fxDf = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), ext.Similarity.fixedPoint(col("v")).as("x"))
+    val gotCents = ext.Similarity.kmeansCentroids(fxDf).collect()
+      .map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Long]]("m").toArray).toMap
+    assert(gotCents.keySet == cents.keySet)
+    cents.foreach { case (c, m) =>
+      assert(gotCents(c).sameElements(m), s"centroid $c drifted from the JVM replay")
+    }
+    // Postings partition the corpus; every cell is populated here.
+    val asg = assign()
+    assert(asg.size == raw.size)
+    assert(asg.values.toSet == (0 until k).toSet, "this fixture fills every cell")
+    // The registered query = exact top-5 over the 2 nearest cells'
+    // postings (recomputed from the replayed quantizer).
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = SparkEntry.queries("s13_ivf_kmeans")(spark, sf).collect()
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, g) =>
+      val probed = (0 until k)
+        .sortBy(c => (dist(fx(qid), cents(c)), c)).take(2).toSet
+      val want = asg.collect {
+        case (id, cell) if id != qid && probed(cell) => (id, cos(raw(id), raw(qid)))
+      }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotIds = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("nn_id")).toSeq
+      assert(gotIds == want, s"qid=$qid: $gotIds != $want")
+    }
+  }
+
+  test("m10 scene shots partition the m05 energy track and match a " +
+      "JVM cut recompute") {
+    val en = SparkEntry.queries("m05_frame_energy")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame"),
+        r.getAs[Int]("n_samples"), r.getAs[Long]("energy")))
+    // JVM replay: cross-multiplied per-sample delta > 500, running cuts.
+    val want = en.groupBy(_._1).flatMap { case (id, fr) =>
+      val s = fr.sortBy(_._2)
+      var shot = 0
+      val tagged = s.zipWithIndex.map { case ((_, frame, n, e), i) =>
+        if (i > 0) {
+          val (_, _, pn, pe) = s(i - 1)
+          if (math.abs(e * pn.toLong - pe * n.toLong) > 500L * n * pn) shot += 1
+        }
+        (frame, n, e, shot)
+      }
+      tagged.groupBy(_._4).map { case (sh, g) =>
+        (id, sh, g.map(_._1).min, g.map(_._1).max, g.size.toLong,
+          g.map(_._3).sum)
+      }
+    }.toSet
+    val got = SparkEntry.queries("m10_scene_shots")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("shot"),
+        r.getAs[Int]("start_frame"), r.getAs[Int]("end_frame"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("shot_energy"))).toSet
+    assert(got == want)
+    // Shots are contiguous frame ranges that tile each media's track.
+    got.groupBy(_._1).foreach { case (id, shots) =>
+      val s = shots.toSeq.sortBy(_._2)
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._3 == a._4 + 1, s"media $id: shot ${b._2} not contiguous")
+      }
+      val frames = en.filter(_._1 == id).map(_._2)
+      assert(s.head._3 == frames.min && s.last._4 == frames.max)
+    }
+    assert(got.exists(_._2 > 0), "multi-shot payloads must exist")
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
