@@ -556,6 +556,25 @@ object Similarity {
     // unchanged — only the quantizer is learned here.
     "s13_ivf_kmeans" -> ((s, dir) => kmeansIvfQuery(s, dir)),
 
+    // Product quantization + asymmetric-distance top-k — the
+    // memory-bound ANN path at its limit: 8 × 4-bit codes per vector
+    // (32× smaller than float32 — at 100 TB the difference between an
+    // ANN corpus resident in executor memory and one paged off disk),
+    // scored WITHOUT reconstruction by summing 8 precomputed
+    // query-to-centroid integer subdistances (see the pqEncode block
+    // comment; codebooks trained by the s13 exact-integer Lloyd
+    // machinery grouped by subspace, so the whole path — training,
+    // codes, tables, ranks — hash-matches the unrolled oracle).
+    // Topology: the corpus NEVER shuffles — training assigns all 8
+    // subspace codes in one projection against a one-row broadcast
+    // codebook and exchanges only ≤ 128 partial-agged update rows per
+    // task; encoding is the same map (deployment stores the codes);
+    // scoring is the s01 ConstKey broadcast of 10 table rows + a
+    // map-side zip-fold + bounded-heap top-5. ADC ranks approximate
+    // cosine ranks (quantization error) — the oracle checks the SAME
+    // quantized semantics exactly, s07's discipline.
+    "s14_pq_adc" -> ((s, dir) => pqAdcQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -796,10 +815,11 @@ object Similarity {
     transform(v, e => floor(e * lit(1048576.0)).cast("long"))
 
   /** Exact int64 squared distance between two array<long> lattice
-    * points. */
+    * points — the fused native expression (bit-identical to the
+    * `aggregate(zip_with(...))` fold: long addition is exact and
+    * associative, so there is no accumulation order to preserve). */
   private def kmDist(x: Column, m: Column): Column =
-    aggregate(zip_with(x, m, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, z) => acc + z)
+    graft.functions.SqDistLong.sqDist(x, m)
 
   /** THE assignment: each vector's nearest centroid (ties → lowest
     * cid). The K-row centroid table collapses to ONE broadcast row
@@ -813,14 +833,13 @@ object Similarity {
       .withColumn("one", graft.ops.ConstKey.one(size(col("cents"))))
     fx.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(one), "one")
-      .withColumn("best", aggregate(col("cents"),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
-        (acc, c) => {
-          val d = kmDist(col("x"), c.getField("m"))
-          when(d < acc.getField("d"),
-            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-        }))
-      .select(col("vec_id"), col("v"), col("x"), col("best.cid").as("cid"))
+      // nearest_id IS the argmin-with-lowest-cid-tie-break fold as one
+      // native whole-stage-codegen'd expression — the interpreted
+      // aggregate/least/zip_with form paid per-centroid lambda +
+      // allocation overhead per row (a measured ~1.5× of s13's sf1
+      // soak wall).
+      .select(col("vec_id"), col("v"), col("x"),
+        graft.functions.NearestId.nearest(col("x"), col("cents")).as("cid"))
   }
 
   /** One Lloyd update: per-centroid exact integer coordinate sums
@@ -890,6 +909,148 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
     topK(scored, col("qid"), 5)
+  }
+
+  // ---------------------------------------------------------------
+  // s14: product quantization + asymmetric-distance (ADC) top-k —
+  // the memory-bound ANN path taken to its limit. s06/s07 shrink the
+  // resident corpus 4× (int8 codes); PQ shrinks it 32×: each 64-d
+  // vector becomes 8 four-bit codes (one per 8-dim SUBSPACE, 16
+  // learned centroids each — Jégou/Douze/Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011), and a
+  // query scores a candidate WITHOUT reconstructing it: ADC = the sum
+  // of 8 precomputed query-to-centroid subdistances looked up by the
+  // candidate's codes. The codebooks are trained by the SAME
+  // exact-integer Lloyd machinery as s13 — grouped by subspace — so
+  // training, codes, lookup tables, and the final ranks all
+  // hash-match the unrolled DuckDB restatement.
+  //
+  // The corpus frame stays ONE ROW PER VECTOR throughout: subvectors
+  // are an array-of-arrays column, all 8 codes compute in a single
+  // projection (a fold nested in zip_with), and the only long-form
+  // explode feeds the partial-aggregated Lloyd update directly. The
+  // first cut kept an exploded (vector, subspace) frame through every
+  // join and paid interpreted-projection row overhead 8× — a measured
+  // 6.4× wall ratio on the 4× sf1 soak; this shape is ~corpus-linear.
+  // Encoding is therefore MAP-ONLY — the corpus never shuffles at
+  // all, training or encoding (the update exchange carries ≤ 128
+  // partial-agged rows per task).
+  // ---------------------------------------------------------------
+
+  /** PQ knobs: 8 subspaces × 8 dims, 16 centroids per subspace
+    * (codes = 8 × 4 bits = 64 bits/vector), 2 Lloyd rounds. */
+  private val PqSubs = 8
+  private val PqSubDim = 8
+  private[graft] val PqK = 16
+  private[graft] val PqIters = 2
+
+  /** The subspace view of the fixed-point lattice: [PqSubs] arrays of
+    * [PqSubDim] coordinates, one column — no row explosion. */
+  private def pqSubArr: Column =
+    array((0 until PqSubs).map(s =>
+      slice(col("x"), s * PqSubDim + 1, PqSubDim)): _*)
+
+  /** The whole codebook as ONE broadcast row: ctab[sub][cid] = the
+    * centroid lattice point — sub-sorted outer, cid-sorted inner, so
+    * positional indexing IS (sub, cid) lookup. */
+  private def pqCentTab(cents: DataFrame): DataFrame =
+    cents.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("m")))).as("cents"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+        t => t.getField("cents")).as("ctab"))
+      .withColumn("one", graft.ops.ConstKey.one(size(col("ctab"))))
+
+  /** THE encoder: every subspace's nearest-centroid code (ties →
+    * lowest cid) in one projection — [[kmAssign]]'s least() argmin
+    * fold, nested inside a zip of (subvectors, codebook). Pure map;
+    * shared by the training rounds, the index build, and (with the
+    * fold swapped for a distance transform) the query tables, so
+    * learn and apply cannot disagree. */
+  private def pqEncode(fxs: DataFrame, cents: DataFrame): DataFrame =
+    fxs.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(pqCentTab(cents)), "one")
+      .select(col("vec_id"), col("subs"),
+        zip_with(col("subs"), col("ctab"), (xs, cl) =>
+          graft.functions.NearestId.nearest(xs, cl)).as("codes"))
+
+  /** Grouped Lloyd update over (sub, cid) — the s13 exact-integer
+    * update with the subspace in the key (and [[PqSubDim]] sums per
+    * group); empty cells keep their previous centroid. The explode to
+    * (sub, cid, xs) rows exists ONLY here, feeding the partial agg
+    * directly (generator → hash-agg, no joins on the long form). */
+  private def pqUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val long = assigned
+      .select(col("vec_id"), posexplode(arrays_zip(col("codes"), col("subs"))))
+      .select(col("pos").cast("int").as("sub"),
+        col("col.codes").as("cid"), col("col.subs").as("xs"))
+    val sums = long.groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("cnt"),
+        (1 to PqSubDim).map(i => sum(element_at(col("xs"), i)).as(s"s$i")): _*)
+    val mNew = sums.select(col("sub"), col("cid"),
+      array((1 to PqSubDim).map(i =>
+        expr(s"((s$i + $KmShift * cnt) div cnt) - $KmShift")): _*).as("mn"))
+    prev.select(col("sub"), col("cid"), col("m").as("pm"))
+      .join(mNew, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), coalesce(col("mn"), col("pm")).as("m"))
+  }
+
+  /** PQ codebook training: the [[KmK]]-style md5-draw seeding (one
+    * bounded-heap top-[[PqK]] — the same seed vectors serve every
+    * subspace) + [[PqIters]] grouped exact Lloyd rounds. */
+  private[graft] def pqCodebooks(fxs: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":seed"))), 1, 8), 16, 10).cast("long")
+    val seedIds = fxs.select(col("vec_id"), draw.as("draw"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("draw")).as("nd"), (-col("vec_id")).as("nv"),
+          col("vec_id")), PqK).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("pos").cast("int").as("cid"), col("col.vec_id").as("vec_id"))
+    var cents = graft.ops.Subplan.once(
+      fxs.join(broadcast(seedIds), Seq("vec_id"))
+        .select(col("cid"), posexplode(col("subs")))
+        .select(col("pos").cast("int").as("sub"), col("cid"),
+          col("col").as("m")))
+    for (_ <- 1 to PqIters)
+      cents = graft.ops.Subplan.once(pqUpdate(pqEncode(fxs, cents), cents))
+    cents
+  }
+
+  /** The registered s14 body: train codebooks, encode the corpus
+    * (map-only — in deployment the 8-byte codes are the stored
+    * table), build each query's [PqSubs][PqK] integer lookup table
+    * (one projection on 10 rows), and score by ADC as a pure map
+    * (code array zipped against the broadcast table — exact int64
+    * sums), bounded-heap top-5 ascending. */
+  private def pqAdcQuery(s: SparkSession, dir: String): DataFrame = {
+    val fxs = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), fixedPoint(col("v")).as("x"))
+        .select(col("vec_id"), pqSubArr.as("subs")))
+    val cents = pqCodebooks(fxs)
+    val codes = pqEncode(fxs, cents).select(col("vec_id"), col("codes"))
+    // Query-side subdistance tables: the codebook row is cid-sorted
+    // per sub, so a distance transform indexes dists by cid.
+    val qtab = fxs.filter(col("vec_id") < 10)
+      .withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(pqCentTab(cents)), "one")
+      .select(col("vec_id").as("qid"),
+        zip_with(col("subs"), col("ctab"), (xs, cl) =>
+          transform(cl, c => kmDist(xs, c.getField("m")))).as("qt"))
+      .withColumn("one", graft.ops.ConstKey.one(col("qid")))
+    val scored = codes.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(qtab), "one")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        aggregate(zip_with(col("codes"), col("qt"),
+          (c, d) => element_at(d, c + 1)), lit(0L), (acc, z) => acc + z)
+          .as("adc"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
+          col("nn_id"), col("adc")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.nn_id").as("nn_id"),
+        col("col.adc").as("adc"), (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
@@ -1047,6 +1208,67 @@ object Similarity {
        |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
        |  FROM scored)
        |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+       |FROM rnk WHERE rk <= 5""".stripMargin
+  }
+
+  /** The s14 oracle: the grouped exact-integer Lloyd loop unrolled to
+    * [[PqIters]] CTE rounds over (sub, cid) keys, then the relational
+    * statement of ADC — SUM of the matching (sub, cid) subdistances
+    * per (query, candidate), which equals the Spark side's code-array
+    * zip-fold because every (vector, sub) has exactly one code and
+    * every (query, sub, cid) one table entry. Same integer-semantics
+    * contract as [[kmeansOracleSql]]. */
+  private def pqAdcOracleSql: String = {
+    def dist(xs: String, m: String): String =
+      s"list_sum([($xs[i] - $m[i]) * ($xs[i] - $m[i]) for i in generate_series(1, $PqSubDim)])"
+    val rounds = (1 to PqIters).map { it =>
+      val p = it - 1
+      s"""asg$it AS (SELECT vec_id, sub, xs, cid FROM (
+         |  SELECT s.vec_id, s.sub, s.xs, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+         |      ORDER BY ${dist("s.xs", "c.m")}, c.cid) AS rn
+         |  FROM sv s JOIN cent$p c ON c.sub = s.sub) WHERE rn = 1),
+         |cent$it AS (SELECT p.sub, p.cid, COALESCE(n.m, p.m) AS m FROM cent$p p
+         |  LEFT JOIN (SELECT sub, cid, list(mi ORDER BY i) AS m FROM (
+         |    SELECT sub, cid, u.i,
+         |      CAST((SUM(xs[u.i]) + $KmShift * COUNT(*)) // COUNT(*) - $KmShift
+         |        AS BIGINT) AS mi
+         |    FROM asg$it, unnest(generate_series(1, $PqSubDim)) u(i)
+         |    GROUP BY sub, cid, u.i) GROUP BY sub, cid) n
+         |  ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |fx AS (SELECT vec_id,
+       |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+       |     for i in generate_series(1, 64)] AS x
+       |  FROM e),
+       |sv AS (SELECT vec_id, u.sub,
+       |    x[u.sub * $PqSubDim + 1 : u.sub * $PqSubDim + $PqSubDim] AS xs
+       |  FROM fx, unnest(generate_series(0, ${PqSubs - 1})) u(sub)),
+       |seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
+       |  FROM fx) WHERE rn <= $PqK),
+       |cent0 AS (SELECT s.sub, sd.cid, s.xs AS m
+       |  FROM sv s JOIN seeds sd USING (vec_id)),
+       |$rounds,
+       |post AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT s.vec_id, s.sub, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY ${dist("s.xs", "c.m")}, c.cid) AS rn
+       |  FROM sv s JOIN cent$PqIters c ON c.sub = s.sub) WHERE rn = 1),
+       |qtab AS (SELECT s.vec_id AS qid, s.sub, c.cid,
+       |    ${dist("s.xs", "c.m")} AS d
+       |  FROM sv s JOIN cent$PqIters c ON c.sub = s.sub
+       |  WHERE s.vec_id < 10),
+       |adc AS (SELECT t.qid, p.vec_id AS nn_id, CAST(SUM(t.d) AS BIGINT) AS adc
+       |  FROM post p JOIN qtab t ON t.sub = p.sub AND t.cid = p.cid
+       |  WHERE p.vec_id <> t.qid
+       |  GROUP BY t.qid, p.vec_id),
+       |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+       |  FROM adc)
+       |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
        |FROM rnk WHERE rk <= 5""".stripMargin
   }
 
@@ -1281,6 +1503,7 @@ object Similarity {
     // is not oracle-visible; the partition-pruned plan is PlanSpec's).
     "s12_ivf_grid_stored" -> ivfGridOracleSql(Seq(1, 1)),
     "s13_ivf_kmeans" -> kmeansOracleSql,
+    "s14_pq_adc" -> pqAdcOracleSql,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.topKDescriptor)
     e.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
+    e.injectFunction(GraftExtensions.sqDistLongDescriptor)
+    e.injectFunction(GraftExtensions.nearestIdDescriptor)
   }
 }
 
@@ -45,9 +47,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  val sqDistLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sq_dist_long"),
+    new ExpressionInfo(classOf[SqDistLong].getName, "sq_dist_long"),
+    (children: Seq[Expression]) => SqDistLong(children(0), children(1)))
+
+  val nearestIdDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_id"),
+    new ExpressionInfo(classOf[NearestId].getName, "nearest_id"),
+    (children: Seq[Expression]) => NearestId(children(0), children(1)))
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimDescriptor, topKDescriptor, sortedIntersectCountDescriptor).foreach { d =>
+    Seq(cosineSimDescriptor, topKDescriptor, sortedIntersectCountDescriptor,
+      sqDistLongDescriptor, nearestIdDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

@@ -1176,6 +1176,68 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s14 product quantization: a JVM grouped-Lloyd replay reproduces " +
+      "codebooks, codes, and the exact ADC top-5") {
+    val raw = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    val subsOf = raw.map { case (id, v) =>
+      id -> Array.tabulate(8)(s =>
+        v.slice(s * 8, s * 8 + 8).map(e => math.floor(e * 1048576.0).toLong))
+    }
+    val k = ext.Similarity.PqK
+    val seeds = subsOf.keys.toSeq
+      .sortBy(id => (java.lang.Long.parseLong(md5hex(s"$id:seed").take(8), 16), id))
+      .take(k)
+    // cents(sub)(cid) = lattice point
+    var cents: Array[Map[Int, Array[Long]]] = Array.tabulate(8)(s =>
+      seeds.zipWithIndex.map { case (id, c) => c -> subsOf(id)(s) }.toMap)
+    def dist(x: Array[Long], m: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < x.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+      d
+    }
+    def encode(): Map[Long, Array[Int]] = subsOf.map { case (id, subs) =>
+      id -> Array.tabulate(8)(s =>
+        cents(s).keys.toSeq.sorted.minBy(c => (dist(subs(s), cents(s)(c)), c)))
+    }
+    for (_ <- 1 to ext.Similarity.PqIters) {
+      val codes = encode()
+      cents = Array.tabulate(8) { s =>
+        cents(s).map { case (c, prev) =>
+          val members = codes.collect {
+            case (id, cs) if cs(s) == c => subsOf(id)(s)
+          }.toSeq
+          if (members.isEmpty) c -> prev
+          else {
+            val n = members.size.toLong
+            c -> Array.tabulate(8) { i =>
+              (members.map(_(i)).sum + 1048576L * n) / n - 1048576L
+            }
+          }
+        }
+      }
+    }
+    val codes = encode()
+    // ADC replay: per query the [8][16] subdistance table, candidates
+    // scored by code lookup, exact-int top-5 ascending (ties → id).
+    val got = SparkEntry.queries("s14_pq_adc")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, g) =>
+      val qd = Array.tabulate(8)(s =>
+        cents(s).keys.toSeq.sorted.map(c => dist(subsOf(qid)(s), cents(s)(c))).toArray)
+      val want = codes.collect { case (id, cs) if id != qid =>
+        (id, (0 until 8).map(s => qd(s)(cs(s))).sum)
+      }.toSeq.sortBy { case (id, adc) => (adc, id) }.take(5)
+      val gotRows = g.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("nn_id"), r.getAs[Long]("adc"))).toSeq
+      assert(gotRows == want, s"qid=$qid: $gotRows != $want")
+    }
+    // the compression claim: codes are 8 small ints (4-bit range)
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < k)))
+  }
+
   test("m10 scene shots partition the m05 energy track and match a " +
       "JVM cut recompute") {
     val en = SparkEntry.queries("m05_frame_energy")(spark, sf).collect()

@@ -121,6 +121,47 @@ class FunctionsSpec extends AnyFunSuite {
       "kmv buffer dedup must reproduce the distinct+heap sketch exactly")
   }
 
+  test("sq_dist_long and nearest_id match their composable fold forms " +
+      "and break ties to the lowest cid") {
+    GraftExtensions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Similarity.fixedPoint(col("v")).as("x"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.x").as("xa"), col("b.x").as("xb"))
+    val d = pairs.select(
+      graft.functions.SqDistLong.sqDist(col("xa"), col("xb")).as("native"),
+      aggregate(zip_with(col("xa"), col("xb"), (p, q) => (p - q) * (p - q)),
+        lit(0L), (acc, z) => acc + z).as("folded"))
+    assert(d.filter(col("native") =!= col("folded")).count() == 0,
+      "sq_dist_long drifted from the fold form")
+    // nearest_id ≡ the aggregate/least argmin fold over a real codebook
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("x").as("m"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("m")))).as("cents"))
+      .withColumn("one", ops.ConstKey.one(size(col("cents"))))
+    val both = e.withColumn("one", ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(cents), "one")
+      .select(
+        graft.functions.NearestId.nearest(col("x"), col("cents")).as("native"),
+        aggregate(col("cents"),
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid")),
+          (acc, c) => least(acc, struct(
+            aggregate(zip_with(col("x"), c.getField("m"),
+              (p, q) => (p - q) * (p - q)), lit(0L), (a2, z) => a2 + z).as("d"),
+            c.getField("cid").as("cid")))).getField("cid").as("folded"))
+    assert(both.filter(col("native") =!= col("folded")).count() == 0,
+      "nearest_id drifted from the argmin fold")
+    // equidistant centroids: the LOWEST cid must win, regardless of order
+    val tie = spark.sql(
+      """SELECT nearest_id(array(0L, 0L),
+        |  array(named_struct('cid', 7, 'm', array(1L, 0L)),
+        |        named_struct('cid', 3, 'm', array(1L, 0L)))) AS c""".stripMargin)
+      .head()
+    assert(tie.getInt(0) == 3, "tie must resolve to the lowest cid")
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))

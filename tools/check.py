@@ -68,8 +68,9 @@ def main():
             elif gk != wk:
                 n_fail += 1
                 print(f"FAIL {name}: rows {len(gk)} vs {len(wk)}")
-                diff_g = [r for r in gk if r not in set(wk)][:3]
-                diff_w = [r for r in wk if r not in set(gk)][:3]
+                wk_set, gk_set = set(wk), set(gk)
+                diff_g = [r for r in gk if r not in wk_set][:3]
+                diff_w = [r for r in wk if r not in gk_set][:3]
                 for d in diff_g:
                     print(f"  spark-only: {d[:200]}")
                 for d in diff_w:
