@@ -44,6 +44,43 @@ object Soak {
     // the recall OF THE REGISTERED CONSTRUCTIONS. A vector whose
     // banded/grid candidate set is empty counts as a miss (the
     // denominator is every vector with an exact neighbor).
+    // Trained-family-only recall (`Soak <dir> --ann-trained`): the
+    // s13/s16 rows of the --ann report without re-paying the grid
+    // curve — natural-corpus recall@1, candidate count, and the
+    // planted-twin recall (see the --ann block for what each number
+    // means).
+    if (args.contains("--ann-trained")) {
+      val all = ops.Subplan.once(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
+      val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
+      val n = exact.count()
+      def recallOf(approx: org.apache.spark.sql.DataFrame): (Long, Double) =
+        timed(exact.select(col("vec_id"), col("nn_id"))
+          .join(approx.select(col("vec_id"), col("nn_id").as("a_nn")),
+            Seq("vec_id"))
+          .filter(col("nn_id") === col("a_nn")).count())
+      val (hKm, tKm) = recallOf(ext.Similarity.kmNn1(all))
+      val (kmCand, _) = timed(ext.Similarity.kmCandidateCount(all))
+      val (hAdc, tAdc) = recallOf(ext.Similarity.ivfadcNn1(all))
+      def twinRecallOf(nn1: org.apache.spark.sql.DataFrame): (Long, Double) =
+        timed(nn1
+          .filter(col("vec_id") < 1000000000L &&
+            col("nn_id") === col("vec_id") + 1000000000L).count())
+      val planted = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
+      val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
+      val (twKm, _) = twinRecallOf(ext.Similarity.kmNn1(planted))
+      val (twAdc, _) = twinRecallOf(ext.Similarity.ivfadcNn1(planted))
+      println(
+        s"""{"dir":"$sfDir","mode":"ann-trained","n_vec":$n,""" +
+        s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
+        s""""twin_recall":${twKm.toDouble / nOrig}},""" +
+        s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
+        s""""twin_recall":${twAdc.toDouble / nOrig}}}""")
+      spark.stop()
+      return
+    }
+
     if (args.contains("--ann")) {
       val all = ops.Subplan.once(
         ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
@@ -80,11 +117,41 @@ object Soak {
         s""""$label":{"recall1":${h1.toDouble / n},"recall5":${h5.toDouble / n},""" +
           s""""cand":$cand,"sec":$tr}"""
       }.mkString(",")
+      // The TRAINED family (round 11): recall@1 of the learned-cell
+      // probe (s13 — exact cosine over 2/8 cells' members) and of
+      // full IVFADC (s16 — residual-table scoring over the same
+      // candidates; the gap between the two numbers IS the
+      // quantization loss, the gap from 1.0 the coarse-miss rate).
+      // Both ride the registered constructions' own library forms.
+      val (hKm, tKm) = recallOf(ext.Similarity.kmNn1(all))
+      val (kmCand, _) = timed(ext.Similarity.kmCandidateCount(all))
+      val (hAdc, tAdc) = recallOf(ext.Similarity.ivfadcNn1(all))
+      // Twin recall — the operational number for the dedup use case:
+      // on the d05 planted corpus (each vector + its 1.01-scaled twin
+      // at cosine ~1), the fraction of ORIGINALS whose NN-1 under the
+      // trained index is exactly their twin. The natural-corpus
+      // recall above is margin-limited (a random corpus's NN is
+      // barely closer than the rest — max natural cosine ~0.51, so
+      // quantized scoring cannot separate near-ties); the twin number
+      // measures whether the index finds a REAL near-duplicate.
+      def twinRecallOf(nn1: org.apache.spark.sql.DataFrame): (Long, Double) =
+        timed(nn1
+          .filter(col("vec_id") < 1000000000L &&
+            col("nn_id") === col("vec_id") + 1000000000L).count())
+      val planted = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
+      val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
+      val (twKm, _) = twinRecallOf(ext.Similarity.kmNn1(planted))
+      val (twAdc, _) = twinRecallOf(ext.Similarity.ivfadcNn1(planted))
       println(
         s"""{"dir":"$sfDir","mode":"ann","n_vec":$n,"exact_sec":$tExact,""" +
         s""""s05":{"hits":$h05,"recall":${h05.toDouble / n},"sec":$t05},""" +
         s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08},""" +
-        s""""s08_curve":{$curve}}""")
+        s""""s08_curve":{$curve},""" +
+        s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
+        s""""twin_recall":${twKm.toDouble / nOrig}},""" +
+        s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
+        s""""twin_recall":${twAdc.toDouble / nOrig}}}""")
       spark.stop()
       return
     }

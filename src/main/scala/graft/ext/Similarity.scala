@@ -72,6 +72,9 @@ object Similarity {
     * id space). A 1.01× scale never flips a sign, so every twin pair is
     * sign-IDENTICAL — guaranteed band collisions for the blocking to
     * find. Shared by d05 and s05. */
+  private[graft] def plantedTwinCorpus(e: DataFrame): DataFrame =
+    withPlantedTwins(e)
+
   private def withPlantedTwins(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("v")).unionAll(
       e.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
@@ -575,6 +578,29 @@ object Similarity {
     // quantized semantics exactly, s07's discipline.
     "s14_pq_adc" -> ((s, dir) => pqAdcQuery(s, dir)),
 
+    // The trained k-means IVF probed AGAINST ITS LANDED FORM — s12's
+    // deployment discipline applied to the LEARNED quantizer: the
+    // centroid table (the model — 8 rows) and the cell-partitioned
+    // postings both live in stored tables (SessionStore → Sink.write;
+    // the reference stores trained models in tile records the same
+    // way), and the probe's 2-cell broadcast becomes a dynamic
+    // partition filter on the read-back scan, so a probe reads ~2/8
+    // of the index bytes (more centroids → geometrically less; K is
+    // the knob). First JVM access pays the training build; repeat
+    // invocations pay probe + rank only — the deployed-ANN-service
+    // per-query cost. Same answer as s13; one oracle states both.
+    "s15_ivf_kmeans_stored" -> ((s, dir) => kmeansStoredQuery(s, dir)),
+
+    // IVFADC — the s13 coarse quantizer and s14's product quantizer
+    // composed the canonical way (PQ trained on the COARSE RESIDUALS,
+    // probes score only their 2 cells' members by residual table
+    // lookup — see the ivfadcQuery Scaladoc). The full trained-index
+    // family: s13 learns cells, s14 learns codes, s15 lands the
+    // index, s16 composes cells + residual codes; every stage exact
+    // integer, every stage one shared definition, the composition
+    // hash-checked end-to-end.
+    "s16_ivfadc" -> ((s, dir) => ivfadcQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -887,13 +913,13 @@ object Similarity {
     * query's [[KmNProbe]] nearest cells, rank candidates by exact
     * cosine (the s08 probe topology: postings equi-join a broadcast
     * probe frame, bounded-heap top-5). */
-  private def kmeansIvfQuery(s: SparkSession, dir: String): DataFrame = {
-    val fx = graft.ops.Subplan.once(
-      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = kmeansCentroids(fx)
-    val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
-    val probes = fx.filter(col("vec_id") < 10)
-      .withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+  /** The multi-probe of the learned quantizer: each query's
+    * [[KmNProbe]] nearest cells by exact integer distance (bounded-heap
+    * per-query top-k) — ONE definition for the in-lineage probe (s13)
+    * and the landed-store probe (s15), so the two can only differ by
+    * storage topology. `q` carries (vec_id, v, x). */
+  private def kmProbeCells(q: DataFrame, cents: DataFrame): DataFrame =
+    q.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(cents.withColumn("one",
         graft.ops.ConstKey.one(col("cid")))), "one")
       .withColumn("dist", kmDist(col("x"), col("m")))
@@ -904,11 +930,47 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(col("top")).as("t"))
       .select(col("qid"), col("qv"), col("t.cid").as("cid"))
+
+  /** The probed-cells cosine top-5 — shared tail of s13/s15. */
+  private def kmProbedTop5(post: DataFrame, probes: DataFrame): DataFrame = {
     val scored = post.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
     topK(scored, col("qid"), 5)
+  }
+
+  private def kmeansIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
+    kmProbedTop5(post, kmProbeCells(fx.filter(col("vec_id") < 10), cents))
+  }
+
+  /** The s15 body: the TRAINED index in its deployment shape — both
+    * halves of the model state are stored tables (the reference's
+    * trained-model-in-a-table discipline, tile.py:16-25 /
+    * randomforest.py:90-103): centroids land via SessionStore (8
+    * rows — the "model"), postings land cell-partitioned, and the
+    * probe's 2-cell broadcast dynamic-partition-prunes the read-back
+    * scan exactly as s12's grid form does. First access per JVM pays
+    * the training build; repeats — the bench's best-of — pay probe +
+    * rank only, the per-query cost of a deployed ANN service. Answer
+    * ≡ s13 (the build is deterministic), so s13's oracle states
+    * both. */
+  private def kmeansStoredQuery(s: SparkSession, dir: String): DataFrame = {
+    def fxOf = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s15_cents", dir, Seq("cid")) { kmeansCentroids(fxOf) }
+    val post = graft.sources.SessionStore.storedOrBuild(
+      s, "s15_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(fxOf, cents).select(col("vec_id"), col("v"), col("cid"))
+    }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    kmProbedTop5(post, kmProbeCells(q, cents))
   }
 
   // ---------------------------------------------------------------
@@ -944,11 +1006,24 @@ object Similarity {
   private[graft] val PqK = 16
   private[graft] val PqIters = 2
 
-  /** The subspace view of the fixed-point lattice: [PqSubs] arrays of
-    * [PqSubDim] coordinates, one column — no row explosion. */
-  private def pqSubArr: Column =
+  /** The subspace view of a fixed-point lattice column: [PqSubs]
+    * arrays of [PqSubDim] coordinates, one column — no row
+    * explosion. */
+  private def pqSubArrOf(x: Column): Column =
     array((0 until PqSubs).map(s =>
-      slice(col("x"), s * PqSubDim + 1, PqSubDim)): _*)
+      slice(x, s * PqSubDim + 1, PqSubDim)): _*)
+
+  private def pqSubArr: Column = pqSubArrOf(col("x"))
+
+  /** Residual subvectors x−m, sliced per subspace BEFORE subtracting —
+    * each slice is computed once (a full-residual intermediate column
+    * would be inlined by project collapse into every slice, re-running
+    * the 64-element zip 8× per row — the quantize() lesson). Exact
+    * int64. */
+  private def residSubArr(x: Column, m: Column): Column =
+    array((0 until PqSubs).map(s =>
+      zip_with(slice(x, s * PqSubDim + 1, PqSubDim),
+        slice(m, s * PqSubDim + 1, PqSubDim), (a, b) => a - b)): _*)
 
   /** The whole codebook as ONE broadcast row: ctab[sub][cid] = the
     * centroid lattice point — sub-sorted outer, cid-sorted inner, so
@@ -969,9 +1044,9 @@ object Similarity {
   private def pqEncode(fxs: DataFrame, cents: DataFrame): DataFrame =
     fxs.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(pqCentTab(cents)), "one")
-      .select(col("vec_id"), col("subs"),
+      .select(fxs.columns.toIndexedSeq.map(col) :+
         zip_with(col("subs"), col("ctab"), (xs, cl) =>
-          graft.functions.NearestId.nearest(xs, cl)).as("codes"))
+          graft.functions.NearestId.nearest(xs, cl)).as("codes"): _*)
 
   /** Grouped Lloyd update over (sub, cid) — the s13 exact-integer
     * update with the subspace in the key (and [[PqSubDim]] sums per
@@ -1040,10 +1115,20 @@ object Similarity {
     val scored = codes.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(qtab), "one")
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn_id"),
-        aggregate(zip_with(col("codes"), col("qt"),
-          (c, d) => element_at(d, c + 1)), lit(0L), (acc, z) => acc + z)
-          .as("adc"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
+    pqAdcTop5(scored)
+  }
+
+  /** The ADC sum: candidate `codes` looked up in the query's `qt`
+    * table, folded exactly in int64 — one statement for s14 and s16
+    * (the native pq_adc expression; see PqAdcLookup for fold
+    * equivalence). */
+  private def pqAdcCol: Column =
+    graft.functions.PqAdcLookup.pqAdc(col("codes"), col("qt"))
+
+  /** Ascending exact-integer top-5 by (adc, nn_id) — the shared s14/
+    * s16 tail (bounded-heap partial agg, the s07 discipline). */
+  private def pqAdcTop5(scored: DataFrame): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
@@ -1051,6 +1136,127 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.nn_id").as("nn_id"),
         col("col.adc").as("adc"), (col("pos") + 1).cast("int").as("rk"))
+
+  /** The s16 body — IVFADC, the canonical pairing (Jégou et al. 2011
+    * §IV): the s13 coarse quantizer partitions the corpus into cells,
+    * s14's PQ machinery trains on the RESIDUALS x − m(cell) (residuals
+    * concentrate near 0, so the same 4-bit budget quantizes them far
+    * more finely than raw coordinates), and a query probes its 2
+    * nearest cells scoring ONLY their members by residual-ADC — the
+    * candidate restriction (IVF) and the compressed scoring (ADC) in
+    * one index, each half reusing its family's ONE definition
+    * (kmeansCentroids/kmAssign/kmProbeCells; pqCodebooks/pqEncode/
+    * pqAdcCol). Per-cell query tables: the query's residual differs
+    * per probed cell, so the broadcast carries ≤ 2 tables per query.
+    * Everything is the established exact-integer arithmetic — the
+    * unrolled oracle hash-checks the full composition. */
+  private def ivfadcQuery(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val rfxs = graft.ops.Subplan.once(
+      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          residSubArr(col("x"), col("m")).as("subs")))
+    val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
+    val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    val qtabs = ivfadcTables(
+      kmProbeCells(fx.filter(col("vec_id") < 10), cents)
+        .select(col("qid"), col("cid")), fx, cents, pqc)
+    val scored = codes.join(broadcast(qtabs), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
+    pqAdcTop5(scored)
+  }
+
+  /** Per-(query, probed-cell) residual ADC tables — the query's
+    * residual w.r.t. THAT cell's centroid against the residual
+    * codebook. ONE builder for the registered s16 probe (10 queries)
+    * and the recall soak (every vector probes). */
+  private def ivfadcTables(pcells: DataFrame, fx: DataFrame,
+      cents: DataFrame, pqc: DataFrame): DataFrame =
+    pcells
+      .join(fx.select(col("vec_id").as("qid"), col("x")), Seq("qid"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("qid"), col("cid"), residSubArr(col("x"), col("m")).as("subs"))
+      .withColumn("one", graft.ops.ConstKey.one(col("qid")))
+      .join(broadcast(pqCentTab(pqc)), "one")
+      .select(col("qid"), col("cid"),
+        zip_with(col("subs"), col("ctab"), (xs, cl) =>
+          transform(cl, c => kmDist(xs, c.getField("m")))).as("qt"))
+
+  /** Every vector's scored candidate set under the s13 probe topology
+    * (2 nearest learned cells) — the recall-soak twin of the
+    * registered query, riding the SAME kmeansCentroids / kmAssign /
+    * kmProbeCells, so the measured recall is the recall of the
+    * registered index. The probe side is N rows here, so the cell
+    * join is a SHUFFLE_HASH on cid, not a broadcast. */
+  private[graft] def kmScoredAll(all: DataFrame): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
+    val probes = kmProbeCells(fx, cents)
+    // K is single digits, so a bare cid join has ≤ K non-empty cells
+    // and a broadcast conversion would run the whole N²/K-candidate
+    // score + partial agg in the checkpoint's ONE partition (a
+    // measured single-thread soak stall at sf1). Sub-block the cell:
+    // posting side salts by vec_id, probe side explodes to all salts
+    // — the s03 block-grid shape per cell, K × blocks join cells.
+    val blocks = 32
+    val salted = post.withColumn("blk",
+      pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
+    val probesAll = probes.withColumn("blk",
+      explode(array((0 until blocks).map(lit): _*)))
+    // No shuffle_hash hint: the replicated probe side carries the
+    // 64-double query vector, so a per-task hash build at sf1 blows
+    // the local JVM's acquire limit — sort-merge spills instead (the
+    // inputs are small; only the join OUTPUT is in the hundreds of
+    // millions, and that streams).
+    salted.join(probesAll, Seq("cid", "blk"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+  }
+
+  private[graft] def kmNn1(all: DataFrame): DataFrame =
+    best1(kmScoredAll(all)
+      .select(col("qid").as("vec_id"), col("nn_id"), col("cos_sim")))
+
+  private[graft] def kmCandidateCount(all: DataFrame): Long =
+    kmScoredAll(all).count()
+
+  /** Every vector's ADC-nearest neighbor within its 2 probed cells —
+    * the recall twin of s16 (coarse miss + quantization loss in one
+    * number), riding the registered construction end-to-end. */
+  private[graft] def ivfadcNn1(all: DataFrame): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val rfxs = graft.ops.Subplan.once(
+      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          residSubArr(col("x"), col("m")).as("subs")))
+    val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
+    val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    val qtabs = ivfadcTables(
+      kmProbeCells(fx, cents).select(col("qid"), col("cid")), fx, cents, pqc)
+    // Same cell sub-blocking as kmScoredAll (see there): a bare
+    // K-valued cid join would collapse to ≤ K tasks.
+    val blocks = 32
+    val salted = codes.withColumn("blk",
+      pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
+    val qtabsAll = qtabs.withColumn("blk",
+      explode(array((0 until blocks).map(lit): _*)))
+    val scored = salted.join(qtabsAll, Seq("cid", "blk"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
+    // min-by (adc, nn_id) via the negated-struct max — the bounded
+    // partial-agg shape of best1, ascending.
+    scored.groupBy(col("qid"))
+      .agg(max(struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
+        col("nn_id"))).as("best"))
+      .select(col("qid").as("vec_id"), col("best.nn_id").as("nn_id"))
   }
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
@@ -1160,14 +1366,22 @@ object Similarity {
     * hash-match. DuckDB `//` truncates toward zero exactly like Spark
     * `div`; the shifted numerator is non-negative, so truncation =
     * floor in both engines. */
-  private def kmeansOracleSql: String = {
-    def dist(x: String, m: String): String =
-      s"list_sum([($x[i] - $m[i]) * ($x[i] - $m[i]) for i in generate_series(1, 64)])"
+  /** Exact-integer squared distance in SQL over `n` dims — the one
+    * statement of [[kmDist]]'s arithmetic every trained-quantizer
+    * oracle shares. */
+  private def sqlDist(x: String, m: String, n: Int = 64): String =
+    s"list_sum([($x[i] - $m[i]) * ($x[i] - $m[i]) for i in generate_series(1, $n)])"
+
+  /** The coarse-quantizer CTE chain (e, fx, cent0..cent[[KmIters]],
+    * post with the lattice point, pr = each query's 2 probe cells) —
+    * ONE statement of the s13 training loop shared by the s13/s15
+    * oracle and the s16 IVFADC oracle built on its residuals. */
+  private def kmeansChainCtes: String = {
     val rounds = (1 to KmIters).map { it =>
       val p = it - 1
       s"""asg$it AS (SELECT vec_id, x, cid FROM (
          |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
-         |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
+         |    ORDER BY ${sqlDist("s.x", "c.m")}, c.cid) AS rn
          |  FROM fx s, cent$p c) WHERE rn = 1),
          |cent$it AS (SELECT p.cid, COALESCE(n.m, p.m) AS m FROM cent$p p
          |  LEFT JOIN (SELECT cid, list(mi ORDER BY i) AS m FROM (
@@ -1178,7 +1392,7 @@ object Similarity {
          |    GROUP BY cid, u.i) GROUP BY cid) n
          |  ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |fx AS (SELECT vec_id, v,
        |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
        |     for i in generate_series(1, 64)] AS x
@@ -1188,14 +1402,19 @@ object Similarity {
        |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
        |  FROM fx) WHERE rn <= $KmK),
        |$rounds,
-       |post AS (SELECT vec_id, cid FROM (
-       |  SELECT s.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
-       |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
+       |post AS (SELECT vec_id, x, cid FROM (
+       |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${sqlDist("s.x", "c.m")}, c.cid) AS rn
        |  FROM fx s, cent$KmIters c) WHERE rn = 1),
        |pr AS (SELECT qid, cid FROM (
        |  SELECT s.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
-       |    ORDER BY ${dist("s.x", "c.m")}, c.cid) AS rn
-       |  FROM fx s, cent$KmIters c WHERE s.vec_id < 10) WHERE rn <= 2),
+       |    ORDER BY ${sqlDist("s.x", "c.m")}, c.cid) AS rn
+       |  FROM fx s, cent$KmIters c WHERE s.vec_id < 10) WHERE rn <= 2)"""
+      .stripMargin
+  }
+
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansChainCtes,
        |cand AS (SELECT p.qid, g.vec_id AS nn_id
        |  FROM pr p JOIN post g ON g.cid = p.cid WHERE g.vec_id <> p.qid),
        |scored AS (SELECT c.qid, c.nn_id,
@@ -1209,7 +1428,6 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM rnk WHERE rk <= 5""".stripMargin
-  }
 
   /** The s14 oracle: the grouped exact-integer Lloyd loop unrolled to
     * [[PqIters]] CTE rounds over (sub, cid) keys, then the relational
@@ -1218,25 +1436,47 @@ object Similarity {
     * zip-fold because every (vector, sub) has exactly one code and
     * every (query, sub, cid) one table entry. Same integer-semantics
     * contract as [[kmeansOracleSql]]. */
-  private def pqAdcOracleSql: String = {
-    def dist(xs: String, m: String): String =
-      s"list_sum([($xs[i] - $m[i]) * ($xs[i] - $m[i]) for i in generate_series(1, $PqSubDim)])"
+  /** The grouped-Lloyd PQ CTE chain over a subvector CTE
+    * `sv`(vec_id, sub, xs): `${pfx}seeds`, `${pfx}cent0..N`, and
+    * `${pfx}post`(vec_id, sub, cid) — the final code assignment. ONE
+    * generator for the s14 oracle (subvectors of the raw lattice) and
+    * the s16 oracle (subvectors of the coarse residuals), so the two
+    * PQ trainings can only differ by their input frame. Assumes a
+    * `fx`(vec_id, ...) CTE exists for the seed draw. */
+  private def pqChainCtes(sv: String, pfx: String): String = {
     val rounds = (1 to PqIters).map { it =>
       val p = it - 1
-      s"""asg$it AS (SELECT vec_id, sub, xs, cid FROM (
+      s"""${pfx}asg$it AS (SELECT vec_id, sub, xs, cid FROM (
          |  SELECT s.vec_id, s.sub, s.xs, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
-         |      ORDER BY ${dist("s.xs", "c.m")}, c.cid) AS rn
-         |  FROM sv s JOIN cent$p c ON c.sub = s.sub) WHERE rn = 1),
-         |cent$it AS (SELECT p.sub, p.cid, COALESCE(n.m, p.m) AS m FROM cent$p p
+         |      ORDER BY ${sqlDist("s.xs", "c.m", PqSubDim)}, c.cid) AS rn
+         |  FROM $sv s JOIN ${pfx}cent$p c ON c.sub = s.sub) WHERE rn = 1),
+         |${pfx}cent$it AS (SELECT p.sub, p.cid, COALESCE(n.m, p.m) AS m
+         |  FROM ${pfx}cent$p p
          |  LEFT JOIN (SELECT sub, cid, list(mi ORDER BY i) AS m FROM (
          |    SELECT sub, cid, u.i,
          |      CAST((SUM(xs[u.i]) + $KmShift * COUNT(*)) // COUNT(*) - $KmShift
          |        AS BIGINT) AS mi
-         |    FROM asg$it, unnest(generate_series(1, $PqSubDim)) u(i)
+         |    FROM ${pfx}asg$it, unnest(generate_series(1, $PqSubDim)) u(i)
          |    GROUP BY sub, cid, u.i) GROUP BY sub, cid) n
          |  ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
+    s"""${pfx}seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
+       |  FROM fx) WHERE rn <= $PqK),
+       |${pfx}cent0 AS (SELECT s.sub, sd.cid, s.xs AS m
+       |  FROM $sv s JOIN ${pfx}seeds sd USING (vec_id)),
+       |$rounds,
+       |${pfx}post AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT s.vec_id, s.sub, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY ${sqlDist("s.xs", "c.m", PqSubDim)}, c.cid) AS rn
+       |  FROM $sv s JOIN ${pfx}cent$PqIters c ON c.sub = s.sub)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqAdcOracleSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |fx AS (SELECT vec_id,
        |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
@@ -1245,24 +1485,13 @@ object Similarity {
        |sv AS (SELECT vec_id, u.sub,
        |    x[u.sub * $PqSubDim + 1 : u.sub * $PqSubDim + $PqSubDim] AS xs
        |  FROM fx, unnest(generate_series(0, ${PqSubs - 1})) u(sub)),
-       |seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
-       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-       |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
-       |  FROM fx) WHERE rn <= $PqK),
-       |cent0 AS (SELECT s.sub, sd.cid, s.xs AS m
-       |  FROM sv s JOIN seeds sd USING (vec_id)),
-       |$rounds,
-       |post AS (SELECT vec_id, sub, cid FROM (
-       |  SELECT s.vec_id, s.sub, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
-       |      ORDER BY ${dist("s.xs", "c.m")}, c.cid) AS rn
-       |  FROM sv s JOIN cent$PqIters c ON c.sub = s.sub) WHERE rn = 1),
+       |${pqChainCtes("sv", "q")},
        |qtab AS (SELECT s.vec_id AS qid, s.sub, c.cid,
-       |    ${dist("s.xs", "c.m")} AS d
-       |  FROM sv s JOIN cent$PqIters c ON c.sub = s.sub
+       |    ${sqlDist("s.xs", "c.m", PqSubDim)} AS d
+       |  FROM sv s JOIN qcent$PqIters c ON c.sub = s.sub
        |  WHERE s.vec_id < 10),
        |adc AS (SELECT t.qid, p.vec_id AS nn_id, CAST(SUM(t.d) AS BIGINT) AS adc
-       |  FROM post p JOIN qtab t ON t.sub = p.sub AND t.cid = p.cid
+       |  FROM qpost p JOIN qtab t ON t.sub = p.sub AND t.cid = p.cid
        |  WHERE p.vec_id <> t.qid
        |  GROUP BY t.qid, p.vec_id),
        |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
@@ -1270,7 +1499,40 @@ object Similarity {
        |  FROM adc)
        |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
        |FROM rnk WHERE rk <= 5""".stripMargin
-  }
+
+  /** The s16 oracle: the s13 coarse chain verbatim, residual
+    * subvectors off its `post`, the SAME PQ chain generator over
+    * them, then ADC restricted to each query's 2 probed cells with
+    * the query's PER-CELL residual tables. */
+  private def ivfadcOracleSql: String =
+    s"""WITH $kmeansChainCtes,
+       |rsv AS (SELECT p.vec_id, u.sub,
+       |    [p.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
+       |     for i in generate_series(1, $PqSubDim)] AS xs
+       |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid,
+       |       unnest(generate_series(0, ${PqSubs - 1})) u(sub)),
+       |${pqChainCtes("rsv", "r")},
+       |qres AS (SELECT pr.qid, pr.cid AS ccell, u.sub,
+       |    [q.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
+       |     for i in generate_series(1, $PqSubDim)] AS xs
+       |  FROM pr JOIN fx q ON q.vec_id = pr.qid
+       |  JOIN cent$KmIters c ON c.cid = pr.cid,
+       |       unnest(generate_series(0, ${PqSubs - 1})) u(sub)),
+       |qtab AS (SELECT s.qid, s.ccell, s.sub, c.cid,
+       |    ${sqlDist("s.xs", "c.m", PqSubDim)} AS d
+       |  FROM qres s JOIN rcent$PqIters c ON c.sub = s.sub),
+       |codes AS (SELECT rp.vec_id, g.cid AS ccell, rp.sub, rp.cid
+       |  FROM rpost rp JOIN post g ON g.vec_id = rp.vec_id),
+       |adc AS (SELECT t.qid, p.vec_id AS nn_id, CAST(SUM(t.d) AS BIGINT) AS adc
+       |  FROM codes p JOIN qtab t
+       |    ON t.ccell = p.ccell AND t.sub = p.sub AND t.cid = p.cid
+       |  WHERE p.vec_id <> t.qid
+       |  GROUP BY t.qid, p.vec_id),
+       |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+       |  FROM adc)
+       |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+       |FROM rnk WHERE rk <= 5""".stripMargin
 
   private val cosSql =
     """list_dot_product(a.v, b.v)
@@ -1504,6 +1766,10 @@ object Similarity {
     "s12_ivf_grid_stored" -> ivfGridOracleSql(Seq(1, 1)),
     "s13_ivf_kmeans" -> kmeansOracleSql,
     "s14_pq_adc" -> pqAdcOracleSql,
+    // s15 lands the SAME trained index s13 derives in-lineage — the
+    // storage topology is not oracle-visible (s12's discipline).
+    "s15_ivf_kmeans_stored" -> kmeansOracleSql,
+    "s16_ivfadc" -> ivfadcOracleSql,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -187,3 +187,75 @@ object NearestId {
   def nearest(x: Column, cents: Column): Column =
     toColumn(NearestId(toExpression(x), toExpression(cents)))
 }
+
+/** The ADC lookup sum as one native expression:
+  * `pq_adc(codes, qt) = Σ_s qt[s][codes[s]]` over
+  * `codes: array<int>` and `qt: array<array<long>>` — the scoring
+  * inner loop of the PQ family (s14/s16), exactly the composable
+  * `aggregate(zip_with(codes, qt, (c, d) => d[c + 1]), 0L, _+_)`
+  * (codes are 0-based, SQL element_at 1-based). Exact int64; a
+  * missing code (index out of range) contributes 0 — the composable
+  * form's element_at would return null and poison the sum, so
+  * callers guarantee code ∈ [0, k); the PQ encoder does by
+  * construction. */
+case class PqAdcLookup(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_adc expects (array<int>, array<array<bigint>>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val qt = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), qt.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val c = codes.getInt(i)
+      val row = qt.getArray(i)
+      if (c >= 0 && c < row.numElements()) s += row.getLong(c)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $c = $a.getInt($i);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |  if ($c >= 0 && $c < $row.numElements()) $s += $row.getLong($c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcLookup {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  def pqAdc(codes: Column, qt: Column): Column =
+    toColumn(PqAdcLookup(toExpression(codes), toExpression(qt)))
+}

@@ -709,6 +709,19 @@ class ExtSpec extends AnyFunSuite {
     assert(s12.nonEmpty)
   }
 
+  test("s15 landed trained-index probe returns exactly s13's answer") {
+    // Storage topology (stored centroids + cell-partitioned postings)
+    // never changes the answer: the training build is deterministic,
+    // so the landed index carries the same cells s13 derives in
+    // lineage and the probed top-5 is identical row-for-row.
+    val s13 = SparkEntry.queries("s13_ivf_kmeans")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s15 = SparkEntry.queries("s15_ivf_kmeans_stored")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s15 == s13)
+    assert(s15.nonEmpty)
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
@@ -1236,6 +1249,95 @@ class ExtSpec extends AnyFunSuite {
     }
     // the compression claim: codes are 8 small ints (4-bit range)
     assert(codes.values.forall(_.forall(c => c >= 0 && c < k)))
+  }
+
+  test("s16 IVFADC: a JVM replay of the full composition (coarse Lloyd + " +
+      "residual PQ + per-cell tables) reproduces the exact top-5") {
+    val raw = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+    val fx = raw.map { case (id, v) =>
+      id -> v.map(e => math.floor(e * 1048576.0).toLong)
+    }
+    def dist(x: Array[Long], m: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < x.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+      d
+    }
+    def drawRank(id: Long): (Long, Long) =
+      (java.lang.Long.parseLong(md5hex(s"$id:seed").take(8), 16), id)
+    // --- coarse: the s13 training replay ---
+    val kc = ext.Similarity.KmK
+    var cents: Map[Int, Array[Long]] = fx.keys.toSeq.sortBy(drawRank).take(kc)
+      .zipWithIndex.map { case (id, i) => i -> fx(id) }.toMap
+    def assign(): Map[Long, Int] = fx.map { case (id, x) =>
+      id -> (0 until kc).minBy(c => (dist(x, cents(c)), c))
+    }
+    for (_ <- 1 to ext.Similarity.KmIters) {
+      val asg = assign()
+      cents = (0 until kc).map { c =>
+        val members = asg.collect { case (id, `c`) => fx(id) }.toSeq
+        if (members.isEmpty) c -> cents(c)
+        else {
+          val n = members.size.toLong
+          c -> Array.tabulate(64)(i =>
+            (members.map(_(i)).sum + 1048576L * n) / n - 1048576L)
+        }
+      }.toMap
+    }
+    val cell = assign()
+    // --- residual PQ: the s14 training replay over x − m(cell) ---
+    val rsubs = fx.map { case (id, x) =>
+      val m = cents(cell(id))
+      id -> Array.tabulate(8)(s =>
+        Array.tabulate(8)(i => x(s * 8 + i) - m(s * 8 + i)))
+    }
+    val kp = ext.Similarity.PqK
+    val seeds = fx.keys.toSeq.sortBy(drawRank).take(kp)
+    var pq: Array[Map[Int, Array[Long]]] = Array.tabulate(8)(s =>
+      seeds.zipWithIndex.map { case (id, c) => c -> rsubs(id)(s) }.toMap)
+    def encode(): Map[Long, Array[Int]] = rsubs.map { case (id, subs) =>
+      id -> Array.tabulate(8)(s =>
+        pq(s).keys.toSeq.sorted.minBy(c => (dist(subs(s), pq(s)(c)), c)))
+    }
+    for (_ <- 1 to ext.Similarity.PqIters) {
+      val codes = encode()
+      pq = Array.tabulate(8) { s =>
+        pq(s).map { case (c, prev) =>
+          val members = codes.collect {
+            case (id, cs) if cs(s) == c => rsubs(id)(s)
+          }.toSeq
+          if (members.isEmpty) c -> prev
+          else {
+            val n = members.size.toLong
+            c -> Array.tabulate(8)(i =>
+              (members.map(_(i)).sum + 1048576L * n) / n - 1048576L)
+          }
+        }
+      }
+    }
+    val codes = encode()
+    // --- probe: 2 nearest coarse cells, per-cell residual tables ---
+    val got = SparkEntry.queries("s16_ivfadc")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, g) =>
+      val probed = (0 until kc)
+        .sortBy(c => (dist(fx(qid), cents(c)), c)).take(2)
+      val want = probed.flatMap { cc =>
+        val m = cents(cc)
+        val rq = Array.tabulate(8)(s =>
+          Array.tabulate(8)(i => fx(qid)(s * 8 + i) - m(s * 8 + i)))
+        val qd = Array.tabulate(8)(s =>
+          pq(s).keys.toSeq.sorted.map(c => dist(rq(s), pq(s)(c))).toArray)
+        codes.collect { case (id, cs) if id != qid && cell(id) == cc =>
+          (id, (0 until 8).map(s => qd(s)(cs(s))).sum)
+        }
+      }.sortBy { case (id, adc) => (adc, id) }.take(5)
+      val gotRows = g.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("nn_id"), r.getAs[Long]("adc"))).toSeq
+      assert(gotRows == want, s"qid=$qid: $gotRows != $want")
+    }
   }
 
   test("m10 scene shots partition the m05 energy track and match a " +

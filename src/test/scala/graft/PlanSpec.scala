@@ -316,6 +316,21 @@ class PlanSpec extends AnyFunSuite {
       s"the stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s15: the landed TRAINED index probe dynamic-partition-prunes " +
+      "the postings scan") {
+    // s12's pin applied to the learned quantizer: the stored form of
+    // s13 must read only the 2 probed cells' partitions — without the
+    // dynamicpruning filter the landed index silently regresses to a
+    // full scan and storing it bought nothing.
+    val p = plan("s15_ivf_kmeans_stored")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the postings scan must carry a dynamic partition-pruning filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
