@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
     e.injectFunction(GraftExtensions.sqDistLongDescriptor)
     e.injectFunction(GraftExtensions.nearestIdDescriptor)
+    e.injectFunction(GraftExtensions.pqAdcDescriptor)
   }
 }
 
@@ -57,10 +58,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[NearestId].getName, "nearest_id"),
     (children: Seq[Expression]) => NearestId(children(0), children(1)))
 
+  val pqAdcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[PqAdcLookup].getName, "pq_adc"),
+    (children: Seq[Expression]) => PqAdcLookup(children(0), children(1)))
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimDescriptor, topKDescriptor, sortedIntersectCountDescriptor,
-      sqDistLongDescriptor, nearestIdDescriptor).foreach { d =>
+      sqDistLongDescriptor, nearestIdDescriptor, pqAdcDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

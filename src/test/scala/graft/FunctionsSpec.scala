@@ -160,6 +160,11 @@ class FunctionsSpec extends AnyFunSuite {
         |        named_struct('cid', 3, 'm', array(1L, 0L)))) AS c""".stripMargin)
       .head()
     assert(tie.getInt(0) == 3, "tie must resolve to the lowest cid")
+    // pq_adc: codes index the per-subspace tables (0-based)
+    val adc = spark.sql(
+      """SELECT pq_adc(array(1, 0),
+        |  array(array(10L, 20L), array(30L, 40L))) AS a""".stripMargin).head()
+    assert(adc.getLong(0) == 20L + 30L, "pq_adc must sum qt[s][codes[s]]")
   }
 
   test("cosine_sim survives whole-stage codegen on a real plan") {
