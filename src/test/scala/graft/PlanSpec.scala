@@ -316,6 +316,35 @@ class PlanSpec extends AnyFunSuite {
       s"the stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s13/s14/s16: the trained-quantizer family joins only by broadcast, " +
+      "and the native argmin stays inside whole-stage codegen") {
+    // The family's scale contract: the corpus NEVER shuffles for a
+    // join — centroids/codebooks/probe-tables are all broadcast-sized
+    // state, so the only exchanges are tiny partial-agg collections
+    // (Lloyd updates, seed top-K, the final top-5). A SortMergeJoin or
+    // ShuffledHashJoin anywhere means corpus rows started moving for a
+    // join — the shape regression that must not happen at 100 TB.
+    Seq("s13_ivf_kmeans", "s14_pq_adc", "s16_ivfadc").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: corpus rows must not shuffle for a join:\n$p")
+      assert(!p.contains("ShuffledHashJoin"),
+        s"$name: corpus rows must not shuffle for a join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+    }
+    // s13's assignment is a plain projection, so the native nearest_id
+    // must sit inside a WholeStageCodegen stage (`*(n)` prefix) — the
+    // interpreted fold it replaced was a measured 5x sf1 regression.
+    // Codegen stages only appear in the FINAL adaptive plan, so
+    // execute first (the unexecuted AdaptiveSparkPlan shows none).
+    val df = SparkEntry.queries("s13_ivf_kmeans")(spark, sf)
+    df.collect() // count() would drive a DIFFERENT QueryExecution
+    val p13 = df.queryExecution.executedPlan.toString
+    assert(p13.linesIterator.exists(l =>
+      l.toLowerCase.contains("nearestid") && l.trim.contains("*(")),
+      s"nearest_id must be codegen'd in the assignment projection:\n$p13")
+  }
+
   test("s15: the landed TRAINED index probe dynamic-partition-prunes " +
       "the postings scan") {
     // s12's pin applied to the learned quantizer: the stored form of
