@@ -71,12 +71,22 @@ object Soak {
       val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
       val (twKm, _) = twinRecallOf(ext.Similarity.kmNn1(planted))
       val (twAdc, _) = twinRecallOf(ext.Similarity.ivfadcNn1(planted))
+      // The K sweep — recall-vs-cost as the cell count grows (a user
+      // sizes K ~ √N; the registered K=8 is the oracle-demo point).
+      // Candidates shrink ~2/K of N² while recall tracks how well K
+      // cells carve the geometry.
+      val kCurve = Seq(8, 16, 32).map { k =>
+        val (hk, tk) = recallOf(ext.Similarity.kmNn1(all, k))
+        val (ck, _) = timed(ext.Similarity.kmCandidateCount(all, k))
+        s""""k$k":{"recall1":${hk.toDouble / n},"cand":$ck,"sec":$tk}"""
+      }.mkString(",")
       println(
         s"""{"dir":"$sfDir","mode":"ann-trained","n_vec":$n,""" +
         s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
         s""""twin_recall":${twKm.toDouble / nOrig}},""" +
         s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
-        s""""twin_recall":${twAdc.toDouble / nOrig}}}""")
+        s""""twin_recall":${twAdc.toDouble / nOrig}},""" +
+        s""""s13_k_curve":{$kCurve}}""")
       spark.stop()
       return
     }

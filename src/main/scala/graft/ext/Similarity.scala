@@ -891,13 +891,14 @@ object Similarity {
     * no global sort), then [[KmIters]] exact Lloyd iterations.
     * Subplan.once pins each iteration's K-row centroid table so the
     * composed plan stays flat (the t24 round-frontier discipline). */
-  private[graft] def kmeansCentroids(fx: DataFrame): DataFrame = {
+  private[graft] def kmeansCentroids(fx: DataFrame,
+      k: Int = KmK): DataFrame = {
     val draw = conv(substring(md5(concat(col("vec_id").cast("string"),
       lit(":seed"))), 1, 8), 16, 10).cast("long")
     val seedIds = fx.select(col("vec_id"), draw.as("draw"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("draw")).as("nd"), (-col("vec_id")).as("nv"),
-          col("vec_id")), KmK).as("top"))
+          col("vec_id")), k).as("top"))
       .select(posexplode(col("top")))
       .select(col("pos").cast("int").as("cid"), col("col.vec_id").as("vec_id"))
     var cents = graft.ops.Subplan.once(
@@ -1191,10 +1192,11 @@ object Similarity {
     * kmProbeCells, so the measured recall is the recall of the
     * registered index. The probe side is N rows here, so the cell
     * join is a SHUFFLE_HASH on cid, not a broadcast. */
-  private[graft] def kmScoredAll(all: DataFrame): DataFrame = {
+  private[graft] def kmScoredAll(all: DataFrame,
+      k: Int = KmK): DataFrame = {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = kmeansCentroids(fx)
+    val cents = kmeansCentroids(fx, k)
     val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
     val probes = kmProbeCells(fx, cents)
     // K is single digits, so a bare cid join has ≤ K non-empty cells
@@ -1219,12 +1221,12 @@ object Similarity {
         cosine(col("qv"), col("v")).as("cos_sim"))
   }
 
-  private[graft] def kmNn1(all: DataFrame): DataFrame =
-    best1(kmScoredAll(all)
+  private[graft] def kmNn1(all: DataFrame, k: Int = KmK): DataFrame =
+    best1(kmScoredAll(all, k)
       .select(col("qid").as("vec_id"), col("nn_id"), col("cos_sim")))
 
-  private[graft] def kmCandidateCount(all: DataFrame): Long =
-    kmScoredAll(all).count()
+  private[graft] def kmCandidateCount(all: DataFrame, k: Int = KmK): Long =
+    kmScoredAll(all, k).count()
 
   /** Every vector's ADC-nearest neighbor within its 2 probed cells —
     * the recall twin of s16 (coarse miss + quantization loss in one
