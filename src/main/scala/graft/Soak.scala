@@ -49,11 +49,19 @@ object Soak {
     // curve — natural-corpus recall@1, candidate count, and the
     // planted-twin recall (see the --ann block for what each number
     // means).
-    if (args.contains("--ann-trained")) {
+    // The trained-family (s13/s16/s17) recall block — ONE definition
+    // shared by --ann and --ann-trained (they printed a copy-pasted
+    // drift-prone pair through round 11). Measures natural-corpus
+    // recall@1 + candidate count + wall, the planted-twin recall (the
+    // operational near-dup number — natural recall is margin-limited
+    // on a random corpus), the s13 K sweep, and the nprobe sweep at
+    // K=8. The registered point (k=8, nprobe=2) is measured ONCE and
+    // reused as the s13 row, the K curve's k8 entry, and the nprobe
+    // curve's np2 entry.
+    def trainedFamilyJson(exact: org.apache.spark.sql.DataFrame,
+        n: Long): String = {
       val all = ops.Subplan.once(
         ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
-      val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
-      val n = exact.count()
       def recallOf(approx: org.apache.spark.sql.DataFrame): (Long, Double) =
         timed(exact.select(col("vec_id"), col("nn_id"))
           .join(approx.select(col("vec_id"), col("nn_id").as("a_nn")),
@@ -62,6 +70,7 @@ object Soak {
       val (hKm, tKm) = recallOf(ext.Similarity.kmNn1(all))
       val (kmCand, _) = timed(ext.Similarity.kmCandidateCount(all))
       val (hAdc, tAdc) = recallOf(ext.Similarity.ivfadcNn1(all))
+      val (hRr, tRr) = recallOf(ext.Similarity.ivfadcRerankNn1(all))
       def twinRecallOf(nn1: org.apache.spark.sql.DataFrame): (Long, Double) =
         timed(nn1
           .filter(col("vec_id") < 1000000000L &&
@@ -71,22 +80,45 @@ object Soak {
       val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
       val (twKm, _) = twinRecallOf(ext.Similarity.kmNn1(planted))
       val (twAdc, _) = twinRecallOf(ext.Similarity.ivfadcNn1(planted))
+      val (twRr, _) = twinRecallOf(ext.Similarity.ivfadcRerankNn1(planted))
       // The K sweep — recall-vs-cost as the cell count grows (a user
-      // sizes K ~ √N; the registered K=8 is the oracle-demo point).
-      // Candidates shrink ~2/K of N² while recall tracks how well K
-      // cells carve the geometry.
-      val kCurve = Seq(8, 16, 32).map { k =>
+      // sizes K ~ √N; the registered K=8 is the oracle-demo point,
+      // reused, not retrained). Candidates shrink ~2/K of N² while
+      // recall tracks how well K cells carve the geometry.
+      val kCurve = (s""""k8":{"recall1":${hKm.toDouble / n},""" +
+        s""""cand":$kmCand,"sec":$tKm}""") +: Seq(16, 32).map { k =>
         val (hk, tk) = recallOf(ext.Similarity.kmNn1(all, k))
         val (ck, _) = timed(ext.Similarity.kmCandidateCount(all, k))
         s""""k$k":{"recall1":${hk.toDouble / n},"cand":$ck,"sec":$tk}"""
-      }.mkString(",")
-      println(
-        s"""{"dir":"$sfDir","mode":"ann-trained","n_vec":$n,""" +
-        s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
-        s""""twin_recall":${twKm.toDouble / nOrig}},""" +
-        s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
-        s""""twin_recall":${twAdc.toDouble / nOrig}},""" +
-        s""""s13_k_curve":{$kCurve}}""")
+      }
+      // The nprobe sweep — the OTHER axis of the probed-cells bound:
+      // at fixed K=8, probing more cells raises the candidate pool
+      // (~nprobe/K of N²) and with it the exact-cosine recall
+      // ceiling; the deployment law is "raise nprobe sublinearly as
+      // K grows". np2 is the registered point, reused.
+      val npCurve = (s""""np2":{"recall1":${hKm.toDouble / n},""" +
+        s""""cand":$kmCand,"sec":$tKm}""") +: Seq(1, 4).map { np =>
+        val (hp, tp) = recallOf(ext.Similarity.kmNn1(all, nprobe = np))
+        val (cp, _) = timed(ext.Similarity.kmCandidateCount(all, nprobe = np))
+        s""""np$np":{"recall1":${hp.toDouble / n},"cand":$cp,"sec":$tp}"""
+      }
+      s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
+      s""""twin_recall":${twKm.toDouble / nOrig}},""" +
+      s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
+      s""""twin_recall":${twAdc.toDouble / nOrig}},""" +
+      s""""s17":{"recall1":${hRr.toDouble / n},"sec":$tRr,""" +
+      s""""twin_recall":${twRr.toDouble / nOrig}},""" +
+      s""""s13_k_curve":{${kCurve.mkString(",")}},""" +
+      s""""s13_nprobe_curve":{${npCurve.mkString(",")}}"""
+    }
+
+    if (args.contains("--ann-trained")) {
+      val all = ops.Subplan.once(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
+      val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
+      val n = exact.count()
+      println(s"""{"dir":"$sfDir","mode":"ann-trained","n_vec":$n,""" +
+        trainedFamilyJson(exact, n) + "}")
       spark.stop()
       return
     }
@@ -127,41 +159,18 @@ object Soak {
         s""""$label":{"recall1":${h1.toDouble / n},"recall5":${h5.toDouble / n},""" +
           s""""cand":$cand,"sec":$tr}"""
       }.mkString(",")
-      // The TRAINED family (round 11): recall@1 of the learned-cell
-      // probe (s13 — exact cosine over 2/8 cells' members) and of
-      // full IVFADC (s16 — residual-table scoring over the same
-      // candidates; the gap between the two numbers IS the
-      // quantization loss, the gap from 1.0 the coarse-miss rate).
-      // Both ride the registered constructions' own library forms.
-      val (hKm, tKm) = recallOf(ext.Similarity.kmNn1(all))
-      val (kmCand, _) = timed(ext.Similarity.kmCandidateCount(all))
-      val (hAdc, tAdc) = recallOf(ext.Similarity.ivfadcNn1(all))
-      // Twin recall — the operational number for the dedup use case:
-      // on the d05 planted corpus (each vector + its 1.01-scaled twin
-      // at cosine ~1), the fraction of ORIGINALS whose NN-1 under the
-      // trained index is exactly their twin. The natural-corpus
-      // recall above is margin-limited (a random corpus's NN is
-      // barely closer than the rest — max natural cosine ~0.51, so
-      // quantized scoring cannot separate near-ties); the twin number
-      // measures whether the index finds a REAL near-duplicate.
-      def twinRecallOf(nn1: org.apache.spark.sql.DataFrame): (Long, Double) =
-        timed(nn1
-          .filter(col("vec_id") < 1000000000L &&
-            col("nn_id") === col("vec_id") + 1000000000L).count())
-      val planted = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
-        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
-      val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
-      val (twKm, _) = twinRecallOf(ext.Similarity.kmNn1(planted))
-      val (twAdc, _) = twinRecallOf(ext.Similarity.ivfadcNn1(planted))
+      // The TRAINED family (s13 probed-cells exact, s16 IVFADC, s17
+      // rerank-restored) — the shared trainedFamilyJson block: the
+      // s13→s16 gap IS the quantization loss, s16→s17 what the exact
+      // rerank claws back, and the twin rows the operational near-dup
+      // recall on the planted corpus (natural recall is
+      // margin-limited on random vectors).
       println(
         s"""{"dir":"$sfDir","mode":"ann","n_vec":$n,"exact_sec":$tExact,""" +
         s""""s05":{"hits":$h05,"recall":${h05.toDouble / n},"sec":$t05},""" +
         s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08},""" +
         s""""s08_curve":{$curve},""" +
-        s""""s13":{"recall1":${hKm.toDouble / n},"cand":$kmCand,"sec":$tKm,""" +
-        s""""twin_recall":${twKm.toDouble / nOrig}},""" +
-        s""""s16":{"recall1":${hAdc.toDouble / n},"sec":$tAdc,""" +
-        s""""twin_recall":${twAdc.toDouble / nOrig}}}""")
+        trainedFamilyJson(exact, n) + "}")
       spark.stop()
       return
     }

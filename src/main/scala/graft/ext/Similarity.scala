@@ -601,6 +601,20 @@ object Similarity {
     // hash-checked end-to-end.
     "s16_ivfadc" -> ((s, dir) => ivfadcQuery(s, dir)),
 
+    // IVFADC as a CANDIDATE RANKER + exact rerank — the deployment
+    // composition the s16 recall table prescribes (its natural-corpus
+    // ADC top-1 is margin-limited at 0.03–0.07; Jégou et al. 2011
+    // §V.C pair the shortlist with a full-precision rescore): the
+    // whole corpus is scored only in the 32×-compressed ADC domain
+    // (s16's machinery verbatim — ivfadcScored is ONE definition for
+    // both), each query keeps its RerankR best by ADC (bounded-heap
+    // partial agg), and ONLY those R·|Q| raw vectors are fetched
+    // (broadcast-restricted scan — the reference's keyed-read shape)
+    // and ranked by exact cosine. Recall@1 recovers toward the
+    // probed-cells exact bound (the kmScoredAll twin's number) while
+    // full-precision work stays R·|Q|, corpus-independent.
+    "s17_ivfadc_rerank" -> ((s, dir) => ivfadcRerankQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -919,7 +933,8 @@ object Similarity {
     * per-query top-k) — ONE definition for the in-lineage probe (s13)
     * and the landed-store probe (s15), so the two can only differ by
     * storage topology. `q` carries (vec_id, v, x). */
-  private def kmProbeCells(q: DataFrame, cents: DataFrame): DataFrame =
+  private def kmProbeCells(q: DataFrame, cents: DataFrame,
+      nprobe: Int = KmNProbe): DataFrame =
     q.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(cents.withColumn("one",
         graft.ops.ConstKey.one(col("cid")))), "one")
@@ -927,7 +942,7 @@ object Similarity {
       .groupBy(col("vec_id"), col("v"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("dist")).as("nd"), (-col("cid")).as("nc"), col("cid")),
-        KmNProbe).as("top"))
+        nprobe).as("top"))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(col("top")).as("t"))
       .select(col("qid"), col("qv"), col("t.cid").as("cid"))
@@ -961,7 +976,11 @@ object Similarity {
     * ≡ s13 (the build is deterministic), so s13's oracle states
     * both. */
   private def kmeansStoredQuery(s: SparkSession, dir: String): DataFrame = {
-    def fxOf = graft.ops.Subplan.once(
+    // lazy: pays the checkpoint only on the first-access build path,
+    // and then exactly ONCE even though both storedOrBuild blocks
+    // reference it (a `def` re-ran Subplan.once per block — two
+    // embeddings scans + two eager checkpoints of the same frame).
+    lazy val fxOf = graft.ops.Subplan.once(
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = graft.sources.SessionStore.storedOrBuild(
       s, "s15_cents", dir, Seq("cid")) { kmeansCentroids(fxOf) }
@@ -1151,7 +1170,15 @@ object Similarity {
     * per probed cell, so the broadcast carries ≤ 2 tables per query.
     * Everything is the established exact-integer arithmetic — the
     * unrolled oracle hash-checks the full composition. */
-  private def ivfadcQuery(s: SparkSession, dir: String): DataFrame = {
+  private def ivfadcQuery(s: SparkSession, dir: String): DataFrame =
+    pqAdcTop5(ivfadcScored(s, dir))
+
+  /** The ADC-scored candidate frame (qid, nn_id, adc) of the
+    * registered 10-query probe — the shared front of s16 (which tops
+    * it by ADC directly) and s17 (which reranks its ADC top-[[RerankR]]
+    * by exact cosine), so the two queries can only differ by their
+    * ranking tail. */
+  private def ivfadcScored(s: SparkSession, dir: String): DataFrame = {
     val fx = graft.ops.Subplan.once(
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = kmeansCentroids(fx)
@@ -1164,10 +1191,44 @@ object Similarity {
     val qtabs = ivfadcTables(
       kmProbeCells(fx.filter(col("vec_id") < 10), cents)
         .select(col("qid"), col("cid")), fx, cents, pqc)
-    val scored = codes.join(broadcast(qtabs), Seq("cid"))
+    codes.join(broadcast(qtabs), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
-    pqAdcTop5(scored)
+  }
+
+  /** Rerank depth: ADC candidates kept per query for the exact
+    * rescore. The knob trades one more scan-side fetch of R raw
+    * vectors per query against ADC's quantization-limited top-1 (the
+    * s16 recall table: ADC top-1 0.03–0.07 on near-tie natural
+    * corpora) — R deep enough that the true neighbor, which ADC
+    * ranks NEAR the top but not AT it, survives into the exact
+    * stage. */
+  private[graft] val RerankR = 20
+
+  /** The s17 body — IVFADC-as-candidate-ranker, the deployment shape
+    * the s16 recall table prescribes (Jégou et al. 2011 §V.C: ADC
+    * shortlist + exact reranking): keep each query's [[RerankR]] best
+    * candidates BY ADC (bounded-heap partial agg over the compressed
+    * scores — the corpus-sized work stays in the 32×-compressed
+    * domain), then fetch ONLY those R raw vectors (a broadcast
+    * semi-restricted scan — the reference's keyed-read shape,
+    * chip.py:39-51) and rank them by exact cosine. The expensive
+    * full-precision arithmetic touches R·|Q| rows, never the corpus. */
+  private def ivfadcRerankQuery(s: SparkSession, dir: String): DataFrame = {
+    val cand = ivfadcScored(s, dir)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
+          col("nn_id")), RerankR).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nn_id").as("nn_id"))
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(cand), e("vec_id") === cand("nn_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nn_id"), cosine(col("qv"), col("v")).as("cos_sim"))
+    topK(scored, col("qid"), 5)
   }
 
   /** Per-(query, probed-cell) residual ADC tables — the query's
@@ -1193,12 +1254,12 @@ object Similarity {
     * registered index. The probe side is N rows here, so the cell
     * join is a SHUFFLE_HASH on cid, not a broadcast. */
   private[graft] def kmScoredAll(all: DataFrame,
-      k: Int = KmK): DataFrame = {
+      k: Int = KmK, nprobe: Int = KmNProbe): DataFrame = {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = kmeansCentroids(fx, k)
     val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
-    val probes = kmProbeCells(fx, cents)
+    val probes = kmProbeCells(fx, cents, nprobe)
     // K is single digits, so a bare cid join has ≤ K non-empty cells
     // and a broadcast conversion would run the whole N²/K-candidate
     // score + partial agg in the checkpoint's ONE partition (a
@@ -1221,12 +1282,14 @@ object Similarity {
         cosine(col("qv"), col("v")).as("cos_sim"))
   }
 
-  private[graft] def kmNn1(all: DataFrame, k: Int = KmK): DataFrame =
-    best1(kmScoredAll(all, k)
+  private[graft] def kmNn1(all: DataFrame, k: Int = KmK,
+      nprobe: Int = KmNProbe): DataFrame =
+    best1(kmScoredAll(all, k, nprobe)
       .select(col("qid").as("vec_id"), col("nn_id"), col("cos_sim")))
 
-  private[graft] def kmCandidateCount(all: DataFrame, k: Int = KmK): Long =
-    kmScoredAll(all, k).count()
+  private[graft] def kmCandidateCount(all: DataFrame, k: Int = KmK,
+      nprobe: Int = KmNProbe): Long =
+    kmScoredAll(all, k, nprobe).count()
 
   /** Every vector's ADC-nearest neighbor within its 2 probed cells —
     * the recall twin of s16 (coarse miss + quantization loss in one
@@ -1259,6 +1322,46 @@ object Similarity {
       .agg(max(struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
         col("nn_id"))).as("best"))
       .select(col("qid").as("vec_id"), col("best.nn_id").as("nn_id"))
+  }
+
+  /** Every vector's rerank-restored nearest neighbor — the recall
+    * twin of s17, riding [[ivfadcNn1]]'s construction with the tail
+    * swapped: per-query ADC top-[[RerankR]] (bounded heap), then the
+    * exact-cosine best over only those R candidates. The measured gap
+    * to [[kmNn1]] (the probed-cells exact bound) is exactly what the
+    * shortlist depth loses. */
+  private[graft] def ivfadcRerankNn1(all: DataFrame,
+      r: Int = RerankR): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    val rfxs = graft.ops.Subplan.once(
+      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          residSubArr(col("x"), col("m")).as("subs")))
+    val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
+    val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    val qtabs = ivfadcTables(
+      kmProbeCells(fx, cents).select(col("qid"), col("cid")), fx, cents, pqc)
+    val blocks = 32
+    val salted = codes.withColumn("blk",
+      pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
+    val qtabsAll = qtabs.withColumn("blk",
+      explode(array((0 until blocks).map(lit): _*)))
+    val cand = salted.join(qtabsAll, Seq("cid", "blk"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
+          col("nn_id")), r).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nn_id").as("nn_id"))
+    best1(cand
+      .join(all.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
+      .join(all.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .select(col("qid").as("vec_id"), col("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim")))
   }
 
   /** s03's block-grid width: the corpus splits into B = 32 blocks
@@ -1502,12 +1605,14 @@ object Similarity {
        |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
        |FROM rnk WHERE rk <= 5""".stripMargin
 
-  /** The s16 oracle: the s13 coarse chain verbatim, residual
-    * subvectors off its `post`, the SAME PQ chain generator over
-    * them, then ADC restricted to each query's 2 probed cells with
-    * the query's PER-CELL residual tables. */
-  private def ivfadcOracleSql: String =
-    s"""WITH $kmeansChainCtes,
+  /** The s16/s17 shared oracle front — the s13 coarse chain verbatim,
+    * residual subvectors off its `post`, the SAME PQ chain generator
+    * over them, then ADC restricted to each query's 2 probed cells
+    * with the query's PER-CELL residual tables. Ends at the `adc`
+    * CTE: s16 ranks it directly, s17 reranks its top-[[RerankR]] —
+    * one statement of the candidate scoring for both. */
+  private def ivfadcAdcCtes: String =
+    s"""$kmeansChainCtes,
        |rsv AS (SELECT p.vec_id, u.sub,
        |    [p.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
        |     for i in generate_series(1, $PqSubDim)] AS xs
@@ -1529,11 +1634,35 @@ object Similarity {
        |  FROM codes p JOIN qtab t
        |    ON t.ccell = p.ccell AND t.sub = p.sub AND t.cid = p.cid
        |  WHERE p.vec_id <> t.qid
-       |  GROUP BY t.qid, p.vec_id),
+       |  GROUP BY t.qid, p.vec_id)""".stripMargin
+
+  private def ivfadcOracleSql: String =
+    s"""WITH $ivfadcAdcCtes,
        |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
        |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
        |  FROM adc)
        |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+       |FROM rnk WHERE rk <= 5""".stripMargin
+
+  /** The s17 oracle: the SAME adc chain, each query's ADC
+    * top-[[RerankR]] (the (adc, nn_id) tie-break pqAdcTop5 states),
+    * rescored by exact cosine over the raw vectors. */
+  private def ivfadcRerankOracleSql: String =
+    s"""WITH $ivfadcAdcCtes,
+       |cr AS (SELECT qid, nn_id FROM (
+       |  SELECT qid, nn_id, ROW_NUMBER() OVER
+       |      (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS crk
+       |    FROM adc) WHERE crk <= $RerankR),
+       |rescored AS (SELECT c.qid, c.nn_id,
+       |    list_dot_product(qe.v, ge.v)
+       |      / (sqrt(list_dot_product(qe.v, qe.v))
+       |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+       |  FROM cr c JOIN e qe ON qe.vec_id = c.qid
+       |  JOIN e ge ON ge.vec_id = c.nn_id),
+       |rnk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+       |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+       |  FROM rescored)
+       |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM rnk WHERE rk <= 5""".stripMargin
 
   private val cosSql =
@@ -1772,6 +1901,7 @@ object Similarity {
     // storage topology is not oracle-visible (s12's discipline).
     "s15_ivf_kmeans_stored" -> kmeansOracleSql,
     "s16_ivfadc" -> ivfadcOracleSql,
+    "s17_ivfadc_rerank" -> ivfadcRerankOracleSql,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -48,19 +48,41 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  // The three integer-vector expressions document their edge behavior
+  // in the usage string because it DIVERGES from the composable
+  // zip_with/element_at folds they are otherwise bit-identical to:
+  // those would yield NULL on a length mismatch / out-of-range code,
+  // while these skip the excess elements — internal callers always
+  // pass well-formed inputs, but an ad-hoc SQL user must not mistake
+  // the truncated sum for the full one.
   val sqDistLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sq_dist_long"),
-    new ExpressionInfo(classOf[SqDistLong].getName, "sq_dist_long"),
+    new ExpressionInfo(classOf[SqDistLong].getName, null, "sq_dist_long",
+      "sq_dist_long(x, y) - exact int64 squared L2 distance between two " +
+        "array<bigint>. If the arrays differ in length, the excess " +
+        "elements of the longer one are IGNORED (the equivalent " +
+        "aggregate(zip_with(...)) fold would return NULL instead).", ""),
     (children: Seq[Expression]) => SqDistLong(children(0), children(1)))
 
   val nearestIdDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nearest_id"),
-    new ExpressionInfo(classOf[NearestId].getName, "nearest_id"),
+    new ExpressionInfo(classOf[NearestId].getName, null, "nearest_id",
+      "nearest_id(x, cents) - cid of the centroid in " +
+        "cents: array<struct<cid int, m array<bigint>>> nearest to " +
+        "x: array<bigint> by exact int64 squared L2; ties break to the " +
+        "lowest cid. Returns NULL on an empty centroid array; per-centroid " +
+        "distances ignore excess elements on a length mismatch (see " +
+        "sq_dist_long).", ""),
     (children: Seq[Expression]) => NearestId(children(0), children(1)))
 
   val pqAdcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("pq_adc"),
-    new ExpressionInfo(classOf[PqAdcLookup].getName, "pq_adc"),
+    new ExpressionInfo(classOf[PqAdcLookup].getName, null, "pq_adc",
+      "pq_adc(codes, qt) - asymmetric-distance sum over " +
+        "codes: array<int> and qt: array<array<bigint>>: " +
+        "sum of qt[s][codes[s]] for each subspace s. Subspaces beyond " +
+        "either array's length and out-of-range codes are SKIPPED " +
+        "(the equivalent element_at fold would return NULL).", ""),
     (children: Seq[Expression]) => PqAdcLookup(children(0), children(1)))
 
   /** Imperative registration for an already-built session. */

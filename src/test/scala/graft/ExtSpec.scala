@@ -722,6 +722,24 @@ class ExtSpec extends AnyFunSuite {
     assert(s15.nonEmpty)
   }
 
+  test("s17 rerank with a full-depth shortlist restores the probed-cells exact NN-1") {
+    // The rerank tail's whole contract: ADC only SHORTLISTS — the
+    // exact-cosine rescore decides. With the shortlist deeper than
+    // any query's candidate pool, every probed-cells candidate
+    // reaches the exact stage, so s17's twin must equal s13's
+    // probed-cells exact NN-1 (kmNn1) pair-for-pair; the registered
+    // RerankR=20 can then only lose what the shortlist DEPTH cuts,
+    // never what ADC mis-ranks inside it.
+    val all = ops.Subplan.once(
+      ext.Similarity.emb(spark, sf).select(col("vec_id"), col("v")))
+    val exact = ext.Similarity.kmNn1(all).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))).toSet
+    val rr = ext.Similarity.ivfadcRerankNn1(all, r = 10000).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))).toSet
+    assert(rr == exact)
+    assert(rr.nonEmpty)
+  }
+
   test("s07 quantized rerank: exact integer ranks, near the float-cosine order") {
     val rows = SparkEntry.queries("s07_quantized_topk")(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),

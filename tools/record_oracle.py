@@ -33,6 +33,13 @@ def main():
             n_fail += 1
     if not queries:
         sys.exit("no PASS/FAIL lines found in " + log_path)
+    # Refuse BEFORE emitting anything: the documented usage redirects
+    # stdout into bench/oracle_<label>.json, so writing the record and
+    # THEN exiting 1 would still truncate the previous good evidence
+    # file with a red run's record.
+    if n_fail:
+        sys.exit(f"{n_fail} FAIL/ERROR lines in {log_path} - refusing to "
+                 "emit an evidence record for a red run")
     record = {
         "sf": sf_label,
         "date": datetime.date.today().isoformat(),
@@ -45,8 +52,6 @@ def main():
     }
     json.dump(record, sys.stdout, indent=1)
     print()
-    if n_fail:
-        sys.exit(1)
 
 
 if __name__ == "__main__":
