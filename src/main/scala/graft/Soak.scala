@@ -71,6 +71,11 @@ object Soak {
       val (kmCand, _) = timed(ext.Similarity.kmCandidateCount(all))
       val (hAdc, tAdc) = recallOf(ext.Similarity.ivfadcNn1(all))
       val (hRr, tRr) = recallOf(ext.Similarity.ivfadcRerankNn1(all))
+      // Sampled-training recall (s19): same probe topology, centroids
+      // from the 1/8 md5 draw — the row that backs "recall within
+      // noise of full-corpus training".
+      val (hSm, tSm) = recallOf(ext.Similarity.kmNn1(all,
+        trainFilter = Some(ext.Similarity.trainSampleVec)))
       def twinRecallOf(nn1: org.apache.spark.sql.DataFrame): (Long, Double) =
         timed(nn1
           .filter(col("vec_id") < 1000000000L &&
@@ -108,6 +113,7 @@ object Soak {
       s""""twin_recall":${twAdc.toDouble / nOrig}},""" +
       s""""s17":{"recall1":${hRr.toDouble / n},"sec":$tRr,""" +
       s""""twin_recall":${twRr.toDouble / nOrig}},""" +
+      s""""s19":{"recall1":${hSm.toDouble / n},"sec":$tSm},""" +
       s""""s13_k_curve":{${kCurve.mkString(",")}},""" +
       s""""s13_nprobe_curve":{${npCurve.mkString(",")}}"""
     }

@@ -615,6 +615,34 @@ object Similarity {
     // full-precision work stays R·|Q|, corpus-independent.
     "s17_ivfadc_rerank" -> ((s, dir) => ivfadcRerankQuery(s, dir)),
 
+    // Incremental maintenance of the LANDED trained index — the gap
+    // between "an index you can build" and "an index you can keep":
+    // new vectors are assigned against the STORED centroids (IVF
+    // inserts never retrain — the model is fixed at build time) and
+    // upserted into the cell-partitioned postings store as whole
+    // key-groups, s15's probe running unchanged against the upserted
+    // table. See the kmeansUpsertQuery Scaladoc for the full
+    // topology; the oracle trains on the pre-batch corpus and
+    // assigns the full one — exactly what stored ∪ upserted equals
+    // because kmAssign is the ONE assignment definition.
+    "s18_ivf_kmeans_upsert" -> ((s, dir) => kmeansUpsertQuery(s, dir)),
+
+    // SAMPLED quantizer training — the production IVF discipline
+    // (train on a bounded sample, assign everything once): s13's
+    // probe/rank over centroids whose Lloyd rounds saw only the 1/8
+    // md5 draw. At 100 TB the training term drops from
+    // rounds × corpus to rounds × sample; recall moves within noise
+    // (the Soak --ann-trained s19 row measures it).
+    "s19_ivf_kmeans_sampled" -> ((s, dir) => kmeansSampledQuery(s, dir)),
+
+    // Sampled IVFADC — BOTH quantizers (coarse cells and residual
+    // codebooks) trained on the same 1/8 draw, encode + probe over
+    // the full corpus: s16's machinery with trainFilter threaded
+    // through ivfadcScored, so the sampled and full variants share
+    // every definition.
+    "s20_ivfadc_sampled" -> ((s, dir) =>
+      pqAdcTop5(ivfadcScored(s, dir, Some(trainSampleVec)))),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -933,7 +961,7 @@ object Similarity {
     * per-query top-k) — ONE definition for the in-lineage probe (s13)
     * and the landed-store probe (s15), so the two can only differ by
     * storage topology. `q` carries (vec_id, v, x). */
-  private def kmProbeCells(q: DataFrame, cents: DataFrame,
+  private[graft] def kmProbeCells(q: DataFrame, cents: DataFrame,
       nprobe: Int = KmNProbe): DataFrame =
     q.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(cents.withColumn("one",
@@ -947,8 +975,8 @@ object Similarity {
         explode(col("top")).as("t"))
       .select(col("qid"), col("qv"), col("t.cid").as("cid"))
 
-  /** The probed-cells cosine top-5 — shared tail of s13/s15. */
-  private def kmProbedTop5(post: DataFrame, probes: DataFrame): DataFrame = {
+  /** The probed-cells cosine top-5 — shared tail of s13/s15/s18/s19. */
+  private[graft] def kmProbedTop5(post: DataFrame, probes: DataFrame): DataFrame = {
     val scored = post.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"),
@@ -988,6 +1016,96 @@ object Similarity {
       s, "s15_postings", dir, Seq("vec_id"), Seq("cid")) {
       kmAssign(fxOf, cents).select(col("vec_id"), col("v"), col("cid"))
     }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    kmProbedTop5(post, kmProbeCells(q, cents))
+  }
+
+  /** The s18 batch draw — the t08 md5 split read as ARRIVAL ORDER:
+    * the drawn 1/8 are vectors that arrive AFTER the index was built
+    * over the rest. ONE definition with [[annBatchSqlPred]], its SQL
+    * statement. */
+  private[graft] def annBatchVec: Column =
+    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":ann"))),
+      1, 8), 16, 10).cast("long") % 8 === 0
+
+  private val annBatchSqlPred =
+    "('0x' || substr(md5(vec_id || ':ann'), 1, 8))::BIGINT % 8 = 0"
+
+  /** The s19/s20 sampled-training draw — t08's md5 discipline applied
+    * to quantizer TRAINING: Lloyd/PQ see only the deterministic 1/8
+    * sample (production IVF/PQ trains on ~10⁶ vectors however big the
+    * corpus — the training scans decouple from corpus size), the
+    * assignment pass covers everything. ONE definition with
+    * [[trainSampleSqlPred]]. */
+  private[graft] def trainSampleVec: Column =
+    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":tr"))),
+      1, 8), 16, 10).cast("long") % 8 === 0
+
+  private val trainSampleSqlPred =
+    "('0x' || substr(md5(vec_id || ':tr'), 1, 8))::BIGINT % 8 = 0"
+
+  /** The s19 body — s13 with TRAINING DECOUPLED FROM CORPUS SIZE:
+    * the [[KmIters]] Lloyd scans run over the 1/8 md5 sample only
+    * (at 100 TB that is the difference between `rounds × corpus`
+    * scans and `rounds × sample` + ONE full assignment); the index
+    * build, probe, and ranking are s13's verbatim. Same probe
+    * topology, slightly different learned cells — the oracle trains
+    * on the same sample, so the whole chain stays hash-checked. */
+  private def kmeansSampledQuery(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx.filter(trainSampleVec))
+    val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
+    kmProbedTop5(post, kmProbeCells(fx.filter(col("vec_id") < 10), cents))
+  }
+
+  /** The s18 body — incremental maintenance of the LANDED trained
+    * index (t21's delta discipline applied to s15; the reference's
+    * append-upsert sink contract, cassandra.py:45-63): the stored
+    * model (centroids trained on the pre-batch corpus) and the
+    * cell-partitioned postings live in tables; a new batch of vectors
+    * is assigned against the STORED centroids — one [[kmAssign]]
+    * broadcast map over the batch only, IVF inserts never retrain —
+    * and upserted into the postings store as whole key-groups
+    * ([[graft.sources.Sink.write]] dynamic partition overwrite
+    * rewrites exactly the ≤ K cells the batch lands in; untouched
+    * cells' files are not even opened). The probe then reads the
+    * upserted store under s15's dynamic partition pruning. Because
+    * [[kmAssign]] is THE one assignment definition, stored ∪ upserted
+    * ≡ assigning the full corpus with these centroids — which is what
+    * the oracle states (ExtSpec pins the identity in-engine;
+    * idempotence too: re-upserting the same batch rewrites the same
+    * rows). Repeat invocations — the bench's best-of — pay the
+    * per-batch delta: batch assign + ≤ K-partition rewrite + probe. */
+  private def kmeansUpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val fxAll = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s18_cents", dir, Seq("cid")) {
+      kmeansCentroids(fxAll.filter(!annBatchVec))
+    }
+    val postPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s18_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(fxAll.filter(!annBatchVec), cents)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
+    // The delta: assign ONLY the batch against the stored model.
+    val batchAsg = graft.ops.Subplan.once(
+      kmAssign(fxAll.filter(annBatchVec), cents)
+        .select(col("vec_id"), col("v"), col("cid")))
+    // Whole-key-group upsert: the touched cells' merged content is
+    // (stored rows of those cells) ∪ (batch rows) — materialized
+    // BEFORE the write (localCheckpoint) so the dynamic partition
+    // overwrite never reads the files it is replacing. Batch and
+    // stored ids are disjoint by the draw; the pk dedup makes a
+    // repeated upsert of the same batch idempotent.
+    val stored = s.read.parquet(postPath)
+    val touched = broadcast(batchAsg.select(col("cid")).distinct())
+    val merged = graft.ops.Subplan.once(
+      stored.join(touched, Seq("cid"), "left_semi").unionByName(batchAsg))
+    graft.sources.Sink.write(merged, postPath, Seq("vec_id"), Seq("cid"))
+    val post = s.read.parquet(postPath)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
     kmProbedTop5(post, kmProbeCells(q, cents))
@@ -1175,18 +1293,22 @@ object Similarity {
 
   /** The ADC-scored candidate frame (qid, nn_id, adc) of the
     * registered 10-query probe — the shared front of s16 (which tops
-    * it by ADC directly) and s17 (which reranks its ADC top-[[RerankR]]
-    * by exact cosine), so the two queries can only differ by their
-    * ranking tail. */
-  private def ivfadcScored(s: SparkSession, dir: String): DataFrame = {
+    * it by ADC directly), s17 (which reranks its ADC top-[[RerankR]]
+    * by exact cosine) and s20 (which trains both quantizers on the
+    * `trainFilter` sample only), so the variants can only differ by
+    * their ranking tail / training source. */
+  private def ivfadcScored(s: SparkSession, dir: String,
+      trainFilter: Option[Column] = None): DataFrame = {
+    val trainOf: DataFrame => DataFrame =
+      df => trainFilter.map(df.filter).getOrElse(df)
     val fx = graft.ops.Subplan.once(
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = kmeansCentroids(fx)
+    val cents = kmeansCentroids(trainOf(fx))
     val rfxs = graft.ops.Subplan.once(
       kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
         .select(col("vec_id"), col("cid"),
           residSubArr(col("x"), col("m")).as("subs")))
-    val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
+    val pqc = pqCodebooks(trainOf(rfxs).select(col("vec_id"), col("subs")))
     val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
     val qtabs = ivfadcTables(
       kmProbeCells(fx.filter(col("vec_id") < 10), cents)
@@ -1254,10 +1376,12 @@ object Similarity {
     * registered index. The probe side is N rows here, so the cell
     * join is a SHUFFLE_HASH on cid, not a broadcast. */
   private[graft] def kmScoredAll(all: DataFrame,
-      k: Int = KmK, nprobe: Int = KmNProbe): DataFrame = {
+      k: Int = KmK, nprobe: Int = KmNProbe,
+      trainFilter: Option[Column] = None): DataFrame = {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = kmeansCentroids(fx, k)
+    val cents = kmeansCentroids(
+      trainFilter.map(fx.filter).getOrElse(fx), k)
     val post = kmAssign(fx, cents).select(col("vec_id"), col("v"), col("cid"))
     val probes = kmProbeCells(fx, cents, nprobe)
     // K is single digits, so a bare cid join has ≤ K non-empty cells
@@ -1283,8 +1407,9 @@ object Similarity {
   }
 
   private[graft] def kmNn1(all: DataFrame, k: Int = KmK,
-      nprobe: Int = KmNProbe): DataFrame =
-    best1(kmScoredAll(all, k, nprobe)
+      nprobe: Int = KmNProbe,
+      trainFilter: Option[Column] = None): DataFrame =
+    best1(kmScoredAll(all, k, nprobe, trainFilter)
       .select(col("qid").as("vec_id"), col("nn_id"), col("cos_sim")))
 
   private[graft] def kmCandidateCount(all: DataFrame, k: Int = KmK,
@@ -1480,14 +1605,24 @@ object Similarity {
   /** The coarse-quantizer CTE chain (e, fx, cent0..cent[[KmIters]],
     * post with the lattice point, pr = each query's 2 probe cells) —
     * ONE statement of the s13 training loop shared by the s13/s15
-    * oracle and the s16 IVFADC oracle built on its residuals. */
-  private def kmeansChainCtes: String = {
+    * oracle, the s16/s17 IVFADC oracles built on its residuals, and
+    * (via `trainPred`) the restricted-training variants: s18 trains
+    * on the pre-batch corpus, s19 on the md5 sample. Seeding and the
+    * Lloyd rounds run over the training subset; `post` (the index)
+    * and `pr` (the probes) always assign over the FULL corpus — the
+    * train-then-apply split. */
+  private def kmeansChainCtes: String = kmeansChainCtesOver(None)
+
+  private def kmeansChainCtesOver(trainPred: Option[String]): String = {
+    val src = if (trainPred.isDefined) "tr" else "fx"
+    val trCte = trainPred
+      .map(p => s"tr AS (SELECT * FROM fx WHERE $p),\n").getOrElse("")
     val rounds = (1 to KmIters).map { it =>
       val p = it - 1
       s"""asg$it AS (SELECT vec_id, x, cid FROM (
          |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
          |    ORDER BY ${sqlDist("s.x", "c.m")}, c.cid) AS rn
-         |  FROM fx s, cent$p c) WHERE rn = 1),
+         |  FROM $src s, cent$p c) WHERE rn = 1),
          |cent$it AS (SELECT p.cid, COALESCE(n.m, p.m) AS m FROM cent$p p
          |  LEFT JOIN (SELECT cid, list(mi ORDER BY i) AS m FROM (
          |    SELECT cid, u.i,
@@ -1502,10 +1637,10 @@ object Similarity {
        |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
        |     for i in generate_series(1, 64)] AS x
        |  FROM e),
-       |cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, x AS m FROM (
+       |${trCte}cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, x AS m FROM (
        |  SELECT x, ROW_NUMBER() OVER (ORDER BY
        |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
-       |  FROM fx) WHERE rn <= $KmK),
+       |  FROM $src) WHERE rn <= $KmK),
        |$rounds,
        |post AS (SELECT vec_id, x, cid FROM (
        |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -1518,8 +1653,10 @@ object Similarity {
       .stripMargin
   }
 
-  private def kmeansOracleSql: String =
-    s"""WITH $kmeansChainCtes,
+  private def kmeansOracleSql: String = kmeansOracleSqlOver(None)
+
+  private def kmeansOracleSqlOver(trainPred: Option[String]): String =
+    s"""WITH ${kmeansChainCtesOver(trainPred)},
        |cand AS (SELECT p.qid, g.vec_id AS nn_id
        |  FROM pr p JOIN post g ON g.cid = p.cid WHERE g.vec_id <> p.qid),
        |scored AS (SELECT c.qid, c.nn_id,
@@ -1544,18 +1681,25 @@ object Similarity {
   /** The grouped-Lloyd PQ CTE chain over a subvector CTE
     * `sv`(vec_id, sub, xs): `${pfx}seeds`, `${pfx}cent0..N`, and
     * `${pfx}post`(vec_id, sub, cid) — the final code assignment. ONE
-    * generator for the s14 oracle (subvectors of the raw lattice) and
-    * the s16 oracle (subvectors of the coarse residuals), so the two
-    * PQ trainings can only differ by their input frame. Assumes a
-    * `fx`(vec_id, ...) CTE exists for the seed draw. */
-  private def pqChainCtes(sv: String, pfx: String): String = {
+    * generator for the s14 oracle (subvectors of the raw lattice),
+    * the s16/s17 oracles (subvectors of the coarse residuals) and the
+    * s20 sampled variant: `trainSv`/`seedWhere` restrict the seed
+    * draw and the Lloyd rounds to the training subset while
+    * `${pfx}post` always encodes all of `sv` — the train-then-apply
+    * split. Assumes a `fx`(vec_id, ...) CTE exists for the seed
+    * draw. */
+  private def pqChainCtes(sv: String, pfx: String,
+      trainSv: Option[String] = None,
+      seedWhere: Option[String] = None): String = {
+    val tr = trainSv.getOrElse(sv)
+    val seedsFrom = "fx" + seedWhere.map(p => s" WHERE $p").getOrElse("")
     val rounds = (1 to PqIters).map { it =>
       val p = it - 1
       s"""${pfx}asg$it AS (SELECT vec_id, sub, xs, cid FROM (
          |  SELECT s.vec_id, s.sub, s.xs, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
          |      ORDER BY ${sqlDist("s.xs", "c.m", PqSubDim)}, c.cid) AS rn
-         |  FROM $sv s JOIN ${pfx}cent$p c ON c.sub = s.sub) WHERE rn = 1),
+         |  FROM $tr s JOIN ${pfx}cent$p c ON c.sub = s.sub) WHERE rn = 1),
          |${pfx}cent$it AS (SELECT p.sub, p.cid, COALESCE(n.m, p.m) AS m
          |  FROM ${pfx}cent$p p
          |  LEFT JOIN (SELECT sub, cid, list(mi ORDER BY i) AS m FROM (
@@ -1569,7 +1713,7 @@ object Similarity {
     s"""${pfx}seeds AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
        |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
-       |  FROM fx) WHERE rn <= $PqK),
+       |  FROM $seedsFrom) WHERE rn <= $PqK),
        |${pfx}cent0 AS (SELECT s.sub, sd.cid, s.xs AS m
        |  FROM $sv s JOIN ${pfx}seeds sd USING (vec_id)),
        |$rounds,
@@ -1611,14 +1755,19 @@ object Similarity {
     * with the query's PER-CELL residual tables. Ends at the `adc`
     * CTE: s16 ranks it directly, s17 reranks its top-[[RerankR]] —
     * one statement of the candidate scoring for both. */
-  private def ivfadcAdcCtes: String =
-    s"""$kmeansChainCtes,
+  private def ivfadcAdcCtes: String = ivfadcAdcCtesOver(None)
+
+  private def ivfadcAdcCtesOver(trainPred: Option[String]): String = {
+    val rtrCte = trainPred
+      .map(p => s"rtr AS (SELECT * FROM rsv WHERE $p),\n").getOrElse("")
+    s"""${kmeansChainCtesOver(trainPred)},
        |rsv AS (SELECT p.vec_id, u.sub,
        |    [p.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
        |     for i in generate_series(1, $PqSubDim)] AS xs
        |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid,
        |       unnest(generate_series(0, ${PqSubs - 1})) u(sub)),
-       |${pqChainCtes("rsv", "r")},
+       |$rtrCte${pqChainCtes("rsv", "r",
+          trainPred.map(_ => "rtr"), trainPred)},
        |qres AS (SELECT pr.qid, pr.cid AS ccell, u.sub,
        |    [q.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
        |     for i in generate_series(1, $PqSubDim)] AS xs
@@ -1635,6 +1784,7 @@ object Similarity {
        |    ON t.ccell = p.ccell AND t.sub = p.sub AND t.cid = p.cid
        |  WHERE p.vec_id <> t.qid
        |  GROUP BY t.qid, p.vec_id)""".stripMargin
+  }
 
   private def ivfadcOracleSql: String =
     s"""WITH $ivfadcAdcCtes,
@@ -1902,6 +2052,19 @@ object Similarity {
     "s15_ivf_kmeans_stored" -> kmeansOracleSql,
     "s16_ivfadc" -> ivfadcOracleSql,
     "s17_ivfadc_rerank" -> ivfadcRerankOracleSql,
+    // Centroids trained on the pre-batch corpus (NOT the batch draw),
+    // postings/probes over the full one — the upserted store's
+    // content by construction.
+    "s18_ivf_kmeans_upsert" ->
+      kmeansOracleSqlOver(Some(s"NOT ($annBatchSqlPred)")),
+    "s19_ivf_kmeans_sampled" -> kmeansOracleSqlOver(Some(trainSampleSqlPred)),
+    "s20_ivfadc_sampled" ->
+      s"""WITH ${ivfadcAdcCtesOver(Some(trainSampleSqlPred))},
+         |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+         |  FROM adc)
+         |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
     "s03_embedding_nn1" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -42,17 +42,26 @@ object SessionStore {
     * scan. */
   def storedOrBuild(spark: SparkSession, name: String, dir: String,
       pk: Seq[String], partitionCols: Seq[String] = Nil)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    spark.read.parquet(pathOrBuild(spark, name, dir, pk, partitionCols)(build))
+
+  /** The stored table's PATH, building + landing it on first access —
+    * for maintenance queries that must WRITE BACK into the store (the
+    * s18 partition upsert: [[Sink.write]] with `partitionCols` onto
+    * this path replaces exactly the key-groups a batch touches).
+    * Read-only callers use [[storedOrBuild]]. */
+  def pathOrBuild(spark: SparkSession, name: String, dir: String,
+      pk: Seq[String], partitionCols: Seq[String] = Nil)
+      (build: => DataFrame): String = {
     // md5 of the full path, not String.hashCode: a 32-bit hash
     // collision between two fixture dirs in one JVM would silently
     // serve one corpus's stored table to the other.
     val key = s"${name}_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val path = built.computeIfAbsent(key, _ => {
+    built.computeIfAbsent(key, _ => {
       val p = s"$root/$key"
       Sink.write(build, p, pk, partitionCols)
       p
     })
-    spark.read.parquet(path)
   }
 }

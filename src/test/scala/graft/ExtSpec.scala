@@ -722,6 +722,35 @@ class ExtSpec extends AnyFunSuite {
     assert(s15.nonEmpty)
   }
 
+  test("s18 upserted landed index: probe ≡ full assignment with the stored " +
+      "model, and the upsert is idempotent") {
+    // The maintenance identity (the d14/t21 discipline for ANN): the
+    // stored postings after the batch upsert must equal assigning the
+    // FULL corpus against the stored (pre-batch-trained) centroids —
+    // kmAssign is the one assignment definition, so the probe answers
+    // must match row-for-row. A second invocation re-applies the same
+    // upsert onto the already-upserted store; the pk dedup makes that
+    // a rewrite of identical rows, so the answer must not move.
+    val got = SparkEntry.queries("s18_ivf_kmeans_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fx = ops.Subplan.once(ext.Similarity.emb(spark, sf)
+      .select(col("vec_id"), col("v"),
+        org.apache.spark.sql.functions.transform(col("v"),
+          e => floor(e * lit(1048576.0)).cast("long")).as("x")))
+    val cents = ext.Similarity.kmeansCentroids(
+      fx.filter(!ext.Similarity.annBatchVec))
+    val expected = ext.Similarity.kmProbedTop5(
+      ext.Similarity.kmAssign(fx, cents)
+        .select(col("vec_id"), col("v"), col("cid")),
+      ext.Similarity.kmProbeCells(fx.filter(col("vec_id") < 10), cents))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    val again = SparkEntry.queries("s18_ivf_kmeans_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == got, "a re-applied upsert must not change the store")
+  }
+
   test("s17 rerank with a full-depth shortlist restores the probed-cells exact NN-1") {
     // The rerank tail's whole contract: ADC only SHORTLISTS — the
     // exact-cosine rescore decides. With the shortlist deeper than

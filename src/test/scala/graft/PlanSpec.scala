@@ -360,6 +360,23 @@ class PlanSpec extends AnyFunSuite {
       s"the stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s18: the upserted landed index probes under dynamic partition " +
+      "pruning; the batch assignment never shuffles the store") {
+    // s15's probe pin holds ACROSS the upsert: the probe must read
+    // only the 2 probed cells' partitions of the rewritten store, and
+    // the whole maintenance plan (batch assign + probe) must never
+    // shuffle corpus rows for a join — the batch side is the only
+    // moving part.
+    val p = plan("s18_ivf_kmeans_upsert")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the upserted postings scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
