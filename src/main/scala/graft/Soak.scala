@@ -223,6 +223,27 @@ object Soak {
       return
     }
 
+    // Batched-BPE depth mode (`Soak <dir> --bpe-batch <rounds> <batch>`):
+    // t28's production-depth claim measured — total merges emitted and
+    // s/MERGE (t24's bound is s/ROUND ≈ s/merge; batching divides the
+    // round cost across up to `batch` merges).
+    if (args.contains("--bpe-batch")) {
+      val i = args.indexOf("--bpe-batch")
+      require(i + 2 < args.length,
+        "usage: Soak <dir> --bpe-batch <rounds> <batch>")
+      val (rounds, batch) = (args(i + 1).toInt, args(i + 2).toInt)
+      val docs = Tables(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      val merges = ext.Text.bpeBatchTrain(docs, rounds, batch).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"dir":"$sfDir","mode":"bpe-batch","rounds":$rounds,""" +
+        s""""batch":$batch,"merges":$merges,"sec":$sec,""" +
+        s""""sec_per_round":${sec / rounds},""" +
+        s""""sec_per_merge":${sec / math.max(merges, 1)}}""")
+      spark.stop()
+      return
+    }
+
     val d = Tables(spark, sfDir, "documents")
 
     // Corpus shape: shingle document frequencies.

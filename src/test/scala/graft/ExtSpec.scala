@@ -1490,6 +1490,31 @@ class ExtSpec extends AnyFunSuite {
     assert(chain == Map("aaa" -> List("aaa")))
   }
 
+  test("t28 batched bpe equals sequential t24 when no batch pair interacts") {
+    import spark.implicits._
+    // The non-interaction contract, pinned on a corpus built so the
+    // top pairs are symbol-disjoint AND independent (each word holds
+    // exactly one mergeable pair, so no merge changes any other
+    // pair's count): batched selection sees exactly Sennrich's counts
+    // and must emit exactly Sennrich's merges, in Sennrich's order.
+    val corpus = Seq("xy xy xy xy uv uv uv qr qr mn").toDF("text")
+    val seq4 = ext.Text.bpeTrain(corpus, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val bat4 = ext.Text.bpeBatchTrain(corpus, rounds = 1, batch = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(bat4.toSeq == seq4.toSeq)
+    assert(bat4.length == 4)
+    // The interaction guard actually guards: with "ab" and "bc" both
+    // frequent, (a,b) outranks and (b,c) shares b — one round must
+    // select (a,b) but NOT (b,c).
+    val clash = Seq("ab ab ab bc bc").toDF("text")
+    val got = ext.Text.bpeBatchTrain(clash, rounds = 1, batch = 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "b")))
+  }
+
   test("t26 bpe apply: merge replay reproduces the vocab for seen words " +
       "and segments unseen words through the merges") {
     import spark.implicits._
