@@ -96,6 +96,17 @@ object Soak {
         val (ck, _) = timed(ext.Similarity.kmCandidateCount(all, k))
         s""""k$k":{"recall1":${hk.toDouble / n},"cand":$ck,"sec":$tk}"""
       }
+      // The shortlist-depth sweep — s17's knob: how much of the
+      // probed-cells exact bound (the s13 row) each rerank depth
+      // recovers. r=RerankR (the registered point, reused) is the
+      // deepest; the shallower points show the recall the depth
+      // buys.
+      val rCurve = Seq(ext.Similarity.RerankR / 10,
+        ext.Similarity.RerankR / 3).map { r =>
+          val (hr, tr) = recallOf(ext.Similarity.ivfadcRerankNn1(all, r))
+          s""""r$r":{"recall1":${hr.toDouble / n},"sec":$tr}"""
+        } :+ (s""""r${ext.Similarity.RerankR}":""" +
+        s"""{"recall1":${hRr.toDouble / n},"sec":$tRr}""")
       // The nprobe sweep — the OTHER axis of the probed-cells bound:
       // at fixed K=8, probing more cells raises the candidate pool
       // (~nprobe/K of N²) and with it the exact-cosine recall
@@ -114,6 +125,7 @@ object Soak {
       s""""s17":{"recall1":${hRr.toDouble / n},"sec":$tRr,""" +
       s""""twin_recall":${twRr.toDouble / nOrig}},""" +
       s""""s19":{"recall1":${hSm.toDouble / n},"sec":$tSm},""" +
+      s""""s17_r_curve":{${rCurve.mkString(",")}},""" +
       s""""s13_k_curve":{${kCurve.mkString(",")}},""" +
       s""""s13_nprobe_curve":{${npCurve.mkString(",")}}"""
     }

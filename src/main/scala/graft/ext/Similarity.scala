@@ -1324,8 +1324,12 @@ object Similarity {
     * s16 recall table: ADC top-1 0.03–0.07 on near-tie natural
     * corpora) — R deep enough that the true neighbor, which ADC
     * ranks NEAR the top but not AT it, survives into the exact
-    * stage. */
-  private[graft] val RerankR = 20
+    * stage. 200 restores the sf0.1 natural-corpus recall@1 to the
+    * probed-cells exact bound itself (0.502 vs 0.509; the r-sweep in
+    * `Soak --ann-trained` has the shallower points: 20 → 0.32,
+    * 60 → 0.44) while the exact-arithmetic work stays R·|Q|,
+    * corpus-independent. */
+  private[graft] val RerankR = 200
 
   /** The s17 body — IVFADC-as-candidate-ranker, the deployment shape
     * the s16 recall table prescribes (Jégou et al. 2011 §V.C: ADC
