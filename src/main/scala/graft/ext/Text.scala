@@ -1289,7 +1289,15 @@ object Text {
     * [[bpeFoldCase]] fold in brn order (the j-th sub-step's join is
     * empty when the batch selected fewer than j pairs — the NULL
     * guard makes it a no-op, exactly the Spark side's fold over the
-    * ≤ batch-element literal array). */
+    * ≤ batch-element literal array).
+    *
+    * The MATERIALIZED hints are load-bearing: `c_r` is referenced
+    * ONLY from inside the recursive arm, so DuckDB inlines it and
+    * re-evaluates the whole upstream chain (v0 → … → p_r) on EVERY
+    * recursion step — ~4·batch iterations × rounds of full-chain
+    * evaluations (a measured >45-min stall at sf1 where the hinted
+    * form runs in minutes); `s_r`/`v_r` are referenced `batch`+ times
+    * by the unrolled sub-steps and the next round. */
   private def bpeBatchChainCte(rounds: Int, batch: Int): String = {
     val blocks = (1 to rounds).map { r =>
       val subSteps = (1 to batch).map { j =>
@@ -1301,7 +1309,7 @@ object Text {
           .stripMargin
       }.mkString
       s"""${bpePairsCte(r)}
-         |, c$r AS (SELECT * FROM (
+         |, c$r AS MATERIALIZED (SELECT * FROM (
          |    SELECT lhs, rhs, pair_count, ROW_NUMBER() OVER
          |        (ORDER BY pair_count DESC, lhs, rhs) AS rn
          |    FROM p$r) WHERE rn <= ${batch * 4})
@@ -1324,11 +1332,11 @@ object Text {
          |          AND len(g.sel) < $batch
          |      THEN g.taken || [c.lhs, c.rhs] ELSE g.taken END
          |  FROM g$r g JOIN c$r c ON c.rn = g.i + 1)
-         |, s$r AS (
+         |, s$r AS MATERIALIZED (
          |  SELECT unnest(f.sel, recursive := true)
          |  FROM (SELECT sel FROM g$r ORDER BY i DESC LIMIT 1) f)
          |, v${r}_0 AS (SELECT * FROM v${r - 1})$subSteps
-         |, v$r AS (SELECT * FROM v${r}_$batch)""".stripMargin
+         |, v$r AS MATERIALIZED (SELECT * FROM v${r}_$batch)""".stripMargin
     }.mkString
     bpeV0Cte("") + blocks
   }
