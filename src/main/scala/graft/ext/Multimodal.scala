@@ -349,6 +349,12 @@ object Multimodal {
             .select(col("doc_a"), col("doc_b")))
           .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
       val batch = sigs.filter(isBatch)
+      // Eager gate, bounded: ONE count of the batch FRONTIER (sigs is
+      // checkpointed — a cheap scan, never a corpus recompute). The
+      // deliberate driver-side plan decision: the hint must reflect
+      // the REAL batch size, not the contract's word, and AQE can
+      // only convert joins it already planned — it cannot un-force a
+      // wrong broadcast hint.
       val gate: DataFrame => DataFrame =
         if (batch.count() <= Dedup.D14BroadcastMaxRows)
           df => broadcast(df)

@@ -309,6 +309,11 @@ object Similarity {
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
           .select(col("u").as("doc_id"), col("lbl").as("cluster_id")))
       val batch = all.filter(d15IsBatch)
+      // Eager gate, bounded: ONE count of the batch FRONTIER (`all`
+      // is checkpointed — a cheap scan, never a corpus recompute).
+      // The deliberate driver-side plan decision: the hint must
+      // reflect the REAL batch size, and AQE cannot un-force a wrong
+      // broadcast hint.
       val gate: DataFrame => DataFrame =
         if (batch.count() <= Dedup.D14BroadcastMaxRows)
           df => broadcast(df)
