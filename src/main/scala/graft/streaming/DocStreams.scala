@@ -988,4 +988,70 @@ object DocStreams extends Serializable {
         gate: DataFrame => DataFrame): DataFrame =
       Dedup.simhashPairsBetween(all, batch, maxHamming, gate)
   }
+
+  /** Live ANN-INDEX maintenance — the streaming twin of batch s18,
+    * completing the twin pattern for the trained-index family exactly
+    * as the maintenance trio twins d14/d15/m09: fold each microbatch
+    * of (vec_id, v) rows into a maintained IVF index. The FIRST
+    * non-empty trigger trains the quantizer over its rows
+    * ([[graft.ext.Similarity.kmeansCentroids]] — the stored-model
+    * bootstrap; at deploy this is the index-build job); every later
+    * trigger assigns its rows against those FIXED centroids — one
+    * [[graft.ext.Similarity.kmAssign]] broadcast map over the batch
+    * only, IVF inserts never retrain (s18's discipline) — and unions
+    * them into the maintained postings. Because kmAssign is THE one
+    * assignment definition, the maintained postings ≡ assigning the
+    * full accumulated corpus with the bootstrap centroids, so
+    * [[probe]] answers exactly what a full s13-style rebuild over
+    * those centroids answers (StreamingSpec pins it, split by the s18
+    * batch draw so the replay IS the registered s18 scenario).
+    *
+    * State is the pair of localCheckpointed frames (centroids — K
+    * rows, postings) — lineage truncates per trigger; at deploy both
+    * live in the s18 store and the fold IS s18's upsert job (batch
+    * assign + ≤ K-cell dynamic partition overwrite — the write
+    * itself rewrites only the touched cells even though the in-memory
+    * twin re-checkpoints the union, the same state discipline as the
+    * maintenance trio). */
+  final class AnnIndexMaintenance {
+    @volatile private var centsDf: Option[DataFrame] = None
+    @volatile private var postDf: Option[DataFrame] = None
+
+    /** The trained model — None before the first non-empty trigger. */
+    def centroids: Option[DataFrame] = centsDf
+
+    /** The maintained (vec_id, v, cid) postings. */
+    def postings: Option[DataFrame] = postDf
+
+    private def fixed(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"),
+        graft.ext.Similarity.fixedPoint(col("v")).as("x"))
+
+    /** Fold one microbatch of (vec_id, v) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val fx = graft.ops.Subplan.once(
+        fixed(batchDs.toDF().select(col("vec_id"), col("v"))))
+      if (fx.isEmpty) return
+      val cents = centsDf.getOrElse {
+        val c = graft.ops.Subplan.once(
+          graft.ext.Similarity.kmeansCentroids(fx))
+        centsDf = Some(c)
+        c
+      }
+      val asg = graft.ext.Similarity.kmAssign(fx, cents)
+        .select(col("vec_id"), col("v"), col("cid"))
+      postDf = Some(graft.ops.Subplan.once(
+        postDf.map(_.unionByName(asg)).getOrElse(asg)))
+    }
+
+    /** The probed-cells exact cosine top-5 over the maintained index
+      * for a (vec_id, v) query frame — s13/s15/s18's probe verbatim
+      * ([[graft.ext.Similarity.kmProbeCells]] +
+      * [[graft.ext.Similarity.kmProbedTop5]]). None before the first
+      * non-empty trigger. */
+    def probe(q: DataFrame): Option[DataFrame] =
+      for (cents <- centsDf; post <- postDf) yield
+        graft.ext.Similarity.kmProbedTop5(post,
+          graft.ext.Similarity.kmProbeCells(fixed(q), cents))
+  }
 }

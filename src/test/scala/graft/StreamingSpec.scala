@@ -440,6 +440,77 @@ class StreamingSpec extends AnyFunSuite {
       "no cluster crossed the microbatch draw")
   }
 
+  test("streaming ANN-index maintenance answers the full-rebuild probe") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_annmaint_stream").toString
+    // The embeddings corpus split by the s18 batch draw itself: the
+    // non-batch 7/8 arrives first (the bootstrap trigger — trains the
+    // quantizer, the stored model), then the 1/8 batch in TWO further
+    // microbatches, so the fixed-centroid assign-and-union path
+    // genuinely folds more than once — the registered s18 arrival
+    // scenario, incrementalized.
+    val base = ext.Similarity.emb(spark, sf).select(col("vec_id"),
+      timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L))
+        .as("ts"),
+      col("v"))
+    val cm = new DocStreams.AnnIndexMaintenance
+    val q = spark.readStream.schema(DocStreams.embSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      Seq(!ext.Similarity.annBatchVec,
+          ext.Similarity.annBatchVec && col("vec_id") % 2 === 0,
+          ext.Similarity.annBatchVec && col("vec_id") % 2 === 1).foreach { part =>
+        base.filter(part).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // The full rebuild over the SAME stored model: centroids trained
+    // on the pre-batch split, every vector assigned by the one
+    // kmAssign definition, s13's probe tail.
+    val fxAll = graft.ops.Subplan.once(ext.Similarity.emb(spark, sf)
+      .select(col("vec_id"), col("v"),
+        ext.Similarity.fixedPoint(col("v")).as("x")))
+    val cents = graft.ops.Subplan.once(ext.Similarity.kmeansCentroids(
+      fxAll.filter(!ext.Similarity.annBatchVec)))
+    // The bootstrap trained EXACTLY the stored model (exact-integer
+    // Lloyd is row-order-free, so the parquet round-trip changes
+    // nothing).
+    val gotCents = cm.centroids.getOrElse(fail("no model after replay"))
+      .collect().map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Long]]("m").toList))
+      .toSet
+    val wantCents = cents.collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Long]]("m").toList)).toSet
+    assert(gotCents == wantCents,
+      "bootstrap centroids diverge from training on the pre-batch split")
+    val got = cm.probe(ext.Similarity.emb(spark, sf)
+        .filter(col("vec_id") < 10).select(col("vec_id"), col("v")))
+      .getOrElse(fail("no index after replay"))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("cos_sim")))
+      .toSet
+    val want = ext.Similarity.kmProbedTop5(
+        ext.Similarity.kmAssign(fxAll, cents)
+          .select(col("vec_id"), col("v"), col("cid")),
+        ext.Similarity.kmProbeCells(fxAll.filter(col("vec_id") < 10), cents))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("cos_sim")))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"maintained index probe diverges from the full rebuild: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the post-bootstrap folds genuinely landed: some batch-draw
+    // vector is IN the maintained postings.
+    val postIds = cm.postings.get.select(col("vec_id"))
+      .filter(ext.Similarity.annBatchVec).limit(1).count()
+    assert(postIds == 1L, "no batch-trigger vector reached the postings")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString

@@ -45,8 +45,10 @@ def main():
         "date": datetime.date.today().isoformat(),
         "round": rnd,
         "tool": "tools/check.py (local mirror of the driver DuckDB gate), one full run",
-        "summary": f"{n_pass} pass, {n_fail} fail"
-        + (" - the full surface (c01 rows-only by design)" if n_fail == 0 else ""),
+        # Scope (full surface vs a named subset) belongs in the note —
+        # a canned "full surface" claim was wrong for subset records
+        # like the sf1zipf skew set.
+        "summary": f"{n_pass} pass, {n_fail} fail",
         "note": note,
         "queries": dict(sorted(queries.items())),
     }
