@@ -648,6 +648,17 @@ object Similarity {
     "s20_ivfadc_sampled" -> ((s, dir) =>
       pqAdcTop5(ivfadcScored(s, dir, Some(trainSampleVec)))),
 
+    // The LANDED IVFADC — s15's stored-index discipline applied to
+    // the compressed index (s12 lands the grid IVF, s15 the trained
+    // k-means IVF, s21 IVFADC): coarse centroids, residual codebooks,
+    // and the cell-partitioned 8×4-bit codes all live in tables; the
+    // probe reads only the probed cells' partitions under dynamic
+    // partition pruning and scores by ADC table lookup. The table a
+    // production vector store keeps resident — 32× smaller than raw
+    // vectors. Deterministic build ⇒ answer ≡ s16; one oracle states
+    // both.
+    "s21_ivfadc_stored" -> ((s, dir) => ivfadcStoredQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1362,6 +1373,54 @@ object Similarity {
     topK(scored, col("qid"), 5)
   }
 
+  /** The s21 body — the IVFADC index in its DEPLOYMENT shape, the
+    * s15 discipline applied to the compressed index (completing the
+    * symmetry: s12 lands the grid IVF, s15 lands the trained k-means
+    * IVF, s21 lands IVFADC): all three halves of the model state are
+    * stored tables — the coarse centroids (K rows), the residual PQ
+    * codebooks ([[PqSubs]]·[[PqK]] rows), and the 8×4-bit codes
+    * cell-partitioned by cid. This is THE table a production vector
+    * store keeps resident: 32× smaller than raw vectors, and the
+    * probe reads only the ≤ 2·|Q| probed cells' partitions under
+    * dynamic partition pruning (s15's plan pin applies) — at 100 TB
+    * the per-query scan is (compressed corpus)/K × nprobe, never the
+    * corpus. First access per JVM pays the two-quantizer training
+    * build ONCE (s16 re-trains per invocation — the honest price of
+    * its in-lineage form); repeats pay table probe + ADC rank only.
+    * Every stage is the established exact-integer arithmetic, so the
+    * stored build is deterministic and the answer ≡ s16 — one oracle
+    * states both (the s12/s15 discipline: storage topology is not
+    * oracle-visible). */
+  private def ivfadcStoredQuery(s: SparkSession, dir: String): DataFrame = {
+    // lazy + once: the build path evaluates the corpus frames at most
+    // once across the three storedOrBuild blocks; when all three
+    // tables are already landed, nothing here runs (the s15 fxOf
+    // lesson).
+    lazy val fxOf = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s21_kmc", dir, Seq("cid")) { kmeansCentroids(fxOf) }
+    lazy val rfxsOf = graft.ops.Subplan.once(
+      kmAssign(fxOf, cents).join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          residSubArr(col("x"), col("m")).as("subs")))
+    val pqc = graft.sources.SessionStore.storedOrBuild(
+      s, "s21_pqc", dir, Seq("sub", "cid")) {
+      pqCodebooks(rfxsOf.select(col("vec_id"), col("subs")))
+    }
+    val codes = graft.sources.SessionStore.storedOrBuild(
+      s, "s21_codes", dir, Seq("vec_id"), Seq("cid")) {
+      pqEncode(rfxsOf, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    val qtabs = ivfadcTables(
+      kmProbeCells(q, cents).select(col("qid"), col("cid")), q, cents, pqc)
+    pqAdcTop5(codes.join(broadcast(qtabs), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc")))
+  }
+
   /** Per-(query, probed-cell) residual ADC tables — the query's
     * residual w.r.t. THAT cell's centroid against the residual
     * codebook. ONE builder for the registered s16 probe (10 queries)
@@ -2067,6 +2126,10 @@ object Similarity {
     "s18_ivf_kmeans_upsert" ->
       kmeansOracleSqlOver(Some(s"NOT ($annBatchSqlPred)")),
     "s19_ivf_kmeans_sampled" -> kmeansOracleSqlOver(Some(trainSampleSqlPred)),
+    // s21 lands the SAME compressed index s16 derives in-lineage —
+    // the storage topology is not oracle-visible (s12/s15's
+    // discipline); the partition-pruned plan is PlanSpec's.
+    "s21_ivfadc_stored" -> ivfadcOracleSql,
     "s20_ivfadc_sampled" ->
       s"""WITH ${ivfadcAdcCtesOver(Some(trainSampleSqlPred))},
          |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER

@@ -722,6 +722,20 @@ class ExtSpec extends AnyFunSuite {
     assert(s15.nonEmpty)
   }
 
+  test("s21 landed IVFADC probe returns exactly s16's answer") {
+    // The s12/s15 storage-identity discipline on the COMPRESSED
+    // index: the two-quantizer build is deterministic exact-integer
+    // arithmetic, so the landed (centroids, codebooks, codes) tables
+    // carry what s16 derives in lineage and the partition-pruned ADC
+    // probe is identical row-for-row.
+    val s16 = SparkEntry.queries("s16_ivfadc")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s21 = SparkEntry.queries("s21_ivfadc_stored")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s21 == s16)
+    assert(s21.nonEmpty)
+  }
+
   test("s18 upserted landed index: probe ≡ full assignment with the stored " +
       "model, and the upsert is idempotent") {
     // The maintenance identity (the d14/t21 discipline for ANN): the

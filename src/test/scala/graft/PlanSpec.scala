@@ -377,6 +377,23 @@ class PlanSpec extends AnyFunSuite {
       s"stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s21: the landed IVFADC probe dynamic-partition-prunes the " +
+      "stored code scan") {
+    // s15's pin applied to the COMPRESSED index: the stored 8×4-bit
+    // codes are cell-partitioned, and the ≤ 2·|Q|-cell broadcast of
+    // query ADC tables must prune the read-back scan to the probed
+    // cells' partitions — without it the landed compressed index
+    // reads every code file and storing it bought nothing.
+    val p = plan("s21_ivfadc_stored")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the stored code scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probed-cell ADC-table side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored codes must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
