@@ -659,6 +659,21 @@ object Similarity {
     // both.
     "s21_ivfadc_stored" -> ((s, dir) => ivfadcStoredQuery(s, dir)),
 
+    // Incremental maintenance of the LANDED COMPRESSED index — s18's
+    // upsert discipline applied to s21 (completing the maintenance
+    // symmetry exactly as s21 completed the landed one: s18 keeps the
+    // trained IVF live, s22 keeps IVFADC live): a new batch of
+    // vectors is assigned against the STORED centroids and ENCODED
+    // against the STORED residual codebooks — inserts never retrain
+    // either quantizer — and the 8×4-bit codes are upserted into the
+    // cell-partitioned code store as whole key-groups. The probe is
+    // s21's pruned ADC probe over the upserted table. The oracle
+    // trains both quantizers on the pre-batch corpus and encodes the
+    // full one — exactly what stored ∪ upserted equals because
+    // kmAssign and pqEncode are the ONE assignment/encoding
+    // definitions.
+    "s22_ivfadc_upsert" -> ((s, dir) => ivfadcUpsertQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1282,7 +1297,7 @@ object Similarity {
 
   /** Ascending exact-integer top-5 by (adc, nn_id) — the shared s14/
     * s16 tail (bounded-heap partial agg, the s07 discipline). */
-  private def pqAdcTop5(scored: DataFrame): DataFrame =
+  private[graft] def pqAdcTop5(scored: DataFrame): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
@@ -1313,7 +1328,7 @@ object Similarity {
     * by exact cosine) and s20 (which trains both quantizers on the
     * `trainFilter` sample only), so the variants can only differ by
     * their ranking tail / training source. */
-  private def ivfadcScored(s: SparkSession, dir: String,
+  private[graft] def ivfadcScored(s: SparkSession, dir: String,
       trainFilter: Option[Column] = None): DataFrame = {
     val trainOf: DataFrame => DataFrame =
       df => trainFilter.map(df.filter).getOrElse(df)
@@ -1412,6 +1427,74 @@ object Similarity {
       s, "s21_codes", dir, Seq("vec_id"), Seq("cid")) {
       pqEncode(rfxsOf, pqc).select(col("vec_id"), col("cid"), col("codes"))
     }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    val qtabs = ivfadcTables(
+      kmProbeCells(q, cents).select(col("qid"), col("cid")), q, cents, pqc)
+    pqAdcTop5(codes.join(broadcast(qtabs), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc")))
+  }
+
+  /** The s22 body — incremental maintenance of the LANDED COMPRESSED
+    * index (s18's delta discipline applied to s21; the reference's
+    * append-upsert sink contract, cassandra.py:45-63): the stored
+    * model — centroids AND residual codebooks, both trained on the
+    * pre-batch corpus (inserts never retrain either quantizer) — and
+    * the cell-partitioned 8×4-bit codes live in tables; a new batch
+    * of vectors is assigned against the stored centroids and encoded
+    * against the stored codebooks (one [[kmAssign]] + [[pqEncode]]
+    * broadcast map over the batch only) and upserted into the code
+    * store as whole key-groups ([[graft.sources.Sink.write]] dynamic
+    * partition overwrite rewrites exactly the ≤ K cells the batch
+    * lands in; the merged content is checkpointed BEFORE the write so
+    * the overwrite never reads the files it replaces; the pk dedup
+    * makes a repeated upsert idempotent). The probe is s21's: per-cell
+    * query ADC tables broadcast onto the partition-pruned code scan.
+    * Because kmAssign and pqEncode are THE one assignment/encoding
+    * definitions, stored ∪ upserted ≡ encoding the full corpus with
+    * the stored model — which is what the oracle states (train on
+    * `NOT batch`, encode everything) and ExtSpec pins in-engine
+    * against `ivfadcScored(trainFilter = !batch)`. Repeat
+    * invocations — the bench's best-of — pay the per-batch delta:
+    * batch assign+encode + ≤ K-partition rewrite + pruned probe. */
+  private def ivfadcUpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxAll = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s22_kmc", dir, Seq("cid")) { kmeansCentroids(fxAll.filter(!annBatchVec)) }
+    // Pre-batch residual subvectors feed BOTH build blocks; lazy +
+    // once so the two storedOrBuild builds share one checkpoint and
+    // a fully-stored repeat run never evaluates it (the s15 fxOf
+    // lesson).
+    lazy val rfxsPre = graft.ops.Subplan.once(
+      kmAssign(fxAll.filter(!annBatchVec), cents)
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          residSubArr(col("x"), col("m")).as("subs")))
+    val pqc = graft.sources.SessionStore.storedOrBuild(
+      s, "s22_pqc", dir, Seq("sub", "cid")) {
+      pqCodebooks(rfxsPre.select(col("vec_id"), col("subs")))
+    }
+    val codesPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s22_codes", dir, Seq("vec_id"), Seq("cid")) {
+      pqEncode(rfxsPre, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    }
+    // The delta: assign + encode ONLY the batch against the stored
+    // model (two broadcast maps over the 1/8 draw).
+    val batchCodes = graft.ops.Subplan.once(
+      pqEncode(
+        kmAssign(fxAll.filter(annBatchVec), cents)
+          .join(broadcast(cents), Seq("cid"))
+          .select(col("vec_id"), col("cid"),
+            residSubArr(col("x"), col("m")).as("subs")),
+        pqc).select(col("vec_id"), col("cid"), col("codes")))
+    val stored = s.read.parquet(codesPath)
+    val touched = broadcast(batchCodes.select(col("cid")).distinct())
+    val merged = graft.ops.Subplan.once(
+      stored.join(touched, Seq("cid"), "left_semi").unionByName(batchCodes))
+    graft.sources.Sink.write(merged, codesPath, Seq("vec_id"), Seq("cid"))
+    val codes = s.read.parquet(codesPath)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
     val qtabs = ivfadcTables(
@@ -2130,6 +2213,16 @@ object Similarity {
     // the storage topology is not oracle-visible (s12/s15's
     // discipline); the partition-pruned plan is PlanSpec's.
     "s21_ivfadc_stored" -> ivfadcOracleSql,
+    // s22: train BOTH quantizers on the pre-batch split, encode the
+    // full corpus — what stored ∪ upserted equals (the s18 oracle
+    // shape on the compressed chain).
+    "s22_ivfadc_upsert" ->
+      s"""WITH ${ivfadcAdcCtesOver(Some(s"NOT ($annBatchSqlPred)"))},
+         |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+         |  FROM adc)
+         |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
     "s20_ivfadc_sampled" ->
       s"""WITH ${ivfadcAdcCtesOver(Some(trainSampleSqlPred))},
          |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER

@@ -736,6 +736,29 @@ class ExtSpec extends AnyFunSuite {
     assert(s21.nonEmpty)
   }
 
+  test("s22 upserted compressed index: probe ≡ full encode with the stored " +
+      "model, and the upsert is idempotent") {
+    // s18's maintenance identity on the COMPRESSED index: the code
+    // store after the batch upsert must equal encoding the FULL
+    // corpus against the stored (pre-batch-trained) centroids AND
+    // codebooks — kmAssign/pqEncode are the one assignment/encoding
+    // definitions, so the pruned ADC probe must match
+    // ivfadcScored(trainFilter = !batch) row-for-row. A second
+    // invocation re-applies the same upsert; the pk dedup makes that
+    // a rewrite of identical rows, so the answer must not move.
+    val got = SparkEntry.queries("s22_ivfadc_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val expected = ext.Similarity.pqAdcTop5(
+      ext.Similarity.ivfadcScored(spark, sf,
+        Some(!ext.Similarity.annBatchVec)))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    val again = SparkEntry.queries("s22_ivfadc_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == got, "a re-applied upsert must not change the store")
+  }
+
   test("s18 upserted landed index: probe ≡ full assignment with the stored " +
       "model, and the upsert is idempotent") {
     // The maintenance identity (the d14/t21 discipline for ANN): the

@@ -394,6 +394,24 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s22: the upserted compressed index probes under dynamic partition " +
+      "pruning; the batch never shuffles") {
+    // s21's pin survives the upsert: after the batch's ≤ K-cell
+    // partition rewrite, the probe must still read only the probed
+    // cells' code partitions — and every join in the delta + probe
+    // broadcasts its bounded side (centroid map, codebook row, ADC
+    // tables), so neither the stored codes nor the batch ever
+    // shuffle.
+    val p = plan("s22_ivfadc_upsert")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the upserted code scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probed-cell ADC-table side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored codes must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
