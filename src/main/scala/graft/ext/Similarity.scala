@@ -1210,7 +1210,7 @@ object Similarity {
     * shared by the training rounds, the index build, and (with the
     * fold swapped for a distance transform) the query tables, so
     * learn and apply cannot disagree. */
-  private def pqEncode(fxs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def pqEncode(fxs: DataFrame, cents: DataFrame): DataFrame =
     fxs.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
       .join(broadcast(pqCentTab(cents)), "one")
       .select(fxs.columns.toIndexedSeq.map(col) :+
@@ -1335,18 +1335,10 @@ object Similarity {
     val fx = graft.ops.Subplan.once(
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = kmeansCentroids(trainOf(fx))
-    val rfxs = graft.ops.Subplan.once(
-      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          residSubArr(col("x"), col("m")).as("subs")))
+    val rfxs = graft.ops.Subplan.once(residFrame(fx, cents))
     val pqc = pqCodebooks(trainOf(rfxs).select(col("vec_id"), col("subs")))
     val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
-    val qtabs = ivfadcTables(
-      kmProbeCells(fx.filter(col("vec_id") < 10), cents)
-        .select(col("qid"), col("cid")), fx, cents, pqc)
-    codes.join(broadcast(qtabs), Seq("cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
+    adcScored(codes, fx.filter(col("vec_id") < 10), cents, pqc)
   }
 
   /** Rerank depth: ADC candidates kept per query for the exact
@@ -1415,10 +1407,7 @@ object Similarity {
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = graft.sources.SessionStore.storedOrBuild(
       s, "s21_kmc", dir, Seq("cid")) { kmeansCentroids(fxOf) }
-    lazy val rfxsOf = graft.ops.Subplan.once(
-      kmAssign(fxOf, cents).join(broadcast(cents), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          residSubArr(col("x"), col("m")).as("subs")))
+    lazy val rfxsOf = graft.ops.Subplan.once(residFrame(fxOf, cents))
     val pqc = graft.sources.SessionStore.storedOrBuild(
       s, "s21_pqc", dir, Seq("sub", "cid")) {
       pqCodebooks(rfxsOf.select(col("vec_id"), col("subs")))
@@ -1429,11 +1418,7 @@ object Similarity {
     }
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
-    val qtabs = ivfadcTables(
-      kmProbeCells(q, cents).select(col("qid"), col("cid")), q, cents, pqc)
-    pqAdcTop5(codes.join(broadcast(qtabs), Seq("cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc")))
+    pqAdcTop5(adcScored(codes, q, cents, pqc))
   }
 
   /** The s22 body — incremental maintenance of the LANDED COMPRESSED
@@ -1468,10 +1453,7 @@ object Similarity {
     // a fully-stored repeat run never evaluates it (the s15 fxOf
     // lesson).
     lazy val rfxsPre = graft.ops.Subplan.once(
-      kmAssign(fxAll.filter(!annBatchVec), cents)
-        .join(broadcast(cents), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          residSubArr(col("x"), col("m")).as("subs")))
+      residFrame(fxAll.filter(!annBatchVec), cents))
     val pqc = graft.sources.SessionStore.storedOrBuild(
       s, "s22_pqc", dir, Seq("sub", "cid")) {
       pqCodebooks(rfxsPre.select(col("vec_id"), col("subs")))
@@ -1483,12 +1465,8 @@ object Similarity {
     // The delta: assign + encode ONLY the batch against the stored
     // model (two broadcast maps over the 1/8 draw).
     val batchCodes = graft.ops.Subplan.once(
-      pqEncode(
-        kmAssign(fxAll.filter(annBatchVec), cents)
-          .join(broadcast(cents), Seq("cid"))
-          .select(col("vec_id"), col("cid"),
-            residSubArr(col("x"), col("m")).as("subs")),
-        pqc).select(col("vec_id"), col("cid"), col("codes")))
+      pqEncode(residFrame(fxAll.filter(annBatchVec), cents), pqc)
+        .select(col("vec_id"), col("cid"), col("codes")))
     val stored = s.read.parquet(codesPath)
     val touched = broadcast(batchCodes.select(col("cid")).distinct())
     val merged = graft.ops.Subplan.once(
@@ -1497,11 +1475,32 @@ object Similarity {
     val codes = s.read.parquet(codesPath)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    pqAdcTop5(adcScored(codes, q, cents, pqc))
+  }
+
+  /** THE residual-subvector frame — (vec_id, cid, subs = x − m(cid)
+    * sliced per subspace) of a fixed-point corpus frame against a
+    * centroid set. ONE definition for the PQ training input, the
+    * index build, the s22 batch encode, and the streaming twin's
+    * per-trigger encode — so the residuals a codebook was trained on
+    * and the residuals a code is computed from can never drift. */
+  private[graft] def residFrame(fx: DataFrame, cents: DataFrame): DataFrame =
+    kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        residSubArr(col("x"), col("m")).as("subs"))
+
+  /** THE pruned ADC probe front — per-(query, probed-cell) residual
+    * ADC tables broadcast onto the (cid-keyed) code frame, scored by
+    * table lookup: (qid, nn_id, adc). ONE definition for s16/s17/s20
+    * (in-lineage codes), s21/s22 (the stored, partition-pruned
+    * codes), and the streaming twin. `qf` carries (vec_id, v, x). */
+  private[graft] def adcScored(codes: DataFrame, qf: DataFrame,
+      cents: DataFrame, pqc: DataFrame): DataFrame = {
     val qtabs = ivfadcTables(
-      kmProbeCells(q, cents).select(col("qid"), col("cid")), q, cents, pqc)
-    pqAdcTop5(codes.join(broadcast(qtabs), Seq("cid"))
+      kmProbeCells(qf, cents).select(col("qid"), col("cid")), qf, cents, pqc)
+    codes.join(broadcast(qtabs), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc")))
+      .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
   }
 
   /** Per-(query, probed-cell) residual ADC tables — the query's

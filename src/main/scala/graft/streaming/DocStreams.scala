@@ -1054,4 +1054,75 @@ object DocStreams extends Serializable {
         graft.ext.Similarity.kmProbedTop5(post,
           graft.ext.Similarity.kmProbeCells(fixed(q), cents))
   }
+
+  /** Live maintenance of the COMPRESSED ANN index — the streaming
+    * twin of batch s22, exactly as [[AnnIndexMaintenance]] twins s18
+    * (completing the symmetry at the streaming level: the trained
+    * index and the compressed index each have a landed form, a batch
+    * upsert, and a live twin). The first non-empty trigger trains
+    * BOTH quantizers over its rows — coarse centroids
+    * ([[graft.ext.Similarity.kmeansCentroids]]) and residual
+    * codebooks ([[graft.ext.Similarity.pqCodebooks]] over
+    * [[graft.ext.Similarity.residFrame]]) — the stored-model
+    * bootstrap; every later trigger assigns + encodes its rows
+    * against that FIXED model (inserts never retrain either
+    * quantizer; one `residFrame` + [[graft.ext.Similarity.pqEncode]]
+    * broadcast map over the trigger's rows only) and unions the
+    * 8×4-bit codes into the maintained code frame. `probe` is
+    * s21/s22's pruned ADC probe verbatim
+    * ([[graft.ext.Similarity.adcScored]] +
+    * [[graft.ext.Similarity.pqAdcTop5]]). State = (K-row centroids,
+    * 8·16-row codebooks, codes) localCheckpointed frames — the codes
+    * are the 32×-compressed corpus, the whole point of keeping THIS
+    * index live; at deploy all three live in the s22 store and the
+    * fold IS s22's ≤ K-cell dynamic-partition upsert. */
+  final class CompressedAnnIndexMaintenance {
+    @volatile private var centsDf: Option[DataFrame] = None
+    @volatile private var pqcDf: Option[DataFrame] = None
+    @volatile private var codesDf: Option[DataFrame] = None
+
+    /** The coarse model — None before the first non-empty trigger. */
+    def centroids: Option[DataFrame] = centsDf
+
+    /** The residual PQ codebooks — None before the bootstrap. */
+    def codebooks: Option[DataFrame] = pqcDf
+
+    /** The maintained (vec_id, cid, codes) compressed index. */
+    def codes: Option[DataFrame] = codesDf
+
+    private def fixed(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"),
+        graft.ext.Similarity.fixedPoint(col("v")).as("x"))
+
+    /** Fold one microbatch of (vec_id, v) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val fx = graft.ops.Subplan.once(
+        fixed(batchDs.toDF().select(col("vec_id"), col("v"))))
+      if (fx.isEmpty) return
+      val (cents, pqc) = (centsDf, pqcDf) match {
+        case (Some(c), Some(p)) => (c, p)
+        case _ =>
+          val c = graft.ops.Subplan.once(
+            graft.ext.Similarity.kmeansCentroids(fx))
+          val p = graft.ops.Subplan.once(graft.ext.Similarity.pqCodebooks(
+            graft.ext.Similarity.residFrame(fx, c)
+              .select(col("vec_id"), col("subs"))))
+          centsDf = Some(c); pqcDf = Some(p)
+          (c, p)
+      }
+      val enc = graft.ext.Similarity.pqEncode(
+        graft.ext.Similarity.residFrame(fx, cents), pqc)
+        .select(col("vec_id"), col("cid"), col("codes"))
+      codesDf = Some(graft.ops.Subplan.once(
+        codesDf.map(_.unionByName(enc)).getOrElse(enc)))
+    }
+
+    /** The pruned-ADC top-5 over the maintained compressed index for
+      * a (vec_id, v) query frame — s21/s22's probe verbatim. None
+      * before the first non-empty trigger. */
+    def probe(q: DataFrame): Option[DataFrame] =
+      for (cents <- centsDf; pqc <- pqcDf; codes <- codesDf) yield
+        graft.ext.Similarity.pqAdcTop5(
+          graft.ext.Similarity.adcScored(codes, fixed(q), cents, pqc))
+  }
 }

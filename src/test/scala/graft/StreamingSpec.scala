@@ -511,6 +511,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(postIds == 1L, "no batch-trigger vector reached the postings")
   }
 
+  test("streaming COMPRESSED ANN-index maintenance answers the full-rebuild " +
+      "ADC probe") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_cannmaint_stream").toString
+    // The s22 arrival scenario, incrementalized: the non-batch 7/8
+    // bootstraps BOTH quantizers (the stored model), then the 1/8
+    // batch in TWO further microbatches exercises the fixed-model
+    // encode-and-union path more than once.
+    val base = ext.Similarity.emb(spark, sf).select(col("vec_id"),
+      timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L))
+        .as("ts"),
+      col("v"))
+    val cm = new DocStreams.CompressedAnnIndexMaintenance
+    val q = spark.readStream.schema(DocStreams.embSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      Seq(!ext.Similarity.annBatchVec,
+          ext.Similarity.annBatchVec && col("vec_id") % 2 === 0,
+          ext.Similarity.annBatchVec && col("vec_id") % 2 === 1).foreach { part =>
+        base.filter(part).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // The full rebuild with the SAME stored model is exactly s22's
+    // ExtSpec identity: both quantizers trained on the pre-batch
+    // split, every vector encoded by the one residFrame/pqEncode
+    // pair, the pruned ADC probe on top — ivfadcScored(trainFilter =
+    // !batch). Exact-integer training is row-order-free, so the
+    // bootstrap trigger trained exactly that model.
+    val got = cm.probe(ext.Similarity.emb(spark, sf)
+        .filter(col("vec_id") < 10).select(col("vec_id"), col("v")))
+      .getOrElse(fail("no index after replay"))
+      .collect().map(_.toSeq).toSet
+    val want = ext.Similarity.pqAdcTop5(
+        ext.Similarity.ivfadcScored(spark, sf,
+          Some(!ext.Similarity.annBatchVec)))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"maintained compressed index probe diverges from the full rebuild: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the post-bootstrap folds genuinely landed: some batch-draw
+    // vector is IN the maintained code frame.
+    val codeIds = cm.codes.get.select(col("vec_id"))
+      .filter(ext.Similarity.annBatchVec).limit(1).count()
+    assert(codeIds == 1L, "no batch-trigger vector reached the codes")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString
