@@ -674,6 +674,28 @@ object Similarity {
     // definitions.
     "s22_ivfadc_upsert" -> ((s, dir) => ivfadcUpsertQuery(s, dir)),
 
+    // FILTERED ANN — the ann-benchmarks "filtered" track: top-5
+    // restricted to candidates sharing the query's label (search
+    // within a category/tenant/language). Probes the SAME landed
+    // index as s15 — the stored postings carry the label column and
+    // the predicate rides the broadcast join KEY (cid, label), so
+    // there is no second index and no post-rank filtering: candidates
+    // of the wrong label drop at the join, before any cosine
+    // arithmetic, and the store scan still partition-prunes to the
+    // probed cells.
+    "s23_filtered_ann" -> ((s, dir) => kmeansFilteredQuery(s, dir)),
+
+    // DELETIONS from the landed index — the missing quarter of CRUD
+    // on the ANN store (build s13, land s15, insert s18, delete s24):
+    // a batch of retired vector ids anti-joins the touched cells'
+    // stored postings and the survivors rewrite ONLY those cells
+    // (dynamic partition overwrite; a cell emptied entirely is
+    // dropped as a partition — a bounded metadata operation). The
+    // model never retrains on deletes, exactly as it never retrains
+    // on inserts. Probe ≡ the full assignment minus the deleted set
+    // (ExtSpec), and deleting an already-deleted batch is a no-op.
+    "s24_ivf_kmeans_delete" -> ((s, dir) => kmeansDeleteQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -937,8 +959,12 @@ object Similarity {
       // aggregate/least/zip_with form paid per-centroid lambda +
       // allocation overhead per row (a measured ~1.5× of s13's sf1
       // soak wall).
-      .select(col("vec_id"), col("v"), col("x"),
-        graft.functions.NearestId.nearest(col("x"), col("cents")).as("cid"))
+      // Preserve the input frame's columns (pqEncode's discipline):
+      // callers select what they need, and metadata columns — s23's
+      // label — ride through THE one assignment definition instead
+      // of being joined back afterwards.
+      .select(fx.columns.toIndexedSeq.map(col) :+
+        graft.functions.NearestId.nearest(col("x"), col("cents")).as("cid"): _*)
   }
 
   /** One Lloyd update: per-centroid exact integer coordinate sums
@@ -1040,16 +1066,135 @@ object Similarity {
     // reference it (a `def` re-ran Subplan.once per block — two
     // embeddings scans + two eager checkpoints of the same frame).
     lazy val fxOf = graft.ops.Subplan.once(
-      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = graft.sources.SessionStore.storedOrBuild(
-      s, "s15_cents", dir, Seq("cid")) { kmeansCentroids(fxOf) }
-    val post = graft.sources.SessionStore.storedOrBuild(
-      s, "s15_postings", dir, Seq("vec_id"), Seq("cid")) {
-      kmAssign(fxOf, cents).select(col("vec_id"), col("v"), col("cid"))
-    }
+      emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x")))
+    val (cents, post) = s15Store(s, dir, fxOf)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
-    kmProbedTop5(post, kmProbeCells(q, cents))
+    // s15 ignores the stored label column — column pruning drops it
+    // from the read schema, so the unfiltered probe pays nothing for
+    // the metadata s23 filters on (one index serves both).
+    kmProbedTop5(post.select(col("vec_id"), col("v"), col("cid")),
+      kmProbeCells(q, cents))
+  }
+
+  /** THE landed trained-IVF store — s15's (centroids, cell-partitioned
+    * postings) pair, shared by s15 (unfiltered probe) and s23 (the
+    * label-filtered probe): one index, query-time predicates — a
+    * second index per filterable attribute is exactly what a
+    * production store avoids. Postings rows carry (vec_id, v, label,
+    * cid). `fxOf` must be lazy at the caller so a fully-stored repeat
+    * run never evaluates it. */
+  private def s15Store(s: SparkSession, dir: String,
+      fxOf: => DataFrame): (DataFrame, DataFrame) = {
+    lazy val fx = fxOf
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s15_cents", dir, Seq("cid")) { kmeansCentroids(fx) }
+    val post = graft.sources.SessionStore.storedOrBuild(
+      s, "s15_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(fx, cents).select(col("vec_id"), col("v"), col("label"),
+        col("cid"))
+    }
+    (cents, post)
+  }
+
+  /** The s23 body — FILTERED ANN over the SAME landed index s15
+    * probes (the ann-benchmarks "filtered" track: top-k restricted to
+    * candidates sharing the query's metadata attribute — search
+    * within a category/tenant/language). No second index exists: the
+    * stored postings carry the label column, the probe joins on
+    * (cid, label) — the predicate rides the broadcast hash join KEY,
+    * so non-matching candidates drop at the join, before any cosine
+    * arithmetic — and the scan still dynamic-partition-prunes to the
+    * probed cells. At 100 TB the per-query cost is (probed slice) ×
+    * (label selectivity), and adding a filterable attribute costs one
+    * stored column, not one index. Post-filter semantics stated
+    * honestly: cells are probed by UNfiltered distance, so a query
+    * whose 2 cells hold < 5 same-label members returns fewer rows —
+    * the documented trade every filtered-IVF deployment makes (the
+    * alternative, per-label partitioning, is s12's layout applied to
+    * a different key). */
+  private def kmeansFilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxOf = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x")))
+    val (cents, post) = s15Store(s, dir, fxOf)
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x"))
+    val probes = kmProbeCells(q, cents)
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("label"))),
+        Seq("qid"))
+    val scored = post.join(broadcast(probes), Seq("cid", "label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    topK(scored, col("qid"), 5)
+  }
+
+  /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
+    * batch: the drawn 1/16 are vectors deleted AFTER the index was
+    * built over everything. ONE definition with [[annDelSqlPred]]. */
+  private[graft] def annDelVec: Column =
+    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":del"))),
+      1, 8), 16, 10).cast("long") % 16 === 0
+
+  private def annDelSqlPredOn(alias: String): String =
+    s"('0x' || substr(md5($alias.vec_id || ':del'), 1, 8))::BIGINT % 16 = 0"
+
+  /** The s24 body — DELETIONS from the landed trained index, the
+    * reverse half of s18's append-upsert (together they are the full
+    * maintenance contract of the reference's keyed sink,
+    * cassandra.py:45-63): the stored model (centroids trained on the
+    * FULL pre-deletion corpus — deletes never retrain, as inserts
+    * never do) and cell-partitioned postings; a batch of retired ids
+    * (the md5 ':del' 1/16 draw) broadcast-anti-joins the touched
+    * cells' stored rows and the SURVIVORS rewrite exactly those ≤ K
+    * cells (`Sink.write` dynamic partition overwrite; the merged
+    * survivor frame is checkpointed BEFORE the write). A cell whose
+    * membership drops to zero cannot be rewritten by a dynamic
+    * overwrite (no rows carry its key), so its partition directory is
+    * dropped explicitly — a bounded ≤ K-entry driver-side metadata
+    * operation, the parquet analogue of a partition DROP. Probe =
+    * s15's pruned probe over the post-delete store. Re-deleting the
+    * same batch is a no-op (the anti-join finds nothing to remove).
+    * At 100 TB a retirement batch costs one broadcast anti-join over
+    * the touched cells + a ≤ K-cell rewrite — never a corpus pass. */
+  private def kmeansDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxAll = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s24_cents", dir, Seq("cid")) { kmeansCentroids(fxAll) }
+    val postPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s24_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(fxAll, cents).select(col("vec_id"), col("v"), col("cid"))
+    }
+    val delIds = broadcast(
+      emb(s, dir).filter(annDelVec).select(col("vec_id")))
+    val stored = s.read.parquet(postPath)
+    val touched = broadcast(
+      stored.join(delIds, Seq("vec_id"), "left_semi")
+        .select(col("cid")).distinct())
+    val survivors = graft.ops.Subplan.once(
+      stored.join(touched, Seq("cid"), "left_semi")
+        .join(delIds, Seq("vec_id"), "left_anti"))
+    // Emptied cells: touched keys with zero survivors — a dynamic
+    // overwrite cannot rewrite a partition no row carries, so drop
+    // the directory (bounded: ≤ K cells, the P9 driver-side pattern).
+    val emptied = touched.collect().map(_.getInt(0)).toSet --
+      survivors.select(col("cid")).distinct().collect().map(_.getInt(0))
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(postPath)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cid=$c"), true)
+      }
+    }
+    if (!survivors.isEmpty)
+      graft.sources.Sink.write(survivors, postPath, Seq("vec_id"), Seq("cid"))
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    kmProbedTop5(s.read.parquet(postPath), kmProbeCells(q, cents))
   }
 
   /** The s18 batch draw — the t08 md5 split read as ARRIVAL ORDER:
@@ -1573,10 +1718,7 @@ object Similarity {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = kmeansCentroids(fx)
-    val rfxs = graft.ops.Subplan.once(
-      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          residSubArr(col("x"), col("m")).as("subs")))
+    val rfxs = graft.ops.Subplan.once(residFrame(fx, cents))
     val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
     val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
     val qtabs = ivfadcTables(
@@ -1610,10 +1752,7 @@ object Similarity {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = kmeansCentroids(fx)
-    val rfxs = graft.ops.Subplan.once(
-      kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          residSubArr(col("x"), col("m")).as("subs")))
+    val rfxs = graft.ops.Subplan.once(residFrame(fx, cents))
     val pqc = pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
     val codes = pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
     val qtabs = ivfadcTables(
@@ -1782,7 +1921,7 @@ object Similarity {
          |    GROUP BY cid, u.i) GROUP BY cid) n
          |  ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |fx AS (SELECT vec_id, v,
        |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
        |     for i in generate_series(1, 64)] AS x
@@ -2200,6 +2339,47 @@ object Similarity {
     // s15 lands the SAME trained index s13 derives in-lineage — the
     // storage topology is not oracle-visible (s12's discipline).
     "s15_ivf_kmeans_stored" -> kmeansOracleSql,
+    // s23: the SAME trained chain, candidates restricted to the
+    // query's label BEFORE ranking (the filter is a candidate
+    // predicate, not a post-rank cut — rk counts only same-label
+    // candidates, exactly the (cid, label) join key's semantics).
+    "s23_filtered_ann" ->
+      s"""WITH ${kmeansChainCtesOver(None)},
+         |cand AS (SELECT p.qid, g.vec_id AS nn_id
+         |  FROM pr p JOIN post g ON g.cid = p.cid
+         |  JOIN e qe ON qe.vec_id = p.qid
+         |  JOIN e ge ON ge.vec_id = g.vec_id
+         |  WHERE g.vec_id <> p.qid AND ge.label = qe.label),
+         |scored AS (SELECT c.qid, c.nn_id,
+         |    list_dot_product(qe.v, ge.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |  JOIN e ge ON ge.vec_id = c.nn_id),
+         |rnk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
+    // s24: the SAME full-corpus-trained chain, deleted vectors
+    // excluded from the CANDIDATES only (the model never retrains on
+    // deletes) — what the post-delete store equals.
+    "s24_ivf_kmeans_delete" ->
+      s"""WITH ${kmeansChainCtesOver(None)},
+         |cand AS (SELECT p.qid, g.vec_id AS nn_id
+         |  FROM pr p JOIN post g ON g.cid = p.cid
+         |  WHERE g.vec_id <> p.qid AND NOT (${annDelSqlPredOn("g")})),
+         |scored AS (SELECT c.qid, c.nn_id,
+         |    list_dot_product(qe.v, ge.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |  JOIN e ge ON ge.vec_id = c.nn_id),
+         |rnk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
     "s16_ivfadc" -> ivfadcOracleSql,
     "s17_ivfadc_rerank" -> ivfadcRerankOracleSql,
     // Centroids trained on the pre-batch corpus (NOT the batch draw),

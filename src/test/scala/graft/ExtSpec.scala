@@ -736,6 +736,75 @@ class ExtSpec extends AnyFunSuite {
     assert(s21.nonEmpty)
   }
 
+  test("s23 filtered ANN equals the label-restricted re-rank of the " +
+      "probed-cell candidates") {
+    // Independent derivation: kmScoredAll scores EVERY probed-cell
+    // candidate through the shuffle-hash soak topology (no store, no
+    // (cid, label) join key); restricting its pairs to the query's
+    // label and re-ranking must reproduce s23 exactly — i.e. the
+    // filter is a candidate predicate (rk counts only same-label
+    // candidates), not a post-rank cut of the unfiltered top-5.
+    val got = SparkEntry.queries("s23_filtered_ann")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Int]("rk"))).toSet
+    val e = ext.Similarity.emb(spark, sf)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = ext.Similarity.kmScoredAll(e.select(col("vec_id"), col("v")))
+      .filter(col("qid") < 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("cos_sim")))
+      .filter { case (q, n, _) => labels(q) == labels(n) }
+      .groupBy(_._1).iterator.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, n, _), i) => (q, n, i + 1) }
+      }.toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    // the filter genuinely bit: some query's filtered top-5 differs
+    // from its unfiltered s13 top-5 (labels are 10-ary, so this can
+    // only fail if the fixture degenerates).
+    val unfiltered = SparkEntry.queries("s13_ivf_kmeans")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Int]("rk"))).toSet
+    assert(got != unfiltered, "label filter changed nothing — degenerate fixture?")
+  }
+
+  test("s24 deleted landed index: probe ≡ full assignment minus the deleted " +
+      "set, and re-deleting is a no-op") {
+    // The retirement identity (s18's maintenance identity reversed):
+    // after the batch delete, the stored postings must equal the full
+    // assignment with the FULL-corpus-trained centroids minus the
+    // deleted draw — the model never retrains on deletes. A second
+    // invocation re-applies the delete to a store that no longer
+    // holds those rows; the anti-join finds nothing, so the answer
+    // must not move.
+    val got = SparkEntry.queries("s24_ivf_kmeans_delete")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fx = ops.Subplan.once(ext.Similarity.emb(spark, sf)
+      .select(col("vec_id"), col("v"),
+        org.apache.spark.sql.functions.transform(col("v"),
+          e => floor(e * lit(1048576.0)).cast("long")).as("x")))
+    val cents = ext.Similarity.kmeansCentroids(fx)
+    val expected = ext.Similarity.kmProbedTop5(
+      ext.Similarity.kmAssign(fx, cents)
+        .filter(!ext.Similarity.annDelVec)
+        .select(col("vec_id"), col("v"), col("cid")),
+      ext.Similarity.kmProbeCells(fx.filter(col("vec_id") < 10), cents))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the delete genuinely bit: no deleted vector appears as a
+    // neighbor, and the unfiltered s13 answer (same model, same
+    // probe) differs.
+    val s13 = SparkEntry.queries("s13_ivf_kmeans")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got != s13, "deletion changed nothing — degenerate draw?")
+    val again = SparkEntry.queries("s24_ivf_kmeans_delete")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == got, "a re-applied delete must not change the store")
+  }
+
   test("s22 upserted compressed index: probe ≡ full encode with the stored " +
       "model, and the upsert is idempotent") {
     // s18's maintenance identity on the COMPRESSED index: the code

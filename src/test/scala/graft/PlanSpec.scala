@@ -412,6 +412,39 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s23: the filtered probe keys the broadcast join on (cid, label) " +
+      "and still prunes the stored scan") {
+    // The filtered-ANN contract: the label predicate is a JOIN KEY,
+    // not a post-rank filter — wrong-label candidates drop at the
+    // broadcast hash join before any cosine arithmetic — and the
+    // shared s15 store still dynamic-partition-prunes to the probed
+    // cells. One index serves s15 (unfiltered) and s23 (filtered).
+    val p = plan("s23_filtered_ann")
+    assert("BroadcastHashJoin \\[cid#\\d+L?, label#\\d+".r.findFirstIn(p).isDefined
+        || "BroadcastHashJoin \\[label#\\d+L?, cid#\\d+".r.findFirstIn(p).isDefined,
+      s"the label must be part of the probe join KEY:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the stored posting scan must still partition-prune to probed cells:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
+  test("s24: the post-delete probe prunes partitions; the retirement batch " +
+      "broadcasts") {
+    // s15's pin survives the delete: the probe still reads only the
+    // probed cells' partitions of the rewritten store, and the
+    // retired-id frame rides broadcast joins (semi to find touched
+    // cells, anti to drop rows) — the stored postings never shuffle.
+    val p = plan("s24_ivf_kmeans_delete")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the post-delete scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
