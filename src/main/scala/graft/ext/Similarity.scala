@@ -696,6 +696,13 @@ object Similarity {
     // (ExtSpec), and deleting an already-deleted batch is a no-op.
     "s24_ivf_kmeans_delete" -> ((s, dir) => kmeansDeleteQuery(s, dir)),
 
+    // DELETIONS from the landed COMPRESSED index — s24's retirement
+    // batch applied to s21's code store, closing CRUD on BOTH landed
+    // forms (trained: s15/s18/s24; compressed: s21/s22/s25). Same
+    // md5 ':del' draw, same anti-join + touched-cell rewrite, probe =
+    // s21's pruned ADC probe; neither quantizer retrains.
+    "s25_ivfadc_delete" -> ((s, dir) => ivfadcDeleteQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1135,12 +1142,49 @@ object Similarity {
   /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
     * batch: the drawn 1/16 are vectors deleted AFTER the index was
     * built over everything. ONE definition with [[annDelSqlPred]]. */
-  private[graft] def annDelVec: Column =
-    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":del"))),
+  private[graft] def annDelVecOn(c: Column): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(":del"))),
       1, 8), 16, 10).cast("long") % 16 === 0
 
-  private def annDelSqlPredOn(alias: String): String =
-    s"('0x' || substr(md5($alias.vec_id || ':del'), 1, 8))::BIGINT % 16 = 0"
+  private[graft] def annDelVec: Column = annDelVecOn(col("vec_id"))
+
+  private def annDelSqlPredOn(sqlCol: String): String =
+    s"('0x' || substr(md5($sqlCol || ':del'), 1, 8))::BIGINT % 16 = 0"
+
+  /** THE retirement mechanics on a cid-partitioned vector store — ONE
+    * definition for s24 (the trained index's postings) and s25 (the
+    * compressed index's codes), so the two delete paths cannot drift:
+    * the retired-id frame (batch-bounded) broadcast-SEMI-joins the
+    * store to find its ≤ K touched cells, broadcast-ANTI-joins their
+    * rows, and the survivors — checkpointed BEFORE the write — rewrite
+    * exactly those cells by dynamic partition overwrite. A cell whose
+    * membership drops to zero cannot be rewritten dynamically (no row
+    * carries its key), so its partition directory is dropped
+    * explicitly: a bounded ≤ K-entry driver-side metadata op, the
+    * parquet analogue of partition DROP. Re-applying the same delete
+    * is a no-op (the semi-join finds nothing). */
+  private def deleteFromStore(s: SparkSession, path: String,
+      delIds: DataFrame): Unit = {
+    val del = broadcast(delIds)
+    val stored = s.read.parquet(path)
+    val touched = broadcast(
+      stored.join(del, Seq("vec_id"), "left_semi")
+        .select(col("cid")).distinct())
+    val survivors = graft.ops.Subplan.once(
+      stored.join(touched, Seq("cid"), "left_semi")
+        .join(del, Seq("vec_id"), "left_anti"))
+    val emptied = touched.collect().map(_.getInt(0)).toSet --
+      survivors.select(col("cid")).distinct().collect().map(_.getInt(0))
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cid=$c"), true)
+      }
+    }
+    if (!survivors.isEmpty)
+      graft.sources.Sink.write(survivors, path, Seq("vec_id"), Seq("cid"))
+  }
 
   /** The s24 body — DELETIONS from the landed trained index, the
     * reverse half of s18's append-upsert (together they are the full
@@ -1169,32 +1213,43 @@ object Similarity {
       s, "s24_postings", dir, Seq("vec_id"), Seq("cid")) {
       kmAssign(fxAll, cents).select(col("vec_id"), col("v"), col("cid"))
     }
-    val delIds = broadcast(
+    deleteFromStore(s, postPath,
       emb(s, dir).filter(annDelVec).select(col("vec_id")))
-    val stored = s.read.parquet(postPath)
-    val touched = broadcast(
-      stored.join(delIds, Seq("vec_id"), "left_semi")
-        .select(col("cid")).distinct())
-    val survivors = graft.ops.Subplan.once(
-      stored.join(touched, Seq("cid"), "left_semi")
-        .join(delIds, Seq("vec_id"), "left_anti"))
-    // Emptied cells: touched keys with zero survivors — a dynamic
-    // overwrite cannot rewrite a partition no row carries, so drop
-    // the directory (bounded: ≤ K cells, the P9 driver-side pattern).
-    val emptied = touched.collect().map(_.getInt(0)).toSet --
-      survivors.select(col("cid")).distinct().collect().map(_.getInt(0))
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(postPath)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"cid=$c"), true)
-      }
-    }
-    if (!survivors.isEmpty)
-      graft.sources.Sink.write(survivors, postPath, Seq("vec_id"), Seq("cid"))
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
     kmProbedTop5(s.read.parquet(postPath), kmProbeCells(q, cents))
+  }
+
+  /** The s25 body — DELETIONS from the landed COMPRESSED index: the
+    * SAME retirement mechanics as s24 ([[deleteFromStore]] is the one
+    * definition) applied to s21's cell-partitioned code store,
+    * closing CRUD on both landed forms (trained: build s13 / land
+    * s15 / insert s18 / delete s24; compressed: land s21 / insert
+    * s22 / delete s25). Both quantizers were trained on the full
+    * pre-deletion corpus and never retrain; the probe is s21's pruned
+    * ADC probe over the post-delete store. Removing a candidate
+    * leaves every other candidate's ADC score unchanged (scores are
+    * per-row table lookups), so the oracle is the full chain with
+    * deleted candidates excluded before the rank. */
+  private def ivfadcDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxAll = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s25_kmc", dir, Seq("cid")) { kmeansCentroids(fxAll) }
+    lazy val rfxs = graft.ops.Subplan.once(residFrame(fxAll, cents))
+    val pqc = graft.sources.SessionStore.storedOrBuild(
+      s, "s25_pqc", dir, Seq("sub", "cid")) {
+      pqCodebooks(rfxs.select(col("vec_id"), col("subs")))
+    }
+    val codesPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s25_codes", dir, Seq("vec_id"), Seq("cid")) {
+      pqEncode(rfxs, pqc).select(col("vec_id"), col("cid"), col("codes"))
+    }
+    deleteFromStore(s, codesPath,
+      emb(s, dir).filter(annDelVec).select(col("vec_id")))
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    pqAdcTop5(adcScored(s.read.parquet(codesPath), q, cents, pqc))
   }
 
   /** The s18 batch draw — the t08 md5 split read as ARRIVAL ORDER:
@@ -2368,7 +2423,7 @@ object Similarity {
       s"""WITH ${kmeansChainCtesOver(None)},
          |cand AS (SELECT p.qid, g.vec_id AS nn_id
          |  FROM pr p JOIN post g ON g.cid = p.cid
-         |  WHERE g.vec_id <> p.qid AND NOT (${annDelSqlPredOn("g")})),
+         |  WHERE g.vec_id <> p.qid AND NOT (${annDelSqlPredOn("g.vec_id")})),
          |scored AS (SELECT c.qid, c.nn_id,
          |    list_dot_product(qe.v, ge.v)
          |      / (sqrt(list_dot_product(qe.v, qe.v))
@@ -2392,6 +2447,19 @@ object Similarity {
     // the storage topology is not oracle-visible (s12/s15's
     // discipline); the partition-pruned plan is PlanSpec's.
     "s21_ivfadc_stored" -> ivfadcOracleSql,
+    // s25: the full-corpus-trained compressed chain, deleted
+    // candidates excluded BEFORE the rank (per-candidate ADC scores
+    // are independent table lookups, so removing rows from the code
+    // store removes exactly their adc rows).
+    "s25_ivfadc_delete" ->
+      s"""WITH $ivfadcAdcCtes,
+         |kept AS (SELECT qid, nn_id, adc FROM adc
+         |  WHERE NOT (${annDelSqlPredOn("nn_id")})),
+         |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+         |  FROM kept)
+         |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
     // s22: train BOTH quantizers on the pre-batch split, encode the
     // full corpus — what stored ∪ upserted equals (the s18 oracle
     // shape on the compressed chain).

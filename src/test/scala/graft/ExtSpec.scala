@@ -805,6 +805,29 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got, "a re-applied delete must not change the store")
   }
 
+  test("s25 deleted compressed index: probe ≡ full encode minus the deleted " +
+      "set, and re-deleting is a no-op") {
+    // s24's retirement identity on the COMPRESSED store: per-candidate
+    // ADC scores are independent table lookups, so deleting rows from
+    // the code store must equal filtering the full in-lineage scored
+    // frame to surviving candidates before the rank. Re-deleting
+    // finds nothing to remove.
+    val got = SparkEntry.queries("s25_ivfadc_delete")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val expected = ext.Similarity.pqAdcTop5(
+      ext.Similarity.ivfadcScored(spark, sf)
+        .filter(!ext.Similarity.annDelVecOn(col("nn_id"))))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    val s16 = SparkEntry.queries("s16_ivfadc")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got != s16, "deletion changed nothing — degenerate draw?")
+    val again = SparkEntry.queries("s25_ivfadc_delete")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == got, "a re-applied delete must not change the store")
+  }
+
   test("s22 upserted compressed index: probe ≡ full encode with the stored " +
       "model, and the upsert is idempotent") {
     // s18's maintenance identity on the COMPRESSED index: the code

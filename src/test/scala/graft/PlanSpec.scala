@@ -445,6 +445,20 @@ class PlanSpec extends AnyFunSuite {
       s"stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s25: the post-delete compressed probe prunes partitions; nothing " +
+      "shuffles") {
+    // s21's pin survives the delete on the code store, exactly as
+    // s24's does on the posting store.
+    val p = plan("s25_ivfadc_delete")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the post-delete code scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probed-cell ADC-table side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored codes must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
