@@ -1044,6 +1044,16 @@ object DocStreams extends Serializable {
         postDf.map(_.unionByName(asg)).getOrElse(asg)))
     }
 
+    /** Fold a retirement batch of vec_ids — the live counterpart of
+      * batch s24, exactly as `fold` twins s18's insert: the retired
+      * ids anti-join the maintained postings (the model never
+      * retrains on deletes). Retiring unknown or already-retired ids
+      * is a no-op. */
+    def retire(ids: DataFrame): Unit =
+      postDf = postDf.map(p => graft.ops.Subplan.once(
+        p.join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti")))
+
     /** The probed-cells exact cosine top-5 over the maintained index
       * for a (vec_id, v) query frame — s13/s15/s18's probe verbatim
       * ([[graft.ext.Similarity.kmProbeCells]] +
@@ -1116,6 +1126,15 @@ object DocStreams extends Serializable {
       codesDf = Some(graft.ops.Subplan.once(
         codesDf.map(_.unionByName(enc)).getOrElse(enc)))
     }
+
+    /** Fold a retirement batch of vec_ids — the live counterpart of
+      * batch s25 (the [[AnnIndexMaintenance.retire]] discipline on
+      * the code frame): retired ids anti-join the maintained codes;
+      * neither quantizer retrains; unknown ids are a no-op. */
+    def retire(ids: DataFrame): Unit =
+      codesDf = codesDf.map(c => graft.ops.Subplan.once(
+        c.join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti")))
 
     /** The pruned-ADC top-5 over the maintained compressed index for
       * a (vec_id, v) query frame — s21/s22's probe verbatim. None

@@ -509,6 +509,23 @@ class StreamingSpec extends AnyFunSuite {
     val postIds = cm.postings.get.select(col("vec_id"))
       .filter(ext.Similarity.annBatchVec).limit(1).count()
     assert(postIds == 1L, "no batch-trigger vector reached the postings")
+    // Retirement — the live s24: after retiring the ':del' draw, the
+    // probe must equal the full assignment (same stored model) minus
+    // the retired set, and a re-retire must change nothing.
+    cm.retire(ext.Similarity.emb(spark, sf)
+      .filter(ext.Similarity.annDelVec).select(col("vec_id")))
+    val gotDel = cm.probe(ext.Similarity.emb(spark, sf)
+        .filter(col("vec_id") < 10).select(col("vec_id"), col("v")))
+      .get.collect().map(_.toSeq).toSet
+    val wantDel = ext.Similarity.kmProbedTop5(
+        ext.Similarity.kmAssign(fxAll, cents)
+          .filter(!ext.Similarity.annDelVec)
+          .select(col("vec_id"), col("v"), col("cid")),
+        ext.Similarity.kmProbeCells(fxAll.filter(col("vec_id") < 10), cents))
+      .collect().map(_.toSeq).toSet
+    assert(wantDel.nonEmpty)
+    assert(gotDel == wantDel,
+      "retired index probe diverges from full-assignment-minus-deleted")
   }
 
   test("streaming COMPRESSED ANN-index maintenance answers the full-rebuild " +
@@ -560,6 +577,22 @@ class StreamingSpec extends AnyFunSuite {
     val codeIds = cm.codes.get.select(col("vec_id"))
       .filter(ext.Similarity.annBatchVec).limit(1).count()
     assert(codeIds == 1L, "no batch-trigger vector reached the codes")
+    // Retirement — the live s25: retiring the ':del' draw must equal
+    // filtering the full in-lineage scored frame (same stored model)
+    // to surviving candidates before the rank.
+    cm.retire(ext.Similarity.emb(spark, sf)
+      .filter(ext.Similarity.annDelVec).select(col("vec_id")))
+    val gotDel = cm.probe(ext.Similarity.emb(spark, sf)
+        .filter(col("vec_id") < 10).select(col("vec_id"), col("v")))
+      .get.collect().map(_.toSeq).toSet
+    val wantDel = ext.Similarity.pqAdcTop5(
+        ext.Similarity.ivfadcScored(spark, sf,
+          Some(!ext.Similarity.annBatchVec))
+          .filter(!ext.Similarity.annDelVecOn(col("nn_id"))))
+      .collect().map(_.toSeq).toSet
+    assert(wantDel.nonEmpty)
+    assert(gotDel == wantDel,
+      "retired compressed probe diverges from scored-minus-deleted")
   }
 
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
