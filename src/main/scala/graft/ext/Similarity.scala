@@ -703,6 +703,14 @@ object Similarity {
     // s21's pruned ADC probe; neither quantizer retrains.
     "s25_ivfadc_delete" -> ((s, dir) => ivfadcDeleteQuery(s, dir)),
 
+    // FILTERED ANN over the COMPRESSED index — s23's query-time
+    // predicate on s21's store (the filter symmetry on both landed
+    // forms): the label rides the stored code rows, the probe joins
+    // on (cid, label), wrong-label candidates drop before any ADC
+    // lookup, the scan still partition-prunes. The deployment shape
+    // of every metadata-filtered vector store over PQ codes.
+    "s26_filtered_ivfadc" -> ((s, dir) => ivfadcFilteredQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1599,12 +1607,26 @@ object Similarity {
     * states both (the s12/s15 discipline: storage topology is not
     * oracle-visible). */
   private def ivfadcStoredQuery(s: SparkSession, dir: String): DataFrame = {
-    // lazy + once: the build path evaluates the corpus frames at most
-    // once across the three storedOrBuild blocks; when all three
-    // tables are already landed, nothing here runs (the s15 fxOf
-    // lesson).
+    val (cents, pqc, codes) = s21Store(s, dir)
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    pqAdcTop5(adcScored(codes, q, cents, pqc))
+  }
+
+  /** THE landed compressed-index store — s21's (centroids, residual
+    * codebooks, cell-partitioned codes) triple, shared by s21 (the
+    * unfiltered ADC probe) and s26 (the label-filtered probe): one
+    * compressed index, query-time predicates, exactly the [[s15Store]]
+    * discipline. Code rows carry (vec_id, label, cid, codes) — s21's
+    * probe column-prunes the label away. lazy + once: the build path
+    * evaluates the corpus frames at most once across the three
+    * storedOrBuild blocks; when all three tables are already landed,
+    * nothing here runs (the s15 fxOf lesson). */
+  private def s21Store(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     lazy val fxOf = graft.ops.Subplan.once(
-      emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+      emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x")))
     val cents = graft.sources.SessionStore.storedOrBuild(
       s, "s21_kmc", dir, Seq("cid")) { kmeansCentroids(fxOf) }
     lazy val rfxsOf = graft.ops.Subplan.once(residFrame(fxOf, cents))
@@ -1614,11 +1636,28 @@ object Similarity {
     }
     val codes = graft.sources.SessionStore.storedOrBuild(
       s, "s21_codes", dir, Seq("vec_id"), Seq("cid")) {
-      pqEncode(rfxsOf, pqc).select(col("vec_id"), col("cid"), col("codes"))
+      pqEncode(rfxsOf, pqc)
+        .select(col("vec_id"), col("label"), col("cid"), col("codes"))
     }
+    (cents, pqc, codes)
+  }
+
+  /** The s26 body — FILTERED ANN over the COMPRESSED index: s23's
+    * query-time-predicate discipline applied to s21's store (the
+    * filter symmetry: the trained index serves s15 unfiltered and
+    * s23 filtered; the compressed index serves s21 unfiltered and
+    * s26 filtered — no second index either way). The label rides the
+    * code rows; the probe joins on (cid, label), so wrong-label
+    * candidates drop at the broadcast hash join before any ADC table
+    * lookup, and the scan still partition-prunes to the probed
+    * cells. The deployment shape of every metadata-filtered vector
+    * store over PQ codes. Same post-filter semantics caveat as s23. */
+  private def ivfadcFilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, pqc, codes) = s21Store(s, dir)
     val q = emb(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
-    pqAdcTop5(adcScored(codes, q, cents, pqc))
+      .select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x"))
+    pqAdcTop5(adcScored(codes, q, cents, pqc, Seq("label")))
   }
 
   /** The s22 body — incremental maintenance of the LANDED COMPRESSED
@@ -1684,10 +1723,15 @@ object Similarity {
     * index build, the s22 batch encode, and the streaming twin's
     * per-trigger encode — so the residuals a codebook was trained on
     * and the residuals a code is computed from can never drift. */
-  private[graft] def residFrame(fx: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def residFrame(fx: DataFrame, cents: DataFrame): DataFrame = {
+    // Metadata columns beyond the (v, x) vector pair ride through
+    // (kmAssign's discipline) — s26 carries label into the code store
+    // this way.
+    val keep = fx.columns.filterNot(Set("v", "x").contains).toIndexedSeq
     kmAssign(fx, cents).join(broadcast(cents), Seq("cid"))
-      .select(col("vec_id"), col("cid"),
-        residSubArr(col("x"), col("m")).as("subs"))
+      .select(keep.map(col) :+ col("cid") :+
+        residSubArr(col("x"), col("m")).as("subs"): _*)
+  }
 
   /** THE pruned ADC probe front — per-(query, probed-cell) residual
     * ADC tables broadcast onto the (cid-keyed) code frame, scored by
@@ -1695,10 +1739,18 @@ object Similarity {
     * (in-lineage codes), s21/s22 (the stored, partition-pruned
     * codes), and the streaming twin. `qf` carries (vec_id, v, x). */
   private[graft] def adcScored(codes: DataFrame, qf: DataFrame,
-      cents: DataFrame, pqc: DataFrame): DataFrame = {
-    val qtabs = ivfadcTables(
+      cents: DataFrame, pqc: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    // extraKeys (s26: label) join the query's metadata onto its ADC
+    // tables and become part of the probe join KEY — the s23 filter
+    // discipline on the compressed index: wrong-key candidates drop
+    // at the broadcast hash join, before any table lookup.
+    val base = ivfadcTables(
       kmProbeCells(qf, cents).select(col("qid"), col("cid")), qf, cents, pqc)
-    codes.join(broadcast(qtabs), Seq("cid"))
+    val qtabs = if (extraKeys.isEmpty) base
+      else base.join(broadcast(qf.select(
+        col("vec_id").as("qid") +: extraKeys.map(col): _*)), Seq("qid"))
+    codes.join(broadcast(qtabs), "cid" +: extraKeys)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"), pqAdcCol.as("adc"))
   }
@@ -2455,6 +2507,20 @@ object Similarity {
       s"""WITH $ivfadcAdcCtes,
          |kept AS (SELECT qid, nn_id, adc FROM adc
          |  WHERE NOT (${annDelSqlPredOn("nn_id")})),
+         |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
+         |  FROM kept)
+         |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
+    // s26: the full compressed chain, candidates restricted to the
+    // query's label BEFORE the rank (the s23 candidate-predicate
+    // semantics on ADC scores).
+    "s26_filtered_ivfadc" ->
+      s"""WITH $ivfadcAdcCtes,
+         |kept AS (SELECT a.qid, a.nn_id, a.adc FROM adc a
+         |  JOIN e qe ON qe.vec_id = a.qid
+         |  JOIN e ge ON ge.vec_id = a.nn_id
+         |  WHERE ge.label = qe.label),
          |rnk AS (SELECT qid, nn_id, adc, ROW_NUMBER() OVER
          |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
          |  FROM kept)

@@ -805,6 +805,34 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got, "a re-applied delete must not change the store")
   }
 
+  test("s26 filtered compressed ANN equals the label-restricted re-rank of " +
+      "the in-lineage ADC scores") {
+    // s23's independent-derivation pin on the compressed index: the
+    // full in-lineage scored frame (no store, no (cid, label) key),
+    // restricted to same-label pairs and re-ranked by (adc, nn_id),
+    // must reproduce s26 exactly.
+    val got = SparkEntry.queries("s26_filtered_ivfadc")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Long]("adc"), r.getAs[Int]("rk"))).toSet
+    val labels = ext.Similarity.emb(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = ext.Similarity.ivfadcScored(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Long]("adc")))
+      .filter { case (q, n, _) => labels(q) == labels(n) }
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case ((q, n, a), i) => (q, n, a, i + 1) }
+      }.toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    val s21 = SparkEntry.queries("s21_ivfadc_stored")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Long]("adc"), r.getAs[Int]("rk"))).toSet
+    assert(got != s21, "label filter changed nothing — degenerate fixture?")
+  }
+
   test("s25 deleted compressed index: probe ≡ full encode minus the deleted " +
       "set, and re-deleting is a no-op") {
     // s24's retirement identity on the COMPRESSED store: per-candidate

@@ -459,6 +459,21 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s26: the filtered compressed probe keys the broadcast join on " +
+      "(cid, label) and still prunes the stored scan") {
+    // s23's filter pin on the compressed index: the label is part of
+    // the ADC-probe join KEY, the code scan still dynamic-partition-
+    // prunes, and nothing shuffles.
+    val p = plan("s26_filtered_ivfadc")
+    assert("BroadcastHashJoin \\[cid#\\d+L?, label#\\d+".r.findFirstIn(p).isDefined
+        || "BroadcastHashJoin \\[label#\\d+L?, cid#\\d+".r.findFirstIn(p).isDefined,
+      s"the label must be part of the probe join KEY:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the stored code scan must still partition-prune to probed cells:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stored codes must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
