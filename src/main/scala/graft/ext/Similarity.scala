@@ -711,6 +711,17 @@ object Similarity {
     // of every metadata-filtered vector store over PQ codes.
     "s26_filtered_ivfadc" -> ((s, dir) => ivfadcFilteredQuery(s, dir)),
 
+    // MAXSIM — late-interaction retrieval (the ColBERT scoring shape,
+    // Khattab & Zaharia 2020): entities are GROUPS of token vectors
+    // (gid = vec_id div 8 over the embeddings fixture), and a query
+    // group scores a candidate group by Σ over its tokens of the MAX
+    // dot product against the candidate's tokens — the operator class
+    // single-vector ANN can't express (per-token alignment, not one
+    // pooled vector). Exact integers end-to-end: fixed-point dots via
+    // the native sq_dist_long + precomputed norms (2ab = a²+b²−(a−b)²,
+    // even ⇒ the arithmetic shift halves exactly).
+    "s27_maxsim" -> ((s, dir) => maxsimQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1513,6 +1524,55 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.nn_id").as("nn_id"),
         col("col.adc").as("adc"), (col("pos") + 1).cast("int").as("rk"))
+
+  /** The s27 body — MAXSIM late-interaction scoring (Khattab &
+    * Zaharia, "ColBERT", SIGIR 2020): documents and queries are
+    * GROUPS of token vectors (gid = vec_id div 8 — 8-token groups
+    * over the embeddings fixture, reusing driver data rather than
+    * synthesizing a new table); score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d}
+    * qt·dt. The inherent work is |Q_tokens| × N dot products — a map
+    * stage over the corpus against the broadcast query-token frame
+    * (the s07 broadcast-scan discipline, ConstKey-keyed) with every
+    * dot in exact int64: qt·dt = (|qt|² + |dt|² − |qt−dt|²) / 2,
+    * where the squared norms are precomputed per token once and the
+    * pair term is the native codegen'd [[graft.functions.SqDistLong]];
+    * the difference is even, so the arithmetic shift halves exactly.
+    * The per-(query-token, candidate-group) MAX and the per-(query,
+    * candidate) SUM are partial aggregates — the one shuffle carries
+    * ≤ |Q_tokens| · (N/8) skinny long rows (≈ 2N at the registered
+    * probe), never the N² pair frame; the bounded-heap top-5 ends it.
+    * At 100 TB the exact form is the rerank tail over a candidate
+    * set (s17's pattern); registered here as the exact operator under
+    * the full hash oracle. */
+  private def maxsimQuery(s: SparkSession, dir: String): DataFrame = {
+    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
+    val toks = graft.ops.Subplan.once(
+      emb(s, dir).select(expr("vec_id div 8").as("gid"), col("vec_id"),
+        fixedPoint(col("v")).as("x"))
+        .withColumn("n2", graft.functions.SqDistLong.sqDist(col("x"), zeros)))
+    val qt = toks.filter(col("gid") < 2)
+      .select(col("gid").as("qid"), col("vec_id").as("qtok"),
+        col("x").as("qx"), col("n2").as("qn2"))
+      .withColumn("one", graft.ops.ConstKey.one(col("qtok")))
+    val dots = toks.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(qt), "one")
+      .filter(col("qid") =!= col("gid"))
+      .select(col("qid"), col("qtok"), col("gid").as("nn_id"),
+        shiftright(col("qn2") + col("n2") -
+          graft.functions.SqDistLong.sqDist(col("qx"), col("x")), 1)
+          .as("dot"))
+    val best = dots.groupBy(col("qid"), col("qtok"), col("nn_id"))
+      .agg(max(col("dot")).as("m"))
+    val sums = best.groupBy(col("qid"), col("nn_id"))
+      .agg(sum(col("m")).as("maxsim"))
+    sums.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("maxsim").as("ms"), (-col("nn_id")).as("ni"),
+          col("nn_id"), col("maxsim")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.nn_id").as("nn_id"),
+        col("col.maxsim").as("maxsim"), (col("pos") + 1).cast("int").as("rk"))
+  }
 
   /** The s16 body — IVFADC, the canonical pairing (Jégou et al. 2011
     * §IV): the s13 coarse quantizer partitions the corpus into cells,
@@ -2511,6 +2571,31 @@ object Similarity {
          |    (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS rk
          |  FROM kept)
          |SELECT qid, nn_id, adc, CAST(rk AS INTEGER) AS rk
+         |FROM rnk WHERE rk <= 5""".stripMargin,
+    // s27: the maxsim chain — fixed-point token lattice, exhaustive
+    // per-pair int64 dots (the oracle computes them directly; the
+    // engine's norm identity yields the same exact integers), MAX per
+    // (query-token, group), SUM per (query, group), rank.
+    "s27_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |fx AS (SELECT vec_id, vec_id // 8 AS gid,
+         |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+         |     for i in generate_series(1, 64)] AS x
+         |  FROM e),
+         |q AS (SELECT gid AS qid, vec_id AS qtok, x AS qx
+         |  FROM fx WHERE gid < 2),
+         |dots AS (SELECT q.qid, q.qtok, g.gid AS nn_id,
+         |    CAST(list_sum([q.qx[i] * g.x[i]
+         |      for i in generate_series(1, 64)]) AS BIGINT) AS dot
+         |  FROM q, fx g WHERE g.gid <> q.qid),
+         |best AS (SELECT qid, qtok, nn_id, MAX(dot) AS m
+         |  FROM dots GROUP BY 1, 2, 3),
+         |sums AS (SELECT qid, nn_id, CAST(SUM(m) AS BIGINT) AS maxsim
+         |  FROM best GROUP BY 1, 2),
+         |rnk AS (SELECT qid, nn_id, maxsim, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY maxsim DESC, nn_id ASC) AS rk
+         |  FROM sums)
+         |SELECT qid, nn_id, maxsim, CAST(rk AS INTEGER) AS rk
          |FROM rnk WHERE rk <= 5""".stripMargin,
     // s26: the full compressed chain, candidates restricted to the
     // query's label BEFORE the rank (the s23 candidate-predicate

@@ -833,6 +833,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got != s21, "label filter changed nothing — degenerate fixture?")
   }
 
+  test("s27 maxsim equals a JVM late-interaction recompute over the " +
+      "fixed-point lattice") {
+    // Independent derivation: direct int64 dots in plain Scala (the
+    // engine computes them through the norm identity
+    // 2ab = a²+b²−(a−b)² — same exact integers), Σ-of-max per
+    // (query, group), (score desc, gid asc) top-5.
+    val got = SparkEntry.queries("s27_maxsim")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn_id"),
+        r.getAs[Long]("maxsim"), r.getAs[Int]("rk"))).toSet
+    val xs = ext.Similarity.emb(spark, sf).select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(d => math.floor(d * 1048576.0).toLong).toArray))
+    val groups = xs.groupBy(_._1 / 8).map { case (g, ts) =>
+      g -> ts.sortBy(_._1).map(_._2) }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map(i => a(i) * b(i)).sum
+    val want = (0L to 1L).flatMap { qid =>
+      val qts = groups(qid)
+      groups.toSeq.filter(_._1 != qid).map { case (g, ts) =>
+        (qid, g, qts.map(q => ts.map(t => dot(q, t)).max).sum)
+      }.sortBy { case (_, g, sc) => (-sc, g) }.take(5).zipWithIndex
+        .map { case ((q, g, sc), i) => (q, g, sc, i + 1) }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("s25 deleted compressed index: probe ≡ full encode minus the deleted " +
       "set, and re-deleting is a no-op") {
     // s24's retirement identity on the COMPRESSED store: per-candidate

@@ -474,6 +474,23 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s27: maxsim is a broadcast token scan + partial max/sum aggregates, " +
+      "no window, no pair shuffle") {
+    // The late-interaction contract at scale: the Q·N dot products
+    // are a map stage (query tokens broadcast onto the corpus scan),
+    // the per-(qtok, group) MAX and per-(query, group) SUM are
+    // partial aggregates, and the rank is the bounded heap — the N²
+    // pair frame never shuffles and nothing sorts globally.
+    val p = plan("s27_maxsim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query tokens must broadcast onto the corpus scan:\n$p")
+    assert(p.contains("partial_max"), s"expected partial max:\n$p")
+    assert(p.contains("partial_sum"), s"expected partial sum:\n$p")
+    assert(!p.contains("Window"), s"rank must be the bounded heap:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing may sort-merge in the maxsim plan:\n$p")
+  }
+
   test("s07: quantized top-k is a broadcast scan + bounded-heap partial agg") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("top_k"), s"rank must use the bounded-heap aggregate:\n$p")
