@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.sqDistLongDescriptor)
     e.injectFunction(GraftExtensions.nearestIdDescriptor)
     e.injectFunction(GraftExtensions.pqAdcDescriptor)
+    e.injectFunction(GraftExtensions.qlog2Descriptor)
   }
 }
 
@@ -85,10 +86,20 @@ object GraftExtensions {
         "(the equivalent element_at fold would return NULL).", ""),
     (children: Seq[Expression]) => PqAdcLookup(children(0), children(1)))
 
+  val qlog2Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qlog2"),
+    new ExpressionInfo(classOf[QLog2].getName, null, "qlog2",
+      "qlog2(x) - quantized fixed-point base-2 log of a positive bigint: " +
+        "~floor(2^16 * log2(x)) by an exact integer shift-square " +
+        "recurrence, bit-identical across engines (no float ln). " +
+        "Returns NULL for x <= 0.", ""),
+    (children: Seq[Expression]) => QLog2(children(0)))
+
   /** Imperative registration for an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimDescriptor, topKDescriptor, sortedIntersectCountDescriptor,
-      sqDistLongDescriptor, nearestIdDescriptor, pqAdcDescriptor).foreach { d =>
+      sqDistLongDescriptor, nearestIdDescriptor, pqAdcDescriptor,
+      qlog2Descriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

@@ -167,6 +167,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(adc.getLong(0) == 20L + 30L, "pq_adc must sum qt[s][codes[s]]")
   }
 
+  test("qlog2 codegen matches the JVM reference recurrence on a sweep, " +
+      "is exact at powers of two, bounds error vs float log2, and " +
+      "nulls out non-positive input") {
+    import graft.functions.QLog2
+    GraftExtensions.register(spark)
+    val xs = (1L to 4096L) ++
+      Seq(1L << 20, (1L << 20) - 1, (1L << 20) + 1, 999983L, 12345678L,
+        1000000007L, (1L << 42) - 1, 1L << 42, (1L << 42) + 1, 1L << 62)
+    val rows = spark.range(1).select(
+        explode(lit(xs.toArray)).as("x"))
+      .select(col("x"), QLog2.qlog2(col("x")).as("ql"))
+      .collect()
+    // codegen path ≡ QLog2.ref (the eval/spec/oracle one-definition)
+    rows.foreach { r =>
+      assert(r.getLong(1) == QLog2.ref(r.getLong(0)),
+        s"codegen drifted from ref at x=${r.getLong(0)}")
+    }
+    // exact at powers of two: qlog2(2^k) = k·2^Q, and monotone
+    (0 to 62).foreach { k =>
+      assert(QLog2.ref(1L << k) == k.toLong << QLog2.FracBits,
+        s"qlog2(2^$k) must be exactly k shifted by Q, k=$k")
+    }
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) <= b.getLong(1),
+        s"qlog2 not monotone between ${a.getLong(0)} and ${b.getLong(0)}")
+    }
+    // |qlog2(x) − 2^Q·log2(x)| ≤ 2 units of 2^-Q across the sweep
+    rows.foreach { r =>
+      val ideal = math.log(r.getLong(0).toDouble) / math.log(2.0) *
+        (1L << QLog2.FracBits)
+      assert(math.abs(r.getLong(1) - ideal) <= 2.0,
+        s"qlog2(${r.getLong(0)}) = ${r.getLong(1)} vs ideal $ideal")
+    }
+    // SQL registration + null for x ≤ 0
+    val nulls = spark.sql(
+      "SELECT qlog2(0L) AS a, qlog2(-5L) AS b, qlog2(1L) AS c").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.getLong(2) == 0L)
+  }
+
   test("cosine_sim survives whole-stage codegen on a real plan") {
     val df = Tables(spark, sf, "embeddings")
       .select(CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("self"))
