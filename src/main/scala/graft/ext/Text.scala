@@ -780,7 +780,37 @@ object Text {
     // instead of doc_id. Uniformity of the md5 draw balances both
     // shards and buckets by construction — no skew key exists.
     "t27_epoch_shard" -> ((s, dir) =>
-      epochShard(docs(s, dir).select(col("doc_id"), size(toks).as("n_tok"))))
+      epochShard(docs(s, dir).select(col("doc_id"), size(toks).as("n_tok")))),
+
+    // Model-based classification — the fastText-classifier role in a
+    // curation pipeline (CCNet's language/quality gate): a multinomial
+    // naive Bayes language classifier trained in-engine on the md5
+    // train split (the t08/t13 draw) and scored on the held-out docs,
+    // kept deterministic end to end by scoring in QUANTIZED INTEGER
+    // LOG space: every log₂ is [[graft.functions.QLog2]]'s exact
+    // fixed-point recurrence, so the per-class negative log-likelihood
+    //   qsurp(d, c) = Σ_t tf·(qlog2(n(c)+V) − qlog2(n(t,c)+1))
+    //              + qlog2(N) − qlog2(n_docs(c))
+    // is a sum of integers — order-free, overflow-safe (≤ 2⁴⁵ per
+    // doc), and hash-identical to the DuckDB oracle, which unrolls the
+    // SAME recurrence as chained CTEs over the distinct count values
+    // ([[qlogChainCte]] — change both or neither). Laplace add-one
+    // smoothing makes unseen (token, class) pairs score qlog2(1) = 0
+    // likelihood mass exactly (the COALESCE 0 both engines state).
+    // argmin with the house tie-break (score, then class asc); qmargin
+    // = runner-up − winner is the decision confidence. On THIS fixture
+    // the languages share one generator vocabulary, so accuracy sits
+    // at the majority-class baseline (prior-dominated — measured and
+    // documented in PLANS.md); ExtSpec pins perfect separation + a
+    // bit-exact JVM replay on a planted-vocabulary corpus, which is
+    // where the learning machinery shows. Scale: training is ONE
+    // content-keyed count shuffle over the corpus (the t22 LM shape);
+    // qlog2 runs on the vocab×classes MODEL, never the corpus; scoring
+    // joins the eval side to the model on content keys and the
+    // classes×eval cross rides a ConstKey broadcast (n_classes rows).
+    "t29_nb_langid" -> ((s, dir) =>
+      nbClassify(docs(s, dir).select(col("doc_id"), col("lang"),
+        isEvalCol.as("is_eval"), col("text"))))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -892,6 +922,63 @@ object Text {
         col("n_tok"),
         (col("tok_off") + sum(col("n_tok")).over(local) - col("n_tok"))
           .as("tok_start"))
+  }
+
+  /** t29's classifier core over a (doc_id, lang, is_eval, text) frame:
+    * train multinomial-NB token counts on `NOT is_eval`, score the
+    * eval docs in quantized-integer log space, and emit (doc_id, lang,
+    * pred_lang, qsurp, qmargin) — ONE definition serving the
+    * registered query, t30's rebuilt-model cross-check, and ExtSpec's
+    * planted-vocabulary accuracy/replay pins. Token ids are the house
+    * 36-bit md5 ints ([[Dedup.ngramIdCol]] at width 1); all logs are
+    * [[graft.functions.QLog2]] applied ONLY to model-sized frames
+    * (vocab × classes counts + per-class totals), never the corpus.
+    * The token frontier materializes once (Subplan.once) because the
+    * train counts, the vocab size, and the eval side all read it. */
+  private[graft] def nbClassify(d: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val w = org.apache.spark.sql.expressions.Window
+    val tok = graft.ops.Subplan.once(
+      d.select(col("doc_id"), col("lang"), col("is_eval"), toks.as("tk"))
+        .select(col("doc_id"), col("lang"), col("is_eval"),
+          explode(Dedup.ngramIdCol(1)).as("t")))
+    val train = tok.filter(!col("is_eval"))
+    val ntc = train.groupBy(col("t"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val nc = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("ctot"), countDistinct(col("doc_id")).as("ndocs"))
+    val vs = train.select(col("t")).distinct()
+      .agg(count(lit(1)).as("v"))
+      .withColumn("one", graft.ops.ConstKey.one(col("v")))
+    val nd = nc.agg(sum(col("ndocs")).as("ntot"))
+      .withColumn("one", graft.ops.ConstKey.one(col("ntot")))
+    // The class model: n_classes rows of (class, smoothing denominator
+    // log, prior log) — the only place qlog2 touches per-class totals.
+    val cls = nc.withColumn("one", graft.ops.ConstKey.one(col("ctot")))
+      .join(broadcast(vs), "one").join(broadcast(nd), "one")
+      .select(col("lang").as("c"),
+        qlog2(col("ctot") + col("v")).as("qd"),
+        (qlog2(col("ntot")) - qlog2(col("ndocs"))).as("qprior"))
+      .withColumn("one", graft.ops.ConstKey.one(col("qd")))
+    // Per-(token, class) smoothed numerator logs — vocab-bounded.
+    val qn = ntc.select(col("t"), col("lang").as("c"),
+      qlog2(col("n") + lit(1L)).as("qn"))
+    val etf = tok.filter(col("is_eval"))
+      .groupBy(col("doc_id"), col("lang"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("one", graft.ops.ConstKey.one(col("tf")))
+    val perClass = etf.join(broadcast(cls), "one")
+      .join(qn, Seq("t", "c"), "left")
+      .withColumn("s", col("tf") * (col("qd") - coalesce(col("qn"), lit(0L))))
+      .groupBy(col("doc_id"), col("lang"), col("c"))
+      .agg((sum(col("s")) + max(col("qprior"))).as("qsurp"))
+    val pick = w.partitionBy(col("doc_id")).orderBy(col("qsurp"), col("c"))
+    perClass
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("q2", lead(col("qsurp"), 1).over(pick))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+        col("qsurp"), (col("q2") - col("qsurp")).as("qmargin"))
   }
 
   /** First-8-hex-digits-of-md5(source) as a long — the per-source
@@ -1377,6 +1464,85 @@ object Text {
   private val evalDrawSql =
     "('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0"
 
+  /** [[graft.functions.QLog2]]'s recurrence unrolled as chained DuckDB
+    * CTEs over `valsCte`'s distinct positive `x` values — the oracle
+    * half of the qlog2 one-definition (constants come FROM QLog2, so a
+    * Q/S change moves both engines together or fails the hash). Emits
+    * `ql AS (SELECT x, ql ...)`: the msb via a comparison ladder, the
+    * mantissa normalization with the same truncating shift, then
+    * FracBits square-and-shift rounds referencing each step's
+    * PREVIOUS y exactly as the JVM loop does. */
+  private def qlogChainCte(valsCte: String): String = {
+    val S = graft.functions.QLog2.MantBits
+    val Q = graft.functions.QLog2.FracBits
+    val msb = (1 to 62).map(k =>
+      s"CASE WHEN x >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
+    val head =
+      s"""qm AS (SELECT x, ($msb) AS m FROM $valsCte),
+         |q0 AS (SELECT x, m,
+         |    CASE WHEN m <= $S THEN x * (1::BIGINT << ($S - m))
+         |         ELSE x // (1::BIGINT << (m - $S)) END AS y,
+         |    0::BIGINT AS r FROM qm)""".stripMargin
+    val steps = (1 to Q).map { i =>
+      s"""q$i AS (SELECT x, m,
+         |    CASE WHEN (y * y) // ${1L << S} >= ${1L << (S + 1)}
+         |         THEN ((y * y) // ${1L << S}) // 2
+         |         ELSE (y * y) // ${1L << S} END AS y,
+         |    r * 2 + CASE WHEN (y * y) // ${1L << S} >= ${1L << (S + 1)}
+         |            THEN 1 ELSE 0 END AS r
+         |    FROM q${i - 1})""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s",\nql AS (SELECT x, m * ${1L << Q} + r AS ql FROM q$Q)"
+  }
+
+  /** t29's oracle: the naive-Bayes scoring restated over the same
+    * md5 train split, with every log₂ read from [[qlogChainCte]]'s
+    * table of the model's distinct count values. */
+  private def nbLangidOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $evalDrawSql AS is_eval,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, is_eval,
+       |    ('0x' || substr(md5(w), 1, 9))::BIGINT AS t
+       |  FROM (SELECT doc_id, lang, is_eval, unnest(tk) AS w FROM d)),
+       |ntc AS (SELECT t, lang, COUNT(*) AS n
+       |  FROM tok WHERE NOT is_eval GROUP BY 1, 2),
+       |nc AS (SELECT lang, COUNT(*) AS ctot,
+       |    COUNT(DISTINCT doc_id) AS ndocs
+       |  FROM tok WHERE NOT is_eval GROUP BY 1),
+       |vs AS (SELECT COUNT(DISTINCT t) AS v FROM tok WHERE NOT is_eval),
+       |nd AS (SELECT CAST(SUM(ndocs) AS BIGINT) AS ntot FROM nc),
+       |vals AS (SELECT DISTINCT x FROM (
+       |    SELECT n + 1 AS x FROM ntc
+       |    UNION ALL SELECT ctot + v FROM nc, vs
+       |    UNION ALL SELECT ndocs FROM nc
+       |    UNION ALL SELECT ntot FROM nd)),
+       |${qlogChainCte("vals")},
+       |qn AS (SELECT c.t, c.lang, ql.ql AS qn
+       |  FROM ntc c JOIN ql ON ql.x = c.n + 1),
+       |cls AS (SELECT nc.lang,
+       |    (SELECT ql FROM ql WHERE x = nc.ctot + (SELECT v FROM vs))
+       |      AS qd,
+       |    (SELECT ql FROM ql WHERE x = (SELECT ntot FROM nd)) -
+       |    (SELECT ql FROM ql WHERE x = nc.ndocs) AS qprior
+       |  FROM nc),
+       |etf AS (SELECT doc_id, lang, t, COUNT(*) AS tf
+       |  FROM tok WHERE is_eval GROUP BY 1, 2, 3),
+       |term AS (SELECT e.doc_id, e.lang, c.lang AS c, c.qprior,
+       |    e.tf * (c.qd - COALESCE(q.qn, 0)) AS s
+       |  FROM etf e CROSS JOIN cls c
+       |  LEFT JOIN qn q ON q.t = e.t AND q.lang = c.lang),
+       |pc AS (SELECT doc_id, lang, c,
+       |    CAST(SUM(s) + MAX(qprior) AS BIGINT) AS qsurp
+       |  FROM term GROUP BY 1, 2, 3),
+       |r AS (SELECT doc_id, lang, c, qsurp,
+       |    ROW_NUMBER() OVER w AS rn, LEAD(qsurp) OVER w AS q2
+       |  FROM pc WINDOW w AS (PARTITION BY doc_id ORDER BY qsurp, c))
+       |SELECT doc_id, lang, c AS pred_lang, qsurp,
+       |  CAST(q2 - qsurp AS BIGINT) AS qmargin
+       |FROM r WHERE rn = 1""".stripMargin
+
   private def bpeApplyOracleSql(rounds: Int): String =
     s"""WITH ${bpeChainCte(rounds, s" WHERE NOT ($evalDrawSql)")},
        |${bpeApplyCte(rounds, s" WHERE $evalDrawSql")},
@@ -1426,6 +1592,7 @@ object Text {
         |FROM fr
         |WINDOW w AS (PARTITION BY h % 16 ORDER BY h, doc_id)""".stripMargin,
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
+    "t29_nb_langid" -> nbLangidOracleSql,
     "t28_bpe_batch_train" -> bpeBatchOracleSql(BpeBatchRounds, BpeBatchSize),
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),

@@ -1699,6 +1699,70 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set(("a", "b")))
   }
 
+  test("t29 naive Bayes: separates a planted-vocabulary corpus perfectly " +
+      "and matches a bit-exact JVM replay of the quantized scoring") {
+    import spark.implicits._
+    import graft.functions.QLog2
+    // Three classes with DISJOINT content vocabularies plus shared
+    // stopwords — the lexical divergence the sf fixture lacks (its
+    // languages share one generator vocabulary, so the registered
+    // query's accuracy is prior-dominated; THIS is where learning
+    // shows). 4 train + 2 eval docs per class, is_eval set explicitly.
+    val classWords = Map("aa" -> "red blue", "bb" -> "green yellow",
+      "cc" -> "black white")
+    val rows = for {
+      (c, ws) <- classWords.toSeq
+      i <- 0 until 6
+    } yield {
+      val id = classWords.keys.toSeq.sorted.indexOf(c) * 10L + i
+      val body = (ws + " ") * (i + 1) + "the of the"
+      (id, c, i >= 4, body.trim)
+    }
+    val d = rows.toDF("doc_id", "lang", "is_eval", "text")
+    val got = ext.Text.nbClassify(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("lang"),
+        r.getAs[String]("pred_lang"), r.getAs[Long]("qsurp"),
+        r.getAs[Long]("qmargin"))).toMap
+    assert(got.size == 6, s"expected 6 eval docs, got ${got.size}")
+    got.foreach { case (id, (truth, pred, _, margin)) =>
+      assert(pred == truth, s"doc $id: predicted $pred, truth $truth")
+      assert(margin > 0, s"doc $id: winner must be strict on this corpus")
+    }
+    // Bit-exact JVM replay: identical counts, identical QLog2.ref
+    // logs, identical (qsurp, class) argmin + runner-up margin.
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    def tid(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(9), 16)
+    val train = rows.filter(!_._3)
+    val eval = rows.filter(_._3)
+    val ntc = train.flatMap(r => toks(r._4).map(w => (tid(w), r._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctot = train.groupBy(_._2).view
+      .mapValues(_.map(r => toks(r._4).size.toLong).sum).toMap
+    val ndocs = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = train.flatMap(r => toks(r._4).map(tid)).distinct.size.toLong
+    val n = ndocs.values.sum
+    val classes = classWords.keys.toSeq.sorted
+    eval.foreach { case (id, truth, _, text) =>
+      val scored = classes.map { c =>
+        val qd = QLog2.ref(ctot(c) + v)
+        val qprior = QLog2.ref(n) - QLog2.ref(ndocs(c))
+        val s = toks(text).groupBy(tid).map { case (t, occ) =>
+          val qn = ntc.get((t, c)).map(x => QLog2.ref(x + 1L)).getOrElse(0L)
+          occ.size.toLong * (qd - qn)
+        }.sum
+        (s + qprior, c)
+      }.sorted
+      val (wSurp, wC) = scored.head
+      val (truthC, pred, qsurp, qmargin) = (truth, got(id)._2, got(id)._3,
+        got(id)._4)
+      assert(pred == wC && qsurp == wSurp &&
+        qmargin == scored(1)._1 - wSurp,
+        s"doc $id replay mismatch: engine ($pred, $qsurp, $qmargin) " +
+          s"vs JVM ($wC, $wSurp, ${scored(1)._1 - wSurp}); truth $truthC")
+    }
+  }
+
   test("t26 bpe apply: merge replay reproduces the vocab for seen words " +
       "and segments unseen words through the merges") {
     import spark.implicits._
