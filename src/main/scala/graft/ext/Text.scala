@@ -810,7 +810,48 @@ object Text {
     // classes×eval cross rides a ConstKey broadcast (n_classes rows).
     "t29_nb_langid" -> ((s, dir) =>
       nbClassify(docs(s, dir).select(col("doc_id"), col("lang"),
-        isEvalCol.as("is_eval"), col("text"))))
+        isEvalCol.as("is_eval"), col("text")))),
+
+    // Incremental classifier-model maintenance — t21's delta
+    // discipline applied to t29's model: NB token-class counts are
+    // ADDITIVE, so merging a new batch's counts into the stored model
+    // is EXACTLY a full retrain on the touched keys (a stronger
+    // identity than t21's postings merge — no ordering to reproduce,
+    // just integer addition; the oracle states the full-corpus counts
+    // directly). The existing model rides the session store (a
+    // deployed classifier IS a stored table; repeats read the landed
+    // parquet and time only the batch work), the batch's vocab-sized
+    // count frame materializes once and BROADCASTS both ways under
+    // the t21 gate — the stored model never shuffles; above the gate
+    // the hints drop and both joins re-plan as (t, lang) shuffle
+    // joins. Fixture: batch = doc_id % 8 == 0 (d11/t21's split).
+    // Emits the touched model rows (t, lang, n, n_new).
+    "t30_nb_delta" -> ((s, dir) => {
+      def cnts(side: DataFrame): DataFrame = side
+        .select(col("lang"), toks.as("tk"))
+        .select(col("lang"), explode(Dedup.ngramIdCol(1)).as("t"))
+        .groupBy(col("t"), col("lang")).agg(count(lit(1)).as("n"))
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        (col("doc_id") % 8 === 0).as("is_batch"), col("text"))
+      val existing = graft.sources.SessionStore.storedOrBuild(
+        s, "t30_model", dir, Seq("t", "lang"))(
+        cnts(base.filter(!col("is_batch"))))
+      val delta = graft.ops.Subplan.once(
+        cnts(base.filter(col("is_batch")))
+          .select(col("t"), col("lang"), col("n").as("n_new")))
+      // The same REAL-size broadcast gate as t21: the count scans the
+      // materialized batch counts (frontier-sized, never a recompute).
+      val gate: DataFrame => DataFrame =
+        if (delta.count() <= T21BroadcastMaxKeys) df => broadcast(df)
+        else identity
+      val touched = existing.select(col("t"), col("lang"),
+          col("n").as("n_old"))
+        .join(gate(delta.select(col("t"), col("lang"))), Seq("t", "lang"))
+      delta.join(gate(touched), Seq("t", "lang"), "left")
+        .select(col("t"), col("lang"),
+          (coalesce(col("n_old"), lit(0L)) + col("n_new")).as("n"),
+          col("n_new"))
+    })
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -1593,6 +1634,20 @@ object Text {
         |WINDOW w AS (PARTITION BY h % 16 ORDER BY h, doc_id)""".stripMargin,
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t29_nb_langid" -> nbLangidOracleSql,
+    "t30_nb_delta" ->
+      """WITH base AS (SELECT doc_id, lang, doc_id % 8 = 0 AS is_batch,
+        |    text FROM documents),
+        |tok AS (SELECT lang, is_batch,
+        |    ('0x' || substr(md5(w), 1, 9))::BIGINT AS t
+        |  FROM (SELECT lang, is_batch,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM base)),
+        |touched AS (SELECT t, lang, COUNT(*) AS n_new
+        |  FROM tok WHERE is_batch GROUP BY 1, 2),
+        |full_c AS (SELECT t, lang, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT f.t, f.lang, CAST(f.n AS BIGINT) AS n,
+        |  CAST(u.n_new AS BIGINT) AS n_new
+        |FROM full_c f JOIN touched u ON f.t = u.t AND f.lang = u.lang""".stripMargin,
     "t28_bpe_batch_train" -> bpeBatchOracleSql(BpeBatchRounds, BpeBatchSize),
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),

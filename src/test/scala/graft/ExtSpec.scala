@@ -1763,6 +1763,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t30 nb model delta: merged rows equal a full retrain on touched keys") {
+    // Counts are additive, so the delta-merged model must be EXACTLY
+    // the full-corpus (t, lang) counts wherever the batch touched —
+    // recomputed here in-engine from scratch, no store, no merge path.
+    val got = SparkEntry.queries("t30_nb_delta")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_new"))).toMap
+    val full = Tables(spark, sf, "documents")
+      .select(col("lang"), (col("doc_id") % 8 === 0).as("is_batch"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("lang"), col("is_batch"),
+        explode(ext.Dedup.ngramIdCol(1)).as("t"))
+      .groupBy(col("t"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_new"))
+      .filter(col("n_new") > 0)
+      .collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_new"))).toMap
+    assert(got.nonEmpty && got == full,
+      s"merged model diverged from the rebuild: ${got.size} vs " +
+        s"${full.size} keys, first diff ${
+          (full.keySet ++ got.keySet).find(k => got.get(k) != full.get(k))}")
+  }
+
   test("t26 bpe apply: merge replay reproduces the vocab for seen words " +
       "and segments unseen words through the merges") {
     import spark.implicits._

@@ -237,6 +237,23 @@ class PlanSpec extends AnyFunSuite {
       s"the under-gate delta plan must contain zero shuffle exchanges:\n$p")
   }
 
+  test("t30: the stored model never shuffles — batch counts broadcast everywhere") {
+    val p = plan("t30_nb_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"touched-key pruning and the merge must broadcast the batch side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge would shuffle the stored model — the regression " +
+        s"the broadcast exists to prevent:\n$p")
+    assert(p.contains("Scan parquet"),
+      s"the existing model is the landed store — the delta path must " +
+        s"read it, not rebuild it:\n$p")
+    // Under the gate the delta path is shuffle-free: the stored model
+    // streams map-only through two broadcasts of the checkpointed
+    // batch counts. One hash exchange = the stored model shuffled.
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the under-gate delta plan must contain zero shuffle exchanges:\n$p")
+  }
+
   test("d14: the merged delta reads materialized frontiers only") {
     // The registered plan is the label pass over the contracted edge
     // checkpoint; every upstream stage (assignment build, batch-side
