@@ -761,6 +761,66 @@ object DocStreams extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  val labeledDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  case class TokClassCount(t: Long, lang: String, block: Long,
+      doc_id: Long, tf: Long)
+  case class NbBlockState(entries: List[(Long, Long)])
+  case class NbModelRow(t: Long, lang: String, block: Long,
+      n: Long, n_docs: Long)
+
+  /** Streaming twin of t29/t30: live classifier-model maintenance on a
+    * labeled ingest stream. Each arriving doc's per-token-id tf is
+    * ROW-LOCAL column algebra over the house 36-bit ids
+    * (graft.ext.Dedup.ngramIdCol at width 1 — the t29/t30 hash, ONE
+    * definition so stream and batch counts can never drift); rows key
+    * by (token id, class, doc-block of 128) and per-key state holds
+    * that block's (doc_id, tf) entries — [[indexMaintenance]]'s exact
+    * state discipline, so a re-delivered doc REPLACES its entry
+    * (at-least-once safety) and a hot token spreads over blocks
+    * instead of growing any one key. Every trigger emits the updated
+    * merged partial per touched key; counts are additive, so the
+    * model row n(t, c) is the SUM of a key's block partials and the
+    * converged sum equals a full batch recount over everything seen
+    * (StreamingSpec pins the replay; n_docs grows monotonically per
+    * key, so "last" = max n_docs). At deploy scale the state store IS
+    * the serving model shard and each emission is the upsert t30
+    * merges in batch. */
+  def nbModelMaintenance(docs: DataFrame, blockWidth: Long = 128L)
+      : Dataset[NbModelRow] = {
+    import docs.sparkSession.implicits._
+
+    def update(key: (Long, String, Long), batch: Iterator[TokClassCount],
+        state: GroupState[NbBlockState]): Iterator[NbModelRow] = {
+      val cur = state.getOption.getOrElse(NbBlockState(Nil))
+      val merged = (cur.entries.toMap ++ batch.map(d => d.doc_id -> d.tf))
+        .toList.sortBy(_._1)
+      state.update(NbBlockState(merged))
+      Iterator.single(NbModelRow(key._1, key._2, key._3,
+        merged.map(_._2).sum, merged.size.toLong))
+    }
+
+    docs
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"), graft.ext.Text.toks.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        graft.ext.Dedup.ngramIdCol(1).as("ids"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(array_distinct(ids), t -> " +
+          "struct(t as tid, size(filter(ids, x -> x = t)) as tf))")).as("e"))
+      .select(col("e.tid").as("t"), col("lang"),
+        expr(s"doc_id div $blockWidth").as("block"),
+        col("doc_id"), col("e.tf").cast("long").as("tf"))
+      .as[TokClassCount]
+      .groupByKey(d => (d.t, d.lang, d.block))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming twin of t09's KMV sketch: per-tumbling-window distinct
     * TOKEN estimates over the document stream, via the deduplicating
     * [[graft.functions.KmvAgg]] buffer. A streaming pipeline cannot

@@ -693,6 +693,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NB model maintenance converges to a full batch recount") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_nb_stream").toString
+    val d = Tables(spark, sf, "documents")
+    val base = d.select(col("doc_id"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+      col("lang"), col("text"))
+    val rows = DocStreams.nbModelMaintenance(
+      spark.readStream.schema(DocStreams.labeledDocSchema).parquet(srcDir))
+    val q = rows.writeStream.outputMode("append")
+      .format("memory").queryName("nb_stream").start()
+    try {
+      // two microbatches split by parity so most (t, lang, block) keys
+      // see arrivals in both triggers and the merge path genuinely runs
+      Seq(0, 1).foreach { par =>
+        base.filter(col("doc_id") % 2 === par)
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // last emission per key = max n_docs; the model row is the SUM
+      // of a (t, lang) key's block partials — counts are additive
+      val got = spark.table("nb_stream").collect()
+        .map(r => ((r.getAs[Long]("t"), r.getAs[String]("lang"),
+          r.getAs[Long]("block")), (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n"))))
+        .groupBy(_._1).values.map(g => (g.head._1, g.map(_._2).maxBy(_._1)))
+        .groupBy { case ((t, lang, _), _) => (t, lang) }
+        .view.mapValues(_.map(_._2._2).sum).toMap
+      val want = d
+        .select(col("lang"), split(trim(col("text")), "\\s+").as("tk"))
+        .select(col("lang"), explode(ext.Dedup.ngramIdCol(1)).as("t"))
+        .groupBy(col("t"), col("lang")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[String]("lang")) ->
+          r.getAs[Long]("n")).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"converged streaming model diverges from the batch recount: " +
+          s"first diff ${(want.keySet ++ got.keySet)
+            .find(k => got.get(k) != want.get(k))
+            .map(k => (k, got.get(k), want.get(k)))}")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup filter replays to exactly the batch d05 pairs") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_embdup_stream").toString
