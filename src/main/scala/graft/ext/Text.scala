@@ -851,7 +851,35 @@ object Text {
         .select(col("t"), col("lang"),
           (coalesce(col("n_old"), lit(0L)) + col("n_new")).as("n"),
           col("n_new"))
-    })
+    }),
+
+    // Quota sampling — the data-mixing recipe step (Dolma/RedPajama
+    // style): down-sample each over-represented source to a per-source
+    // TOKEN quota, uniformly at random but deterministically. t18
+    // admits a PREFIX in arrival order (the ingest gate — biased
+    // toward early docs by design); t31 draws the SAME budgets'
+    // ([[budgetCol]], one definition) worth of tokens by per-doc md5
+    // rank, so the kept set is an unbiased, engine- and
+    // cluster-size-independent sample of the whole source. Machinery
+    // is ENTIRELY reused: the draw-ordered rank + running token sum is
+    // [[drawBucketedRank]] (t27's two-level decomposition keyed by the
+    // draw — a source holding half the corpus still ranks in
+    // bucket-sized window tasks, no skew case exists) and the verdict
+    // is t18's closed form off the prefix sum. Emits every doc with
+    // its draw rank, token offset, budget, and kept flag — provenance
+    // for the recipe, not just the survivors.
+    "t31_quota_sample" -> ((s, dir) =>
+      drawBucketedRank(docs(s, dir)
+        .select(col("doc_id"), col("source").as("part"),
+          size(toks).as("n_tok"))
+        .withColumn("h", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":qs"))), 1, 8), 16, 10)
+          .cast("long")), 1L << 28)
+        .withColumnRenamed("part", "source")
+        .withColumn("budget", budgetCol(1500L))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("pos"),
+          col("tok_start"), col("budget"),
+          (col("tok_start") + col("n_tok") <= col("budget")).as("kept")))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -938,27 +966,48 @@ object Text {
     * default 2²⁸ (16 buckets over the 2³² draw space) keeps every
     * fixture tier genuinely multi-bucket. */
   private[graft] def epochShard(frontier: DataFrame, shards: Int = 16,
-      bucketWidth: Long = 1L << 28): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val fr = graft.ops.Subplan.once(frontier
+      bucketWidth: Long = 1L << 28): DataFrame =
+    drawBucketedRank(frontier
       .withColumn("h", conv(substring(md5(concat(
         col("doc_id").cast("string"), lit(":ep1"))), 1, 8), 16, 10)
         .cast("long"))
-      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
-      .withColumn("bkt", expr(s"h div $bucketWidth")))
-    val offsets = fr.groupBy(col("shard"), col("bkt"))
+      .withColumn("part", pmod(col("h"), lit(shards.toLong)).cast("int")),
+      bucketWidth)
+      .withColumnRenamed("part", "shard")
+
+  /** The draw-keyed two-level rank + running-token-sum core — ONE
+    * definition serving t27's epoch sharding (part = draw mod shards)
+    * and t31's quota sampling (part = source): over a frame with
+    * (doc_id, n_tok, h, part), appends `pos` (dense rank within part
+    * in (h, doc_id) order) and `tok_start` (the exact running token
+    * offset) via per-(part, bucket) local windows plus a broadcast
+    * (part × buckets)-row offset pass. bucket = h div `bucketWidth`
+    * is a contiguous range of the order key, so bucket-local rank +
+    * offset is the identical integer for every width (ExtSpec pins
+    * width-independence through t27) — and because the md5 draw is
+    * uniform, bucket population is binomial-tight: the decomposition
+    * has no skew case even when `part` itself is hot (the t27 scale
+    * argument, now also t31's: a source holding half the corpus still
+    * ranks in ~rows/buckets-sized window tasks). Emits (doc_id, part,
+    * pos, n_tok, tok_start). */
+  private def drawBucketedRank(withPart: DataFrame,
+      bucketWidth: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val fr = graft.ops.Subplan.once(
+      withPart.withColumn("bkt", expr(s"h div $bucketWidth")))
+    val offsets = fr.groupBy(col("part"), col("bkt"))
       .agg(count(lit(1)).as("bkt_rows"), sum(col("n_tok")).as("bkt_tok"))
-      .select(col("shard"), col("bkt"),
+      .select(col("part"), col("bkt"),
         (sum(col("bkt_rows")).over(
-          w.partitionBy(col("shard")).orderBy(col("bkt")))
+          w.partitionBy(col("part")).orderBy(col("bkt")))
           - col("bkt_rows")).as("row_off"),
         (sum(col("bkt_tok")).over(
-          w.partitionBy(col("shard")).orderBy(col("bkt")))
+          w.partitionBy(col("part")).orderBy(col("bkt")))
           - col("bkt_tok")).as("tok_off"))
-    val local = w.partitionBy(col("shard"), col("bkt"))
+    val local = w.partitionBy(col("part"), col("bkt"))
       .orderBy(col("h"), col("doc_id"))
-    fr.join(broadcast(offsets), Seq("shard", "bkt"))
-      .select(col("doc_id"), col("shard"),
+    fr.join(broadcast(offsets), Seq("part", "bkt"))
+      .select(col("doc_id"), col("part"),
         (col("row_off") + row_number().over(local) - 1).as("pos"),
         col("n_tok"),
         (col("tok_off") + sum(col("n_tok")).over(local) - col("n_tok"))
@@ -1634,6 +1683,22 @@ object Text {
         |WINDOW w AS (PARTITION BY h % 16 ORDER BY h, doc_id)""".stripMargin,
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t29_nb_langid" -> nbLangidOracleSql,
+    "t31_quota_sample" ->
+      """WITH fr AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::INTEGER AS n_tok,
+        |    ('0x' || substr(md5(doc_id || ':qs'), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start,
+        |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 2 + 1) * 1500
+        |      AS budget
+        |  FROM fr WINDOW w AS (PARTITION BY source ORDER BY h, doc_id))
+        |SELECT doc_id, source, n_tok, pos, tok_start,
+        |  CAST(budget AS BIGINT) AS budget,
+        |  tok_start + n_tok <= budget AS kept
+        |FROM c""".stripMargin,
     "t30_nb_delta" ->
       """WITH base AS (SELECT doc_id, lang, doc_id % 8 = 0 AS is_batch,
         |    text FROM documents),

@@ -1165,6 +1165,49 @@ class ExtSpec extends AnyFunSuite {
     assert(wide == expected)
   }
 
+  test("t31 quota sample matches a one-window JVM recompute and keeps " +
+      "at most the budget per source") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val got = SparkEntry.queries("t31_quota_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tok"), r.getAs[Long]("pos"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("budget"),
+        r.getAs[Boolean]("kept"))).toSet
+    // ground truth: per source, docs ordered by (md5 ':qs' draw,
+    // doc_id); kept iff the running token sum fits the t18 budget
+    val frontier = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tok")))
+    val expected = frontier
+      .map { case (id, src, nt) =>
+        (id, src, nt, java.lang.Long.parseLong(md5hex(s"$id:qs").take(8), 16)) }
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val budget =
+          (java.lang.Long.parseLong(md5hex(src).take(8), 16) % 2 + 1) * 1500L
+        val ordered = ds.sortBy { case (id, _, _, h) => (h, id) }
+        val cum = ordered.scanLeft(0L) { case (acc, (_, _, nt, _)) => acc + nt }
+        ordered.zipWithIndex.map { case ((id, _, nt, _), i) =>
+          (id, src, nt, i.toLong, cum(i), budget, cum(i) + nt <= budget) }
+      }.toSet
+    assert(got == expected,
+      s"first diff: ${(expected -- got).take(2)} vs ${(got -- expected).take(2)}")
+    // kept token mass never exceeds the budget, and the quota bites
+    val bySource = got.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      val keptTok = rows.filter(_._7).map(_._3.toLong).sum
+      assert(keptTok <= rows.head._6, s"$src kept $keptTok over budget")
+    }
+    assert(got.exists(!_._7), "the quota must bite somewhere on the fixture")
+    // the draw matters: membership differs from t18's arrival prefix
+    val t18kept = SparkEntry.queries("t18_budget_prefix")(spark, sf).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    val t31kept = got.filter(_._7).map(_._1)
+    assert(t31kept != t18kept,
+      "draw-ordered sampling must pick a different set than the arrival prefix")
+  }
+
   test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
     val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
