@@ -879,7 +879,50 @@ object Text {
         .withColumn("budget", budgetCol(1500L))
         .select(col("doc_id"), col("source"), col("n_tok"), col("pos"),
           col("tok_start"), col("budget"),
-          (col("tok_start") + col("n_tok") <= col("budget")).as("kept")))
+          (col("tok_start") + col("n_tok") <= col("budget")).as("kept"))),
+
+    // Count-min-sketch token frequencies — the bounded-memory
+    // frequency sketch (Cormode & Muthukrishnan 2005), the mergeable-
+    // sketch sibling of t09's KMV-for-distinct: d=4 md5-salted rows ×
+    // w=16 cells of exact integer counters. The sketch build is ONE
+    // partial aggregate whose combiner state is the sketch itself —
+    // d·w rows REGARDLESS of corpus size, which is the whole point:
+    // at 100 TB the sketch replaces the full content-keyed count
+    // shuffle (map-side combine to 64 longs per task, one 64-row
+    // reduce). The registered query keeps the exact count alongside
+    // as the yardstick (the house honest-measurement pattern): per
+    // token, n_est = min over the d counters ≥ n_exact ALWAYS (the
+    // CMS one-sided guarantee — ExtSpec pins it exactly, plus that
+    // w=16 genuinely collides on the 31-token fixture vocab so the
+    // overestimate path is exercised). Counters, cells, and the min
+    // are all exact integers — the sketch hash-matches DuckDB
+    // bit-for-bit, unusual for a sketch and exactly why the house can
+    // register one. Estimates join the (vocab × d) cell keys to the
+    // 64-row sketch — model-sized, auto-broadcast.
+    "t32_cms_counts" -> ((s, dir) => {
+      val d = 4
+      val w = 16
+      val tok = graft.ops.Subplan.once(
+        docs(s, dir).select(explode(toks).as("tok")))
+      def cellOf(j: Column): Column =
+        pmod(conv(substring(md5(concat(col("tok"), lit(":cms"),
+          j.cast("string"))), 1, 8), 16, 10).cast("long"), lit(w.toLong))
+      val sketch = tok
+        .select(col("tok"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+        .groupBy(col("j"), cellOf(col("j")).as("cell"))
+        .agg(count(lit(1)).as("counter"))
+      val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      exact
+        .select(col("tok"), col("n_exact"),
+          explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+        .withColumn("cell", cellOf(col("j")))
+        .join(sketch, Seq("j", "cell"))
+        .groupBy(col("tok"))
+        .agg(max(col("n_exact")).as("n_exact"),
+          min(col("counter")).as("n_est"))
+        .select(col("tok"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("n_over"))
+    })
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -1683,6 +1726,26 @@ object Text {
         |WINDOW w AS (PARTITION BY h % 16 ORDER BY h, doc_id)""".stripMargin,
     "t24_bpe_train" -> bpeOracleSql(BpeMergeRounds),
     "t29_nb_langid" -> nbLangidOracleSql,
+    "t32_cms_counts" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text),
+        |    '\s+')) AS tok FROM documents),
+        |tj AS (SELECT tok, j FROM tok, generate_series(0, 3) g(j)),
+        |sk AS (SELECT j,
+        |    ('0x' || substr(md5(tok || ':cms' || j), 1, 8))::BIGINT % 16
+        |      AS cell,
+        |    COUNT(*) AS counter
+        |  FROM tj GROUP BY 1, 2),
+        |ex AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        |est AS (SELECT e.tok, MAX(e.n_exact) AS n_exact,
+        |    MIN(sk.counter) AS n_est
+        |  FROM ex e, generate_series(0, 3) g(j)
+        |  JOIN sk ON sk.j = g.j AND sk.cell =
+        |    ('0x' || substr(md5(e.tok || ':cms' || g.j), 1, 8))::BIGINT % 16
+        |  GROUP BY e.tok)
+        |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_est AS BIGINT) AS n_est,
+        |  CAST(n_est - n_exact AS BIGINT) AS n_over
+        |FROM est""".stripMargin,
     "t31_quota_sample" ->
       """WITH fr AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::INTEGER AS n_tok,

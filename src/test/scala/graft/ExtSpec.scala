@@ -1208,6 +1208,35 @@ class ExtSpec extends AnyFunSuite {
       "draw-ordered sampling must pick a different set than the arrival prefix")
   }
 
+  test("t32 CMS holds the one-sided guarantee exactly and matches a JVM " +
+      "sketch replay") {
+    val got = SparkEntry.queries("t32_cms_counts")(spark, sf).collect()
+      .map(r => r.getAs[String]("tok") -> (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_est"), r.getAs[Long]("n_over"))).toMap
+    assert(got.nonEmpty)
+    // the CMS guarantee is EXACT, not probabilistic: est >= exact always
+    got.foreach { case (t, (ex, est, over)) =>
+      assert(est >= ex && over == est - ex, s"$t: est $est < exact $ex")
+    }
+    // w=16 must genuinely collide on the fixture vocab — if every token
+    // were isolated in some row, the overestimate path would be dead code
+    assert(got.values.exists(_._3 > 0), "no collisions: the sketch is exact")
+    // JVM sketch replay: same salted cells, same counters, same min
+    val toks = Tables(spark, sf, "documents").select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    def cell(t: String, j: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$t:cms$j").take(8), 16) % 16
+    val counters = toks.flatMap(t => (0 to 3).map(j => (j, cell(t, j))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = exact.map { case (t, ex) =>
+      t -> (ex, (0 to 3).map(j => counters((j, cell(t, j)))).min) }
+    expected.foreach { case (t, (ex, est)) =>
+      assert(got(t) == ((ex, est, est - ex)),
+        s"$t: engine ${got(t)} vs JVM ($ex, $est, ${est - ex})")
+    }
+  }
+
   test("t09 KMV sketch estimates distinct tokens within sketch error bounds") {
     val rows = SparkEntry.queries("t09_kmv_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
