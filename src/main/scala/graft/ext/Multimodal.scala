@@ -167,6 +167,14 @@ object Multimodal {
     * int64. */
   private val ShotCutThreshold = 500L
 
+  /** m11's silence threshold on the PER-SAMPLE energy LEVEL (byte²
+    * units; measured at sf0.01: per-sample frame energy spans
+    * 5.2k–14.6k with p5 ≈ 9365 and median ≈ 9832 — 9500 flags 12.5%
+    * of frames silent, so real multi-frame runs form on every fixture
+    * tier). Compared cross-multiplied (energy < T·n_samples) so the
+    * flag is exact int64, m10's discipline on the level axis. */
+  private val SilencePerSampleMax = 9500L
+
   /** The real decode path: typed mapPartitions over the payload column. */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
@@ -283,6 +291,40 @@ object Multimodal {
           max(col("frame")).as("end_frame"),
           count(lit(1)).as("n_frames"),
           sum(col("energy")).as("shot_energy"))
+    }),
+
+    // Silence segmentation over the m05 energy track — the audio
+    // (VAD/trimming) sibling of m10's video shot cuts, completing the
+    // segmentation pair on ONE kernel: m10 breaks the track where the
+    // energy CHANGES (delta axis); m11 labels maximal runs where the
+    // energy LEVEL sits below [[SilencePerSampleMax]] — the contiguous
+    // low-energy spans a trimming stage drops before audio training.
+    // The flag is cross-multiplied (energy < T·n_samples, exact int64
+    // — m10's discipline), runs are gaps-and-islands off the flag's
+    // lag (segment id = running count of flag CHANGES, so silent and
+    // voiced segments interleave and tile the track), and both
+    // per-media windows and the (media, seg) roll-up are the e04
+    // sessionize shape: key count scales, per-key frame counts stay
+    // bounded by payload size. Emits every segment labeled, not just
+    // survivors — the trim is `WHERE NOT is_silence`, the provenance
+    // stays.
+    "m11_silence_segments" -> ((s, dir) => {
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+      val flagged = frameEnergyRows(s, dir)
+        .withColumn("silent",
+          col("energy") < lit(SilencePerSampleMax) * col("n_samples"))
+        .withColumn("pf", lag(col("silent"), 1).over(w))
+        .withColumn("chg", when(col("pf").isNull ||
+          col("pf") =!= col("silent"), lit(1L)).otherwise(lit(0L)))
+        .withColumn("seg", (sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - 1).cast("int"))
+      flagged.groupBy(col("media_id"), col("seg"))
+        .agg(max(col("silent")).as("is_silence"),
+          min(col("frame")).as("start_frame"),
+          max(col("frame")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("seg_energy"))
     }),
 
     // Media near-dup — perceptual-hash dedup, the image-pipeline
@@ -585,6 +627,28 @@ object Multimodal {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(SUM(energy) AS BIGINT) AS shot_energy
         |FROM ct GROUP BY media_id, shot""".stripMargin,
+    // The silence roll-up over the SAME energy CTE: level flag,
+    // change-count segment ids, (media, seg) roll-up — m10's window
+    // restatement on the level axis.
+    "m11_silence_segments" ->
+      s"""WITH $frameEnergyCte,
+        |fl AS (SELECT media_id, frame, n_samples, energy,
+        |    energy < $SilencePerSampleMax * n_samples AS silent FROM en),
+        |ch AS (SELECT media_id, frame, energy, silent,
+        |    CASE WHEN lag(silent) OVER w IS NULL
+        |           OR lag(silent) OVER w <> silent
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM fl WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
+        |sg AS (SELECT media_id, frame, energy, silent,
+        |    SUM(chg) OVER (PARTITION BY media_id ORDER BY frame
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS seg
+        |  FROM ch)
+        |SELECT media_id, CAST(seg AS INTEGER) AS seg,
+        |  MAX(silent) AS is_silence,
+        |  MIN(frame) AS start_frame, MAX(frame) AS end_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy) AS BIGINT) AS seg_energy
+        |FROM sg GROUP BY media_id, seg""".stripMargin,
     // States StubDecoders.ahash60 exactly: 60 byte-range cells,
     // truncating means, bit i iff cell_i*60 > sum(cells); pairs are
     // the exhaustive all-pairs bit_count filter (banding must lose

@@ -1681,6 +1681,47 @@ class ExtSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0), "multi-shot payloads must exist")
   }
 
+  test("m11 silence segments tile the m05 energy track, interleave labels, " +
+      "and match a JVM run recompute") {
+    val en = SparkEntry.queries("m05_frame_energy")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame"),
+        r.getAs[Int]("n_samples"), r.getAs[Long]("energy")))
+    // JVM replay: cross-multiplied level flag, runs = flag-change count.
+    val want = en.groupBy(_._1).flatMap { case (id, fr) =>
+      val s = fr.sortBy(_._2)
+      var seg = -1
+      var prev: Option[Boolean] = None
+      val tagged = s.map { case (_, frame, n, e) =>
+        val silent = e < 9500L * n
+        if (!prev.contains(silent)) seg += 1
+        prev = Some(silent)
+        (frame, e, silent, seg)
+      }
+      tagged.groupBy(_._4).map { case (sg, g) =>
+        (id, sg, g.head._3, g.map(_._1).min, g.map(_._1).max,
+          g.size.toLong, g.map(_._2).sum)
+      }
+    }.toSet
+    val got = SparkEntry.queries("m11_silence_segments")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("seg"),
+        r.getAs[Boolean]("is_silence"), r.getAs[Int]("start_frame"),
+        r.getAs[Int]("end_frame"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("seg_energy"))).toSet
+    assert(got == want,
+      s"first diff: ${(want -- got).take(2)} vs ${(got -- want).take(2)}")
+    // Segments tile each track contiguously and labels strictly
+    // alternate (a run boundary means the flag flipped).
+    got.groupBy(_._1).foreach { case (id, segs) =>
+      val s = segs.toSeq.sortBy(_._2)
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._4 == a._5 + 1, s"media $id: seg ${b._2} not contiguous")
+        assert(a._3 != b._3, s"media $id: adjacent segs share a label")
+      }
+    }
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "both silent and voiced segments must exist on the fixture")
+  }
+
   test("m02 media features agree with a driver-side recompute of the stub decoder") {
     val rows = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
