@@ -883,39 +883,52 @@ object Text {
 
     // Count-min-sketch token frequencies — the bounded-memory
     // frequency sketch (Cormode & Muthukrishnan 2005), the mergeable-
-    // sketch sibling of t09's KMV-for-distinct: d=4 md5-salted rows ×
-    // w=16 cells of exact integer counters. The sketch build is ONE
-    // partial aggregate whose combiner state is the sketch itself —
-    // d·w rows REGARDLESS of corpus size, which is the whole point:
-    // at 100 TB the sketch replaces the full content-keyed count
-    // shuffle (map-side combine to 64 longs per task, one 64-row
-    // reduce). The registered query keeps the exact count alongside
-    // as the yardstick (the house honest-measurement pattern): per
-    // token, n_est = min over the d counters ≥ n_exact ALWAYS (the
-    // CMS one-sided guarantee — ExtSpec pins it exactly, plus that
-    // w=16 genuinely collides on the 31-token fixture vocab so the
-    // overestimate path is exercised). Counters, cells, and the min
-    // are all exact integers — the sketch hash-matches DuckDB
-    // bit-for-bit, unusual for a sketch and exactly why the house can
-    // register one. Estimates join the (vocab × d) cell keys to the
-    // 64-row sketch — model-sized, auto-broadcast.
+    // sketch sibling of t09's KMV-for-distinct: d=4 rows × w=16 cells
+    // of exact integer counters. The d "hash functions" are disjoint
+    // 4-bit fields of ONE md5-derived 32-bit word per occurrence
+    // (cell_j = (v >> 4j) mod 16 — the standard split-one-wide-hash
+    // construction; md5 bits are independent). The shape is MEASURED,
+    // not assumed: the first cut (4 md5+conv chains inside a
+    // transform lambda, struct explode, Subplan.once on the exploded
+    // corpus) ran 13-15 s at sf1; one md5 + one conv + shiftright
+    // fields + posexplode of a bare long array runs 3.9 s — the
+    // lambda doesn't hoist loop-invariant hashes and struct
+    // generators cost real time (PLANS.md round-12 note). The sketch
+    // build is ONE partial aggregate whose combiner state is the
+    // sketch itself — d·w rows REGARDLESS of corpus size, which is
+    // the whole point: at 100 TB the sketch replaces the full
+    // content-keyed count shuffle (map-side combine to 64 longs per
+    // task, one 64-row reduce). The exploded token frame is
+    // deliberately NOT checkpointed: both branches rescan the pruned
+    // text column — re-tokenizing is two cheap map passes,
+    // materializing an exploded 100 TB corpus is not. The registered
+    // query keeps the exact count alongside as the yardstick (the
+    // honest-measurement pattern): per token, n_est = min over the d
+    // counters ≥ n_exact ALWAYS (the CMS one-sided guarantee — ExtSpec
+    // pins it exactly, plus that w=16 genuinely collides on the
+    // 31-token fixture vocab so the overestimate path is exercised).
+    // Counters, cells, and the min are all exact integers — the
+    // sketch hash-matches DuckDB bit-for-bit, unusual for a sketch
+    // and exactly why the house can register one. Estimates join the
+    // (vocab × d) cell keys to the 64-row sketch — model-sized,
+    // auto-broadcast.
     "t32_cms_counts" -> ((s, dir) => {
       val d = 4
       val w = 16
-      val tok = graft.ops.Subplan.once(
-        docs(s, dir).select(explode(toks).as("tok")))
-      def cellOf(j: Column): Column =
-        pmod(conv(substring(md5(concat(col("tok"), lit(":cms"),
-          j.cast("string"))), 1, 8), 16, 10).cast("long"), lit(w.toLong))
-      val sketch = tok
-        .select(col("tok"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
-        .groupBy(col("j"), cellOf(col("j")).as("cell"))
+      val tok = docs(s, dir).select(explode(toks).as("tok"))
+      val v = conv(substring(md5(concat(col("tok"), lit(":cms"))),
+        1, 8), 16, 10).cast("long")
+      val cellsOfV = expr(
+        s"transform(sequence(0, ${d - 1}), j -> shiftright(v, j * 4) % $w)")
+      val sketch = tok.select(v.as("v"))
+        .select(posexplode(cellsOfV))
+        .groupBy(col("pos").as("j"), col("col").as("cell"))
         .agg(count(lit(1)).as("counter"))
       val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
       exact
-        .select(col("tok"), col("n_exact"),
-          explode(expr(s"sequence(0, ${d - 1})")).as("j"))
-        .withColumn("cell", cellOf(col("j")))
+        .withColumn("v", v)
+        .select(col("tok"), col("n_exact"), posexplode(cellsOfV))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "cell")
         .join(sketch, Seq("j", "cell"))
         .groupBy(col("tok"))
         .agg(max(col("n_exact")).as("n_exact"),
@@ -1729,18 +1742,18 @@ object Text {
     "t32_cms_counts" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text),
         |    '\s+')) AS tok FROM documents),
-        |tj AS (SELECT tok, j FROM tok, generate_series(0, 3) g(j)),
-        |sk AS (SELECT j,
-        |    ('0x' || substr(md5(tok || ':cms' || j), 1, 8))::BIGINT % 16
-        |      AS cell,
-        |    COUNT(*) AS counter
+        |tj AS (SELECT tok,
+        |    ('0x' || substr(md5(tok || ':cms'), 1, 8))::BIGINT AS v, j
+        |  FROM tok, generate_series(0, 3) g(j)),
+        |sk AS (SELECT j, (v >> (j * 4)) % 16 AS cell, COUNT(*) AS counter
         |  FROM tj GROUP BY 1, 2),
         |ex AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY 1),
         |est AS (SELECT e.tok, MAX(e.n_exact) AS n_exact,
         |    MIN(sk.counter) AS n_est
         |  FROM ex e, generate_series(0, 3) g(j)
         |  JOIN sk ON sk.j = g.j AND sk.cell =
-        |    ('0x' || substr(md5(e.tok || ':cms' || g.j), 1, 8))::BIGINT % 16
+        |    (('0x' || substr(md5(e.tok || ':cms'), 1, 8))::BIGINT
+        |      >> (g.j * 4)) % 16
         |  GROUP BY e.tok)
         |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
         |  CAST(n_est AS BIGINT) AS n_est,

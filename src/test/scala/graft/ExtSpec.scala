@@ -1225,7 +1225,7 @@ class ExtSpec extends AnyFunSuite {
     val toks = Tables(spark, sf, "documents").select(col("text")).collect()
       .flatMap(_.getString(0).trim.split("\\s+"))
     def cell(t: String, j: Int): Long =
-      java.lang.Long.parseLong(md5hex(s"$t:cms$j").take(8), 16) % 16
+      (java.lang.Long.parseLong(md5hex(s"$t:cms").take(8), 16) >> (j * 4)) % 16
     val counters = toks.flatMap(t => (0 to 3).map(j => (j, cell(t, j))))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
