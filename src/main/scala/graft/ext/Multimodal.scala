@@ -150,10 +150,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The m05/m10 energy track — ONE kernel invocation (64-byte
+  /** The m05/m10/m11 energy track — ONE kernel invocation (64-byte
     * frames, exact integer per-frame energy) for the registered
-    * energy query and the shot-cut query built on it, so the cuts can
-    * never drift from the energies they threshold. */
+    * energy query and both segmentations built on it (m10 shot cuts,
+    * m11 silence runs), so neither can drift from the energies it
+    * thresholds. */
   private[graft] def frameEnergyRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).mapPartitions(StubDecoders.frameEnergy(64))
@@ -529,9 +530,9 @@ object Multimodal {
 
   /** The m05 energy track as a CTE chain ending in
     * `en`(media_id, frame, n_samples, energy) — ONE SQL statement of
-    * the frame-energy kernel shared by the m05 and m10 oracles, so
-    * the shot cuts are checked against the same energies the energy
-    * query registers. */
+    * the frame-energy kernel shared by the m05, m10, and m11 oracles,
+    * so both segmentations are checked against the same energies the
+    * energy query registers. */
   private val frameEnergyCte =
     """d AS (SELECT doc_id, text,
       |    octet_length(encode(text))::BIGINT AS n FROM documents

@@ -1079,21 +1079,30 @@ object Text {
     * 36-bit md5 ints ([[Dedup.ngramIdCol]] at width 1); all logs are
     * [[graft.functions.QLog2]] applied ONLY to model-sized frames
     * (vocab × classes counts + per-class totals), never the corpus.
-    * The token frontier materializes once (Subplan.once) because the
-    * train counts, the vocab size, and the eval side all read it. */
+    * The MODEL (the (t, lang) count table) materializes once
+    * (Subplan.once — three consumers); the exploded corpus never
+    * does. */
   private[graft] def nbClassify(d: DataFrame): DataFrame = {
     import graft.functions.QLog2.qlog2
     val w = org.apache.spark.sql.expressions.Window
-    val tok = graft.ops.Subplan.once(
-      d.select(col("doc_id"), col("lang"), col("is_eval"), toks.as("tk"))
-        .select(col("doc_id"), col("lang"), col("is_eval"),
-          explode(Dedup.ngramIdCol(1)).as("t")))
-    val train = tok.filter(!col("is_eval"))
-    val ntc = train.groupBy(col("t"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-    val nc = train.groupBy(col("lang"))
-      .agg(count(lit(1)).as("ctot"), countDistinct(col("doc_id")).as("ndocs"))
-    val vs = train.select(col("t")).distinct()
+    // The corpus is deliberately NOT checkpointed in exploded form
+    // (the t32 lesson: materializing one row per token occurrence is
+    // a scale anti-pattern) — it appears in exactly two token-explode
+    // passes, train and eval. Everything else derives from the
+    // MODEL-sized (t, lang) count table, which IS checkpointed (three
+    // consumers: per-class totals, the vocab size, the scoring join)
+    // — plus one explosion-free doc-frontier scan for the per-class
+    // doc counts.
+    val base = d.select(col("doc_id"), col("lang"), col("is_eval"),
+      toks.as("tk"))
+    val ntc = graft.ops.Subplan.once(
+      base.filter(!col("is_eval"))
+        .select(col("lang"), explode(Dedup.ngramIdCol(1)).as("t"))
+        .groupBy(col("t"), col("lang")).agg(count(lit(1)).as("n")))
+    val nc = ntc.groupBy(col("lang")).agg(sum(col("n")).as("ctot"))
+      .join(d.filter(!col("is_eval")).groupBy(col("lang"))
+        .agg(count(lit(1)).as("ndocs")), "lang")
+    val vs = ntc.select(col("t")).distinct()
       .agg(count(lit(1)).as("v"))
       .withColumn("one", graft.ops.ConstKey.one(col("v")))
     val nd = nc.agg(sum(col("ndocs")).as("ntot"))
@@ -1109,7 +1118,8 @@ object Text {
     // Per-(token, class) smoothed numerator logs — vocab-bounded.
     val qn = ntc.select(col("t"), col("lang").as("c"),
       qlog2(col("n") + lit(1L)).as("qn"))
-    val etf = tok.filter(col("is_eval"))
+    val etf = base.filter(col("is_eval"))
+      .select(col("doc_id"), col("lang"), explode(Dedup.ngramIdCol(1)).as("t"))
       .groupBy(col("doc_id"), col("lang"), col("t"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("one", graft.ops.ConstKey.one(col("tf")))

@@ -90,9 +90,9 @@ object GraftExtensions {
     FunctionIdentifier("qlog2"),
     new ExpressionInfo(classOf[QLog2].getName, null, "qlog2",
       "qlog2(x) - quantized fixed-point base-2 log of a positive bigint: " +
-        "~floor(2^16 * log2(x)) by an exact integer shift-square " +
-        "recurrence, bit-identical across engines (no float ln). " +
-        "Returns NULL for x <= 0.", ""),
+        s"~floor(2^${QLog2.FracBits} * log2(x)) by an exact integer " +
+        "shift-square recurrence, bit-identical across engines (no " +
+        "float ln). Returns NULL for x <= 0.", ""),
     (children: Seq[Expression]) => QLog2(children(0)))
 
   /** Imperative registration for an already-built session. */

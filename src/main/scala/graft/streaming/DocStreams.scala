@@ -807,14 +807,26 @@ object DocStreams extends Serializable {
     docs
       .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), graft.ext.Text.toks.as("tk"))
+      // Row-local per-doc tf in O(L log L): sort the id array, find
+      // run starts, and read each run's length off consecutive start
+      // positions (a filter-per-distinct-token rescan would be
+      // O(distinct·L) — quadratic on a mostly-distinct document).
+      // s is never empty (a non-null text tokenizes to ≥ 1 element),
+      // so the sequence() bounds are safe.
       .select(col("doc_id"), col("lang"),
-        graft.ext.Dedup.ngramIdCol(1).as("ids"))
+        array_sort(graft.ext.Dedup.ngramIdCol(1)).as("s"))
+      .withColumn("st", expr(
+        "concat(filter(sequence(1, size(s)), i -> i = 1 OR " +
+          "element_at(s, i) != element_at(s, i - 1)), array(size(s) + 1))"))
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(array_distinct(ids), t -> " +
-          "struct(t as tid, size(filter(ids, x -> x = t)) as tf))")).as("e"))
+        explode(expr(
+          "transform(sequence(1, size(st) - 1), k -> struct(" +
+            "element_at(s, element_at(st, k)) as tid, " +
+            "cast(element_at(st, k + 1) - element_at(st, k) as bigint) " +
+            "as tf))")).as("e"))
       .select(col("e.tid").as("t"), col("lang"),
         expr(s"doc_id div $blockWidth").as("block"),
-        col("doc_id"), col("e.tf").cast("long").as("tf"))
+        col("doc_id"), col("e.tf").as("tf"))
       .as[TokClassCount]
       .groupByKey(d => (d.t, d.lang, d.block))
       .flatMapGroupsWithState(OutputMode.Append,
