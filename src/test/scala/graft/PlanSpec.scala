@@ -254,6 +254,33 @@ class PlanSpec extends AnyFunSuite {
       s"the under-gate delta plan must contain zero shuffle exchanges:\n$p")
   }
 
+  test("t29/t31/t32: the second-batch plans broadcast their model sides " +
+      "and never sort-merge at fixture scale") {
+    // t29: the classes cross and the model joins ride ConstKey
+    // broadcasts; the only shuffles are the two corpus count
+    // aggregations — a sort-merge join would mean a model-sized frame
+    // shuffled the corpus.
+    val p29 = plan("t29_nb_langid")
+    assert(p29.contains("BroadcastHashJoin"),
+      s"the class model must broadcast onto the eval side:\n$p29")
+    assert(!p29.contains("SortMergeJoin"),
+      s"no t29 join may sort-merge at fixture scale:\n$p29")
+    // t31: the (part, bucket) offsets side is a broadcast back onto
+    // the frontier; exactly the local-rank and offsets windows exist.
+    val p31 = plan("t31_quota_sample")
+    assert(p31.contains("BroadcastHashJoin"),
+      s"the bucket offsets must broadcast onto the frontier:\n$p31")
+    assert(!p31.contains("SortMergeJoin"), p31)
+    assert("\\bWindow\\b".r.findAllIn(p31).size == 2,
+      s"expected exactly the offsets + local-rank windows:\n$p31")
+    // t32: the 64-row sketch broadcasts into the estimate join; the
+    // sketch build is aggregation-only (no Window, no sort-merge).
+    val p32 = plan("t32_cms_counts")
+    assert(p32.contains("BroadcastHashJoin"),
+      s"the d*w-row sketch must broadcast into the estimate join:\n$p32")
+    assert(!p32.contains("SortMergeJoin") && !p32.contains("Window"), p32)
+  }
+
   test("d14: the merged delta reads materialized frontiers only") {
     // The registered plan is the label pass over the contracted edge
     // checkpoint; every upstream stage (assignment build, batch-side
