@@ -561,6 +561,57 @@ object Dedup {
           col("n_dup_spans").cast("double") / col("n_spans"))
     }),
 
+    // Span-level dedup APPLIED — the rewrite half of d09 (as d10
+    // applies d01): remove from every doc the word-5-gram spans that
+    // also occur in another doc, and emit the CLEANED text (Lee et
+    // al., "Deduplicating Training Data Makes Language Models
+    // Better" — their dedup deletes the repeated substrings, it
+    // doesn't just score them). Same signal definition as d09, ONE
+    // [[span5Col]]: a token is cut iff some cross-doc gram's 5-token
+    // window [start, start+4] covers it; overlapping windows merge by
+    // the position-set union. Topology: the gram-position frontier
+    // joins the df ≥ 2 blocklist on the content key, covered
+    // positions explode and distinct on (doc, p), and the verdict is
+    // one (doc, p)-keyed left join onto the token positions with an
+    // A3 grouped gather (sort-by-position collect) for the surviving
+    // text — every shuffle content- or doc-keyed, nothing pairwise,
+    // linear at any scale. Docs under 5 tokens can't carry a span and
+    // pass through untouched (the union branch). Emits (doc_id,
+    // n_tok, n_cut, clean_text); a fully-covered doc keeps an empty
+    // string, not a null (both engines coalesce).
+    "d16_trim_spans" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      val long = base.filter(size(col("tk")) >= 5)
+      // Per-POSITION gram rows are corpus-sized — deliberately NOT
+      // checkpointed (the t29/t32 lesson this same round measured):
+      // the df aggregate and the covered-position join each rescan
+      // the pruned text column instead.
+      val gpos = long.select(col("doc_id"), posexplode(span5Col))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("x"))
+      val dupGrams = gpos.select(col("doc_id"), col("x")).distinct()
+        .groupBy(col("x")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("x"))
+      val covered = gpos.join(dupGrams, Seq("x"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 4)).as("p"))
+        .distinct()
+        .withColumn("cut", lit(1))
+      val rolled = long
+        .select(col("doc_id"), posexplode(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+        .join(covered, Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          count(col("cut")).as("n_cut"),
+          array_join(transform(
+            array_sort(collect_list(when(col("cut").isNull,
+              struct(col("p"), col("w"))))),
+            e => e.getField("w")), " ").as("clean_text"))
+      rolled.unionByName(base.filter(size(col("tk")) < 5)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+          lit(0L).as("n_cut"), array_join(col("tk"), " ").as("clean_text")))
+    }),
+
     // Incremental dedup — the shape production ingest actually runs:
     // dedup a small NEW batch against the big EXISTING corpus, not a
     // corpus self-join. Batch docs get a verdict: exact_dup (normalized
@@ -1140,6 +1191,33 @@ object Dedup {
     // to band-collision candidates (the d03 oracle pattern,
     // asymmetric). is_batch is modular, so both engines derive it
     // without md5.
+    "d16_trim_spans" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text),
+        |    '\s+') AS t FROM documents),
+        |lng AS (SELECT * FROM tk WHERE len(t) >= 5),
+        |g AS (SELECT doc_id, i AS p,
+        |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |      || ' ' || t[i+3] || ' ' || t[i+4]), 1, 9))::BIGINT AS x
+        |  FROM lng, unnest(generate_series(1, len(t) - 4)) gs(i)),
+        |dfq AS (SELECT x FROM (SELECT x, COUNT(DISTINCT doc_id) AS df
+        |    FROM g GROUP BY x) WHERE df >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.p + o AS p
+        |  FROM g JOIN dfq USING (x), unnest(generate_series(0, 4)) go(o)),
+        |tok AS (SELECT doc_id, i AS p, t[i] AS w
+        |  FROM lng, unnest(generate_series(1, len(t))) gs(i)),
+        |rolled AS (SELECT tok.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(cov.p) AS BIGINT) AS n_cut,
+        |    COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN w END,
+        |      ' ' ORDER BY tok.p), '') AS clean_text
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, n_tok, n_cut, clean_text FROM rolled
+        |UNION ALL
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |  CAST(0 AS BIGINT) AS n_cut, array_to_string(t, ' ') AS clean_text
+        |FROM tk WHERE len(t) < 5""".stripMargin,
     "d11_incremental_dedup" ->
       """WITH p AS (SELECT doc_id,
         |    CASE WHEN doc_id % 20 = 4

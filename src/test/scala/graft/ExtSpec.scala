@@ -1275,6 +1275,39 @@ class ExtSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("d16 trim spans matches a JVM rewrite and cuts exactly the " +
+      "cross-doc span positions") {
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def grams(tk: Array[String]): Seq[(Int, Long)] =
+      tk.sliding(5).zipWithIndex.collect { case (g, i) if g.length == 5 =>
+        (i + 1, java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(9), 16))
+      }.toSeq
+    val toks = texts.map { case (id, t) => id -> t.trim.split("\\s+") }.toMap
+    val df = toks.toSeq.flatMap { case (id, tk) =>
+      grams(tk).map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = toks.map { case (id, tk) =>
+      val covered = grams(tk).collect {
+        case (p, x) if df(x) >= 2 => p to p + 4 }.flatten.toSet
+      val keptToks = tk.zipWithIndex.collect {
+        case (w, i) if !covered.contains(i + 1) => w }
+      id -> (tk.length.toLong, covered.count(_ <= tk.length).toLong,
+        keptToks.mkString(" "))
+    }
+    val got = SparkEntry.queries("d16_trim_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_cut"), r.getAs[String]("clean_text"))).toMap
+    assert(got.size == texts.length, "every doc must get a verdict")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: engine ${got(id)} vs JVM $w")
+    }
+    assert(got.values.exists(_._2 > 0), "cross-doc spans must cut somewhere")
+    assert(got.values.forall { case (n, c, t) =>
+      c <= n && (t.isEmpty || t.split(" ").length == n - c) },
+      "kept token count must equal n_tok - n_cut")
+  }
+
   test("d09 repeated spans match a driver-side 5-gram recompute") {
     val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
