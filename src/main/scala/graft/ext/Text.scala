@@ -474,6 +474,44 @@ object Text {
         .select(col("doc_id"), col("n_bigrams"), surpriseCol.as("surprise"))
     }),
 
+    // TRUE log-perplexity — the exact form [[graft.functions.QLog2]]
+    // unlocks: t22 registers mean(1/p) as a monotone SURROGATE because
+    // perplexity needs a log and float ln differs across engines; with
+    // the quantized integer log₂ that excuse is gone, so this is the
+    // actual CCNet quantity, log₂ PPL = mean over positions of
+    // log₂(1/p), computed as
+    //   logppl = (Σ qlog2(s_i)) / (m·2¹⁶) − 20
+    // (s is 2²⁰-scaled, hence the −20). Same LM, same [[bigramLm]]
+    // counts, same [[quantizedInvP]] — but the log attaches at the
+    // MODEL grain: ql is computed once per DISTINCT bigram (the
+    // vocab-bounded (u, b) frame; t29's model-sized-logs discipline)
+    // and positions join it, so the corpus never runs qlog2. The sum
+    // of logs is an order-free exact integer (ql ≤ 43·2¹⁶, m ≤ 2²²
+    // ⟹ Σ < 2⁴⁴ — the same fail-loud guard as t22's surpriseCol);
+    // ONE final double division and an exact −20.0 make the score,
+    // so it hash-matches the DuckDB restatement, whose qlog chain
+    // runs over the model's distinct s values. AM ≥ GM ties the pair:
+    // logppl ≤ log₂(t22's surprise) always (ExtSpec pins it, plus a
+    // bit-exact JVM replay).
+    "t33_lm_logppl" -> ((s, dir) => {
+      import graft.functions.QLog2.qlog2
+      val pos = graft.ops.Subplan.once(bigramPositions(docs(s, dir), "doc_id"))
+      val (cu, cb) = bigramLm(pos)
+      val model = pos.select(col("u"), col("b")).distinct()
+        .join(cu, "u").join(cb, "b")
+        .withColumn("s", quantizedInvP)
+        .select(col("u"), col("b"), qlog2(col("s")).as("ql"))
+      pos.join(model, Seq("u", "b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ql")).as("sq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          when(col("n_bigrams") > lit(1L << 22), expr(
+            "raise_error('t33: document exceeds 2^22 bigrams - " +
+              "restate the quantized sum in DECIMAL(38,0)')"))
+          .otherwise(col("sq").cast("double") /
+            (col("n_bigrams") * lit(65536.0)) - 20.0).as("logppl"))
+    }),
+
     // Held-out smoothed LM filter — t22's DEPLOYMENT shape: the LM
     // trains on a deterministic md5 split of the corpus (the
     // t08/t13 draw: md5(doc_id || ':eval') % 8 == 0 is held out) and
@@ -1769,6 +1807,27 @@ object Text {
         |  CAST(n_est AS BIGINT) AS n_est,
         |  CAST(n_est - n_exact AS BIGINT) AS n_over
         |FROM est""".stripMargin,
+    "t33_lm_logppl" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\\s+') AS tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+        |pos AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tk[i]), 1, 9))::BIGINT AS u,
+        |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 9))::BIGINT AS b
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |cu AS (SELECT u, COUNT(*) AS c1 FROM pos GROUP BY 1),
+        |cb AS (SELECT b, COUNT(*) AS c2 FROM pos GROUP BY 1),
+        |m0 AS (SELECT u, b, (c1 * 1048576) // c2 AS s
+        |  FROM (SELECT DISTINCT u, b FROM pos)
+        |  JOIN cu USING (u) JOIN cb USING (b)),
+        |vals AS (SELECT DISTINCT s AS x FROM m0),
+        |${qlogChainCte("vals")},
+        |m AS (SELECT u, b, ql.ql AS l FROM m0 JOIN ql ON ql.x = m0.s),
+        |sc AS (SELECT doc_id, l FROM pos JOIN m USING (u, b))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(l) AS DOUBLE) / (COUNT(*) * 65536.0) - 20.0 AS logppl
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "t31_quota_sample" ->
       """WITH fr AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::INTEGER AS n_tok,

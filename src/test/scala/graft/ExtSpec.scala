@@ -1909,6 +1909,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t33 exact log-perplexity matches a JVM replay and is bounded by " +
+      "t22's AM surrogate") {
+    import graft.functions.QLog2
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def id9(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(9), 16)
+    val posRows = texts.flatMap { case (id, t) =>
+      val tk = t.trim.split("\\s+")
+      tk.sliding(2).collect { case Array(a, b) =>
+        (id, id9(a), id9(s"$a $b")) }
+    }
+    val c1 = posRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c2 = posRows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val want = posRows.groupBy(_._1).map { case (id, rows) =>
+      val sq = rows.map { case (_, u, b) =>
+        QLog2.ref((c1(u) * 1048576L) / c2(b)) }.sum
+      id -> (rows.size.toLong,
+        sq.toDouble / (rows.size * 65536.0) - 20.0)
+    }
+    val got = SparkEntry.queries("t33_lm_logppl")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("logppl"))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: engine ${got(id)} vs JVM $w")
+    }
+    // AM >= GM: the exact log-perplexity never exceeds the log of
+    // t22's mean-1/p surrogate (up to the 2^-16 quantization slack)
+    val am = SparkEntry.queries("t22_lm_perplexity")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("surprise")).toMap
+    got.foreach { case (id, (_, lp)) =>
+      val bound = math.log(am(id)) / math.log(2.0)
+      assert(lp <= bound + 1e-3,
+        s"doc $id: logppl $lp exceeds the AM bound $bound")
+    }
+  }
+
   test("t30 nb model delta: merged rows equal a full retrain on touched keys") {
     // Counts are additive, so the delta-merged model must be EXACTLY
     // the full-corpus (t, lang) counts wherever the batch touched —
