@@ -72,6 +72,17 @@ object Dedup {
   /** The d09 position-multiset word-5-gram ids (see [[ngramIdCol]]). */
   private[graft] def span5Col: Column = ngramIdCol(5)
 
+  /** The cross-doc word-5-gram blocklist over a (doc_id, tk) frame:
+    * gram ids appearing in ≥ 2 distinct docs — the trim signal. ONE
+    * definition for batch d16 and the streaming trim twin's frozen
+    * blocklist (graft.streaming.DocStreams.trimSpans' static side),
+    * so ingest-time trims can never drift from the batch rewrite. */
+  private[graft] def crossDocSpanGrams(d: DataFrame): DataFrame =
+    d.filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(span5Col)).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("x"))
+
   /** Normalized-text exact-dedup fingerprint: md5 of the whitespace-
     * collapsed, trimmed, lowercased text. ONE definition for d01, the
     * d10 pipeline, and d11's exact path (and the t04 oracle states the
@@ -588,10 +599,7 @@ object Dedup {
       // the pruned text column instead.
       val gpos = long.select(col("doc_id"), posexplode(span5Col))
         .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("x"))
-      val dupGrams = gpos.select(col("doc_id"), col("x")).distinct()
-        .groupBy(col("x")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("x"))
-      val covered = gpos.join(dupGrams, Seq("x"))
+      val covered = gpos.join(crossDocSpanGrams(base), Seq("x"))
         .select(col("doc_id"),
           explode(sequence(col("p"), col("p") + 4)).as("p"))
         .distinct()

@@ -555,6 +555,49 @@ object Text {
         .select(col("doc_id"), col("n_bigrams"), surpriseCol.as("surprise"))
     }),
 
+    // Held-out TRUE log-perplexity — t33's exact form in t23's
+    // DEPLOYMENT shape, completing the (surrogate, exact) pair on
+    // both sides: t22/t33 are the corpus-self-trained pair, t23/t34
+    // the held-out-smoothed pair a production filter actually runs.
+    // Same md5 split, same add-one smoothing and OOV floor, same
+    // [[quantizedInvP]] over the shifted counts — and the log again
+    // attaches at the MODEL grain: the eval split's DISTINCT (u, b)
+    // pairs (vocab-bounded) left-join the train counts, quantize, and
+    // qlog2 once per pair; positions join that model, so the corpus
+    // never runs the log. Exact-integer sum, ONE double division,
+    // −20.0. ExtSpec pins the JVM replay and AM ≥ GM against t23.
+    "t34_lm_heldout_logppl" -> ((s, dir) => {
+      import graft.functions.QLog2.qlog2
+      val pos = graft.ops.Subplan.once(bigramPositions(
+        docs(s, dir).select(col("doc_id"), isEvalCol.as("is_eval"),
+          col("text")),
+        "doc_id", "is_eval"))
+      val train = pos.filter(!col("is_eval"))
+      val (cu, cb) = bigramLm(train)
+      val vocab = train.select(col("u")).distinct()
+        .agg(count(lit(1)).as("v_size"))
+        .withColumn("one", graft.ops.ConstKey.one(col("v_size")))
+      val evalPos = pos.filter(col("is_eval"))
+      val model = evalPos.select(col("u"), col("b")).distinct()
+        .join(cu, Seq("u"), "left")
+        .join(cb, Seq("b"), "left")
+        .withColumn("one", graft.ops.ConstKey.one(col("u")))
+        .join(broadcast(vocab), "one")
+        .withColumn("c1", coalesce(col("c1"), lit(0L)) + col("v_size"))
+        .withColumn("c2", coalesce(col("c2"), lit(0L)) + lit(1L))
+        .withColumn("s", quantizedInvP)
+        .select(col("u"), col("b"), qlog2(col("s")).as("ql"))
+      evalPos.join(model, Seq("u", "b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ql")).as("sq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          when(col("n_bigrams") > lit(1L << 22), expr(
+            "raise_error('t34: document exceeds 2^22 bigrams - " +
+              "restate the quantized sum in DECIMAL(38,0)')"))
+          .otherwise(col("sq").cast("double") /
+            (col("n_bigrams") * lit(65536.0)) - 20.0).as("logppl"))
+    }),
+
     // Incremental postings maintenance — the index-side sibling of
     // d11's incremental dedup: merge a small NEW batch into the big
     // EXISTING blocked index (t19's layout) touching ONLY the (term,
@@ -1807,6 +1850,33 @@ object Text {
         |  CAST(n_est AS BIGINT) AS n_est,
         |  CAST(n_est - n_exact AS BIGINT) AS n_over
         |FROM est""".stripMargin,
+    "t34_lm_heldout_logppl" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    $evalDrawSql
+        |      AS is_eval,
+        |    regexp_split_to_array(trim(text), '\\s+') AS tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+        |pos AS (SELECT doc_id, is_eval,
+        |    ('0x' || substr(md5(tk[i]), 1, 9))::BIGINT AS u,
+        |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 9))::BIGINT AS b
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) g(i)),
+        |cu AS (SELECT u, COUNT(*) AS c1 FROM pos WHERE NOT is_eval GROUP BY 1),
+        |cb AS (SELECT b, COUNT(*) AS c2 FROM pos WHERE NOT is_eval GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT u) AS v_size FROM pos WHERE NOT is_eval),
+        |m0 AS (SELECT u, b,
+        |    ((COALESCE(c1, 0) + v_size) * 1048576) // (COALESCE(c2, 0) + 1)
+        |      AS s
+        |  FROM (SELECT DISTINCT u, b FROM pos WHERE is_eval)
+        |  LEFT JOIN cu USING (u) LEFT JOIN cb USING (b), vs),
+        |vals AS (SELECT DISTINCT s AS x FROM m0),
+        |${qlogChainCte("vals")},
+        |m AS (SELECT u, b, ql.ql AS l FROM m0 JOIN ql ON ql.x = m0.s),
+        |sc AS (SELECT doc_id, l FROM pos JOIN m USING (u, b)
+        |  WHERE is_eval)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(l) AS DOUBLE) / (COUNT(*) * 65536.0) - 20.0 AS logppl
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "t33_lm_logppl" ->
       s"""WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -761,6 +761,60 @@ object DocStreams extends Serializable {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming twin of d16: ingest-time span trimming against a
+    * FROZEN cross-doc gram blocklist (the corpus-learned side a
+    * deployment lands once — [[graft.ext.Dedup.crossDocSpanGrams]],
+    * ONE definition with batch d16's signal). The stream-static shape
+    * is [[decontaminate]]'s: the blocklist materializes once and
+    * broadcasts per trigger; each arriving doc explodes to one row
+    * per token position carrying the 5-gram id STARTING there (null
+    * past the tail), the left join marks hit starts, ONE watermarked
+    * per-doc aggregation gathers the position cells, and the rewrite
+    * is array algebra — a token is cut iff some hit start's 5-token
+    * window covers it, exactly batch d16's position-set union. Emits
+    * (doc_id, ts, n_tok, n_cut, clean_text); docs under 5 tokens
+    * carry no grams and pass through untouched, the batch union
+    * branch without the branch. */
+  def trimSpans(docs: DataFrame, dupGrams: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val blocklist = graft.ops.Subplan.once(
+      dupGrams.select(col("x")).distinct())
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        graft.ext.Text.toks.as("tk"))
+      // One row per token POSITION carrying the 5-gram id STARTING
+      // there (null past the tail) — built array-locally so each row
+      // is 3 scalars, never the token array. The md5 input is
+      // definitionally Dedup.ngramIdCol(5)'s (the same concat_ws of
+      // the same 5 tokens, 9-hex house hash); the StreamingSpec
+      // replay-vs-batch-d16 pin holds the two statements together.
+      .select(col("doc_id"), col("ts"), explode(expr(
+        "transform(sequence(1, size(tk)), p -> struct(p as p, " +
+          "element_at(tk, p) as w, " +
+          "case when p <= size(tk) - 4 then cast(conv(substring(md5(" +
+          "concat_ws(' ', element_at(tk, p), element_at(tk, p + 1), " +
+          "element_at(tk, p + 2), element_at(tk, p + 3), " +
+          "element_at(tk, p + 4))), 1, 9), 16, 10) as bigint) end " +
+          "as x))")).as("c"))
+      .select(col("doc_id"), col("ts"), col("c.p").as("p"),
+        col("c.w").as("w"), col("c.x").as("x"))
+      .join(broadcast(blocklist.withColumn("hit", lit(1))), Seq("x"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sort_array(collect_list(
+        struct(col("p"), col("w"), col("hit")))).as("cells"))
+      .withColumn("starts",
+        expr("transform(filter(cells, c -> c.hit = 1), c -> c.p)"))
+      .select(col("doc_id"), col("ts"),
+        size(col("cells")).cast("long").as("n_tok"),
+        expr("cast(size(filter(cells, c -> exists(starts, " +
+          "s -> s <= c.p and c.p <= s + 4))) as bigint)").as("n_cut"),
+        expr("array_join(transform(filter(cells, c -> not exists(" +
+          "starts, s -> s <= c.p and c.p <= s + 4)), c -> c.w), ' ')")
+          .as("clean_text"))
+  }
+
   val labeledDocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("ts", TimestampType),

@@ -1947,6 +1947,46 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t34 held-out exact log-perplexity matches a JVM replay and is " +
+      "bounded by t23's AM surrogate") {
+    import graft.functions.QLog2
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def id9(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(9), 16)
+    def isEval(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"$id:eval").take(8), 16) % 8 == 0
+    val posRows = texts.flatMap { case (id, t) =>
+      t.trim.split("\\s+").sliding(2).collect { case Array(a, b) =>
+        (id, isEval(id), id9(a), id9(s"$a $b")) }
+    }
+    val c1 = posRows.filter(!_._2).groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val c2 = posRows.filter(!_._2).groupBy(_._4).view
+      .mapValues(_.size.toLong).toMap
+    val v = c1.size.toLong
+    val want = posRows.filter(_._2).groupBy(_._1).map { case (id, rows) =>
+      val sq = rows.map { case (_, _, u, b) =>
+        QLog2.ref(((c1.getOrElse(u, 0L) + v) * 1048576L) /
+          (c2.getOrElse(b, 0L) + 1L)) }.sum
+      id -> (rows.size.toLong, sq.toDouble / (rows.size * 65536.0) - 20.0)
+    }
+    val got = SparkEntry.queries("t34_lm_heldout_logppl")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("logppl"))).toMap
+    assert(got.size == want.size && got.nonEmpty)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: engine ${got(id)} vs JVM $w")
+    }
+    val am = SparkEntry.queries("t23_lm_heldout")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("surprise")).toMap
+    got.foreach { case (id, (_, lp)) =>
+      val bound = math.log(am(id)) / math.log(2.0)
+      assert(lp <= bound + 1e-3,
+        s"doc $id: logppl $lp exceeds the AM bound $bound")
+    }
+  }
+
   test("t30 nb model delta: merged rows equal a full retrain on touched keys") {
     // Counts are additive, so the delta-merged model must be EXACTLY
     // the full-corpus (t, lang) counts wherever the batch touched —

@@ -693,6 +693,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span trim against the frozen blocklist replays to " +
+      "exactly the batch d16 rewrite") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_trim_stream").toString
+    val d = Tables(spark, sf, "documents")
+    // the frozen static side: the corpus-learned blocklist, the ONE
+    // crossDocSpanGrams definition batch d16 trims by
+    val blocklist = ext.Dedup.crossDocSpanGrams(
+      d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk")))
+    val rows = DocStreams.trimSpans(
+      spark.readStream.schema(DocStreams.docSchema).parquet(srcDir),
+      blocklist)
+    // Complete mode: the per-(doc, ts) aggregate would be held back by
+    // a never-advancing end-of-data watermark in append (the
+    // decontaminate-test stance).
+    val q = rows.writeStream.outputMode("complete")
+      .format("memory").queryName("trim_stream").start()
+    try {
+      Seq(0, 1).foreach { par =>
+        d.select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+            col("text"))
+          .filter(col("doc_id") % 2 === par)
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      val got = spark.table("trim_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_cut"), r.getAs[String]("clean_text"))).toMap
+      val want = SparkEntry.queries("d16_trim_spans")(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_cut"), r.getAs[String]("clean_text"))).toMap
+      assert(want.nonEmpty && got.size == want.size)
+      assert(got == want,
+        s"streamed trim diverges from batch d16: first diff ${
+          (want.keySet ++ got.keySet).find(k => got.get(k) != want.get(k))
+            .map(k => (k, got.get(k), want.get(k)))}")
+      assert(got.values.exists(_._2 > 0), "the blocklist must bite")
+    } finally q.stop()
+  }
+
   test("streaming NB model maintenance converges to a full batch recount") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_nb_stream").toString
