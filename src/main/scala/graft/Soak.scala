@@ -58,10 +58,12 @@ object Soak {
     // K=8. The registered point (k=8, nprobe=2) is measured ONCE and
     // reused as the s13 row, the K curve's k8 entry, and the nprobe
     // curve's np2 entry.
-    def trainedFamilyJson(exact: org.apache.spark.sql.DataFrame,
-        n: Long): String = {
-      val all = ops.Subplan.once(
-        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
+    // `all` is the CALLER's checkpointed corpus frame (both --ann and
+    // --ann-trained already hold one) — rebuilding it here duplicated
+    // the corpus scan + localCheckpoint inside a timing tool (r12
+    // ADVICE).
+    def trainedFamilyJson(all: org.apache.spark.sql.DataFrame,
+        exact: org.apache.spark.sql.DataFrame, n: Long): String = {
       def recallOf(approx: org.apache.spark.sql.DataFrame): (Long, Double) =
         timed(exact.select(col("vec_id"), col("nn_id"))
           .join(approx.select(col("vec_id"), col("nn_id").as("a_nn")),
@@ -136,7 +138,7 @@ object Soak {
       val exact = ops.Subplan.once(ext.Similarity.exactNn1(all))
       val n = exact.count()
       println(s"""{"dir":"$sfDir","mode":"ann-trained","n_vec":$n,""" +
-        trainedFamilyJson(exact, n) + "}")
+        trainedFamilyJson(all, exact, n) + "}")
       spark.stop()
       return
     }
@@ -188,7 +190,7 @@ object Soak {
         s""""s05":{"hits":$h05,"recall":${h05.toDouble / n},"sec":$t05},""" +
         s""""s08":{"hits":$h08,"recall":${h08.toDouble / n},"sec":$t08},""" +
         s""""s08_curve":{$curve},""" +
-        trainedFamilyJson(exact, n) + "}")
+        trainedFamilyJson(all, exact, n) + "}")
       spark.stop()
       return
     }

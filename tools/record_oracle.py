@@ -4,21 +4,31 @@
 Usage:
   python3 tools/check.py <sfDir> <outDir> | tee /tmp/check.log
   python3 tools/record_oracle.py /tmp/check.log <sfLabel> <round> \
-      "<note>" > bench/oracle_<label>.json
+      "<note>" bench/oracle_<label>.json
 
 Parses the PASS/FAIL lines into the per-query record the judged
 evidence files carry, so a refresh is a pipeline, not hand-editing.
-Exits non-zero if any FAIL/ERROR line is present — a record of a red
-run should never be written silently.
+The output path is an ARGUMENT, not stdout: the record is written to
+a temp file in the same directory and os.replace()d onto the target
+only on a green run, so a red run can never truncate or destroy the
+previous good evidence file (a `> target` shell redirect truncates
+before Python even starts — that usage is exactly what this guards
+against).
 """
 import datetime
 import json
+import os
 import re
 import sys
+import tempfile
 
 
 def main():
-    log_path, sf_label, rnd, note = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    if len(sys.argv) != 6:
+        sys.exit("usage: record_oracle.py <check.log> <sfLabel> <round> "
+                 "<note> <outPath>")
+    log_path, sf_label, rnd, note, out_path = (
+        sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5])
     queries = {}
     n_pass = n_fail = 0
     for line in open(log_path):
@@ -33,10 +43,6 @@ def main():
             n_fail += 1
     if not queries:
         sys.exit("no PASS/FAIL lines found in " + log_path)
-    # Refuse BEFORE emitting anything: the documented usage redirects
-    # stdout into bench/oracle_<label>.json, so writing the record and
-    # THEN exiting 1 would still truncate the previous good evidence
-    # file with a red run's record.
     if n_fail:
         sys.exit(f"{n_fail} FAIL/ERROR lines in {log_path} - refusing to "
                  "emit an evidence record for a red run")
@@ -52,8 +58,18 @@ def main():
         "note": note,
         "queries": dict(sorted(queries.items())),
     }
-    json.dump(record, sys.stdout, indent=1)
-    print()
+    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, out_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    print(f"wrote {out_path}: {n_pass} pass")
 
 
 if __name__ == "__main__":
