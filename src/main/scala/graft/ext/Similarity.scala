@@ -722,6 +722,19 @@ object Similarity {
     // even ⇒ the arithmetic shift halves exactly).
     "s27_maxsim" -> ((s, dir) => maxsimQuery(s, dir)),
 
+    // The DEPLOYMENT read path, end to end — what a production vector
+    // store answers per query: probe the LANDED compressed index
+    // (s21's resident store, scan pruned to the probed cells'
+    // partitions), ADC-shortlist RerankR candidates in the
+    // 32×-compressed domain, fetch only those R·|Q| raw vectors and
+    // rerank by exact cosine (s17's tail — exactRerankTail is ONE
+    // definition for both). s17 proved the composition's recall, s21
+    // the resident table; s28 registers their composition, closing
+    // the gap between "an index you can keep" and "the query you
+    // serve from it". Deterministic build ⇒ answer ≡ s17; one oracle
+    // states both.
+    "s28_ivfadc_stored_rerank" -> ((s, dir) => ivfadcStoredRerankQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1631,21 +1644,58 @@ object Similarity {
     * semi-restricted scan — the reference's keyed-read shape,
     * chip.py:39-51) and rank them by exact cosine. The expensive
     * full-precision arithmetic touches R·|Q| rows, never the corpus. */
-  private def ivfadcRerankQuery(s: SparkSession, dir: String): DataFrame = {
-    val cand = ivfadcScored(s, dir)
+  private def ivfadcRerankQuery(s: SparkSession, dir: String): DataFrame =
+    exactRerankTail(s, dir, ivfadcScored(s, dir))
+
+  /** THE exact-rerank tail — each query's ADC top-`r` (the (adc,
+    * nn_id) tie-break [[pqAdcTop5]] states) kept by bounded-heap
+    * partial agg, then ONLY those R·|Q| raw vectors fetched from the
+    * embeddings table (broadcast-restricted scan — the reference's
+    * keyed-read shape, chip.py:39-51) and ranked by exact cosine.
+    * ONE definition for s17 (candidates from the in-lineage
+    * [[ivfadcScored]]) and s28 (candidates from the stored s21
+    * probe), so the deployment read path and the in-lineage form can
+    * only differ by where their ADC candidates came from — never by
+    * the rerank itself. `scored` carries (qid, nn_id, adc). */
+  private def exactRerankTail(s: SparkSession, dir: String,
+      scored: DataFrame, r: Int = RerankR): DataFrame = {
+    val cand = scored
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
-          col("nn_id")), RerankR).as("top"))
+          col("nn_id")), r).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.nn_id").as("nn_id"))
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = e.join(broadcast(cand), e("vec_id") === cand("nn_id"))
+    val rescored = e.join(broadcast(cand), e("vec_id") === cand("nn_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("nn_id"), cosine(col("qv"), col("v")).as("cos_sim"))
-    topK(scored, col("qid"), 5)
+    topK(rescored, col("qid"), 5)
+  }
+
+  /** The s28 body — THE production vector-store read path, end to
+    * end: probe the LANDED compressed index (s21's store — coarse
+    * centroids, residual codebooks, cell-partitioned codes; the scan
+    * dynamic-partition-prunes to the ≤ 2·|Q| probed cells), shortlist
+    * each query's [[RerankR]] best by ADC in the 32×-compressed
+    * domain, then fetch only those R raw vectors and rerank by exact
+    * cosine ([[exactRerankTail]] — s17's tail verbatim). s17 proves
+    * the composition's recall; s21 proves the resident table; s28 is
+    * what a deployed store actually answers per query: resident-index
+    * probe + corpus-independent full-precision work, the corpus
+    * itself touched only for R·|Q| keyed rows. First access per JVM
+    * pays the deterministic store build once (s21's honest price);
+    * repeats pay pruned probe + ADC rank + R-row fetch. Answer ≡ s17
+    * because the stored build is the in-lineage build (exact-integer
+    * determinism) — one oracle states both; storage topology is
+    * PlanSpec's to pin, not the oracle's. */
+  private def ivfadcStoredRerankQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, pqc, codes) = s21Store(s, dir)
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    exactRerankTail(s, dir, adcScored(codes, q, cents, pqc))
   }
 
   /** The s21 body — the IVFADC index in its DEPLOYMENT shape, the
@@ -2559,6 +2609,11 @@ object Similarity {
     // the storage topology is not oracle-visible (s12/s15's
     // discipline); the partition-pruned plan is PlanSpec's.
     "s21_ivfadc_stored" -> ivfadcOracleSql,
+    // s28 serves s17's answer from the landed store — the stored
+    // build is the in-lineage build (exact-integer determinism), so
+    // the rerank oracle states both; the partition-pruned plan and
+    // the R·|Q| fetch topology are PlanSpec's pins.
+    "s28_ivfadc_stored_rerank" -> ivfadcRerankOracleSql,
     // s25: the full-corpus-trained compressed chain, deleted
     // candidates excluded BEFORE the rank (per-candidate ADC scores
     // are independent table lookups, so removing rows from the code

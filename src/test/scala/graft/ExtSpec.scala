@@ -736,6 +736,21 @@ class ExtSpec extends AnyFunSuite {
     assert(s21.nonEmpty)
   }
 
+  test("s28 stored-index rerank returns exactly s17's answer") {
+    // The deployment read path (landed s21 probe → ADC top-R → exact
+    // rerank) must serve the in-lineage composition's answer
+    // row-for-row: the stored build is deterministic exact-integer
+    // arithmetic, and exactRerankTail is ONE definition for both, so
+    // the only difference is where the ADC candidates came from — and
+    // that difference must not be answer-visible.
+    val s17 = SparkEntry.queries("s17_ivfadc_rerank")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s28 = SparkEntry.queries("s28_ivfadc_stored_rerank")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s28 == s17)
+    assert(s28.nonEmpty)
+  }
+
   test("s23 filtered ANN equals the label-restricted re-rank of the " +
       "probed-cell candidates") {
     // Independent derivation: kmScoredAll scores EVERY probed-cell

@@ -456,6 +456,24 @@ class PlanSpec extends AnyFunSuite {
       s"stored codes must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s28: the stored-rerank read path prunes the code scan and fetches " +
+      "raw vectors by broadcast only") {
+    // The deployment composition keeps BOTH pins at once: the landed
+    // code scan still dynamic-partition-prunes to the probed cells
+    // (s21's pin — the resident index is the only corpus-sized scan
+    // in the ADC stage), and the R·|Q| raw-vector fetch is a
+    // broadcast-restricted scan of embeddings (s17's keyed-read
+    // shape) — no join anywhere shuffles the corpus.
+    val p = plan("s28_ivfadc_stored_rerank")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the stored code scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ADC-table probe and the R-row fetch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"neither the stored codes nor the raw-vector fetch may shuffle:\n$p")
+  }
+
   test("s23: the filtered probe keys the broadcast join on (cid, label) " +
       "and still prunes the stored scan") {
     // The filtered-ANN contract: the label predicate is a JOIN KEY,
