@@ -167,6 +167,34 @@ object Similarity {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
+  /** The embedding-cluster DECISION layer — contraction + canonical
+    * over an undirected verified pair set, ONE definition for d13
+    * (sign-band pairs) and d17 (k-NN-graph pairs) so the clusters can
+    * never stop being the components of their pairs, whichever edge
+    * source fed them. Canonical member = largest squared L2 norm
+    * (row-local ordered fold, hash-portable), ties to the smallest
+    * vec_id. Emits (vec_id, cluster_id, keep_id, n_members). */
+  private def embClusterDecision(all: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    // Labels are read twice (canonical agg + final member join) —
+    // materialize so the contraction's last groupBy runs once.
+    val clusters = graft.ops.Subplan.once(
+      Dedup.connectedComponents(pairs)
+        .select(col("u").as("vec_id"), col("lbl").as("cluster_id")))
+    val scored = all.select(col("vec_id"),
+      dotFold(col("v"), col("v")).as("nsq"))
+    val canon = clusters.join(scored, "vec_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("nsq"), (-col("vec_id")).as("nd"),
+          col("vec_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.vec_id").as("keep_id"),
+        col("n_members"))
+    clusters.join(canon, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("keep_id"),
+        col("n_members"))
+  }
+
   /** Per-query top-k via the bounded-heap aggregate: partial
     * aggregation keeps ≤ k scored rows per query per task, where the
     * window formulation would shuffle-and-sort every scored row.
@@ -260,25 +288,9 @@ object Similarity {
     // lose nothing.
     "d13_embedding_clusters" -> ((s, dir) => {
       val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
-      // Labels are read twice (canonical agg + final member join) —
-      // materialize so the contraction's last groupBy runs once.
-      val clusters = graft.ops.Subplan.once(
-        Dedup.connectedComponents(
-            signNearDupPairs(all)
-              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-          .select(col("u").as("vec_id"), col("lbl").as("cluster_id")))
-      val scored = all.select(col("vec_id"),
-        dotFold(col("v"), col("v")).as("nsq"))
-      val canon = clusters.join(scored, "vec_id")
-        .groupBy(col("cluster_id"))
-        .agg(max(struct(col("nsq"), (-col("vec_id")).as("nd"),
-            col("vec_id"))).as("best"),
-          count(lit(1)).as("n_members"))
-        .select(col("cluster_id"), col("best.vec_id").as("keep_id"),
-          col("n_members"))
-      clusters.join(canon, "cluster_id")
-        .select(col("vec_id"), col("cluster_id"), col("keep_id"),
-          col("n_members"))
+      embClusterDecision(all,
+        signNearDupPairs(all)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }),
 
     // Incremental EMBEDDING-cluster maintenance — d14's delta fold
@@ -734,6 +746,26 @@ object Similarity {
     // serve from it". Deterministic build ⇒ answer ≡ s17; one oracle
     // states both.
     "s28_ivfadc_stored_rerank" -> ((s, dir) => ivfadcStoredRerankQuery(s, dir)),
+
+    // k-NN GRAPH construction by NN-descent (Dong et al., WWW 2011) —
+    // the whole-corpus neighbor structure (k best per vector, not a
+    // 10-query probe) SemDeDup-class pipelines build before
+    // clustering. Init = md5 exploration draws ∪ sign-band
+    // collisions; per round, neighbors-of-neighbors through the
+    // symmetrized (forward ∪ k-capped reverse) lists are scored in
+    // exact int64 and each list keeps its k best under (d, id) —
+    // candidate volume ≤ (2k)²·N per round, never all-pairs, and
+    // every step is deterministic, so the oracle unrolls the rounds
+    // (the s13 Lloyd discipline). Emits (vec_id, nn_id, d, rk).
+    "s29_knn_graph" -> ((s, dir) => knnRanked(knnDescentGraph(
+      graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))))),
+
+    // The k-NN graph as the DEDUP edge source — s29's edges verified
+    // at exact cosine ≥ 0.99, then d13's contraction + canonical
+    // (embClusterDecision — ONE decision layer, pair-source-
+    // agnostic). The SemDeDup composition: a graph edge set instead
+    // of band collisions, the decision unchanged.
+    "d17_knn_graph_clusters" -> ((s, dir) => knnClustersQuery(s, dir)),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
@@ -1698,6 +1730,183 @@ object Similarity {
     exactRerankTail(s, dir, adcScored(codes, q, cents, pqc))
   }
 
+  // ---------------------------------------------------------------
+  // s29/d17 — k-NN GRAPH construction by NN-descent (Dong, Moses &
+  // Li, "Efficient k-nearest neighbor graph construction for generic
+  // similarity measures", WWW 2011): every vector keeps its k best
+  // neighbors so far; each round, neighbors-of-neighbors (through
+  // the SYMMETRIZED lists — forward plus capped reverse) become
+  // candidates, are scored exactly, and the lists improve
+  // monotonically under the (d, id) order. The operator SemDeDup-
+  // class pipelines run before clustering — a full neighbor graph,
+  // not the NN-1/top-5 probes of the s-family. Everything is
+  // deterministic (exact int64 distances on the 2²⁰ fixed-point
+  // lattice, (d, id) tie-breaks, md5 init draws), so the DuckDB
+  // oracle unrolls the rounds exactly (the s13 Lloyd discipline).
+  // ---------------------------------------------------------------
+
+  /** k-NN graph knobs: list width k, md5 exploration draws per
+    * vector, fixed descent rounds. Rounds are fixed so the oracle can
+    * unroll them, and 8 is the measured FIXPOINT on the spec fixture
+    * (sf0.001 planted corpus: per-round changed-edge counts 2685,
+    * 1729, 641, 113, 33, 7, 2, 0 — ExtSpec pins that round 9 changes
+    * nothing). Rounds is the deployment knob: a larger corpus
+    * converges in more rounds (log-ish growth), and production
+    * NN-descent stops on a small-delta test instead — the fixed count
+    * is the oracle-able form. */
+  private[graft] val KnnK = 4
+  private[graft] val KnnInitDraws = 8
+  private[graft] val KnnRounds = 8
+
+  /** Deterministic exploration edges — NN-descent's random init made
+    * reproducible: each vector draws [[KnnInitDraws]] partner ROW
+    * INDICES from the md5 family (the t08 draw discipline, key
+    * ':knn<j>') over the planted corpus's 2·n0 rows, mapped to ids
+    * through the planted layout (idx < n0 → idx, else 10⁹ + idx−n0).
+    * The natural-count row rides a ConstKey broadcast (the
+    * single-row-count rule) — no driver collect, no cross join. Init
+    * needs BOTH edge families: band collisions alone seed only
+    * near-dup pairs (disconnected 2-cliques whose neighbor-of-
+    * neighbor closure is themselves — descent could never explore),
+    * and random draws alone know nothing about geometry. */
+  private def knnInitDraws(all: DataFrame): DataFrame = {
+    val cnt = all.filter(col("vec_id") < 1000000000L)
+      .agg(count(lit(1)).as("n0"))
+      .withColumn("one", graft.ops.ConstKey.one(col("n0")))
+    all.select(col("vec_id"))
+      .withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(cnt), "one")
+      .select(col("vec_id"), col("n0"),
+        explode(array((1 to KnnInitDraws).map(lit): _*)).as("j"))
+      .select(col("vec_id").as("v"),
+        (conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":knn"), col("j").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % (col("n0") * 2)).as("idx"), col("n0"))
+      .select(col("v"),
+        when(col("idx") < col("n0"), col("idx"))
+          .otherwise(col("idx") - col("n0") + 1000000000L).as("w"))
+      .filter(col("v") =!= col("w"))
+  }
+
+  /** The init candidate set — md5 exploration draws ∪ sign-band
+    * collisions, both directions. private[graft] so PlanSpec can pin
+    * the pre-checkpoint join shapes the registered query runs (the
+    * round checkpoints hide them behind ExistingRDD scans). */
+  private[graft] def knnInit(all: DataFrame): DataFrame = {
+    val bands = all.select(col("vec_id"),
+      explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val bandPairs = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
+    knnInitDraws(all).unionAll(bandPairs)
+  }
+
+  /** The fixed-point frame the graph scores against. */
+  private[graft] def knnFx(all: DataFrame): DataFrame =
+    all.select(col("vec_id"), fixedPoint(col("v")).as("x"))
+
+  /** Exact scoring of a directed candidate edge set (v, w): distinct,
+    * then two id-keyed equi-joins onto the fixed-point corpus and the
+    * native codegen [[graft.functions.SqDistLong]] — never an
+    * all-pairs shape; candidate volume is the caller's bound. */
+  private[graft] def knnScore(cand: DataFrame, fx: DataFrame): DataFrame =
+    cand.distinct()
+      .join(fx.select(col("vec_id").as("v"), col("x").as("xv")), "v")
+      .join(fx.select(col("vec_id").as("w"), col("x").as("xw")), "w")
+      .select(col("v"), col("w"),
+        graft.functions.SqDistLong.sqDist(col("xv"), col("xw")).as("d"))
+
+  /** Ascending top-k by (d, w) per source — the bounded-heap partial
+    * agg ([[pqAdcTop5]]'s shape). Callers feed DISTINCT (v, w, d)
+    * rows (distances are exact longs, so duplicates are identical and
+    * a plain distinct removes them) — a duplicate surviving here
+    * would occupy two of the k slots. */
+  private def knnTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("v"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("d")).as("nd"), (-col("w")).as("nw"),
+          col("w"), col("d")), k).as("top"))
+      .select(col("v"), explode(col("top")).as("t"))
+      .select(col("v"), col("t.w").as("w"), col("t.d").as("d"))
+
+  /** The NN-descent driver: init lists from md5 draws ∪ sign-band
+    * collisions, then [[KnnRounds]] improvement rounds. Per round:
+    * symmetrize (forward lists ∪ reverse lists CAPPED at k by the
+    * same (d, id) order — Dong et al.'s ρK reverse sample made
+    * deterministic; without the cap a hub vector appearing in many
+    * lists would square an unbounded degree), join adjacency with
+    * itself on the intermediate id (≤ 2k partners per node ⇒ ≤ (2k)²
+    * candidate pairs per node — linear in N per round, never
+    * all-pairs), score exactly, keep each node's k best of old ∪ new.
+    * Lists improve monotonically under (d, id), the state is finite,
+    * so descent converges; rounds are fixed for the oracle and the
+    * fixture fixpoint is ExtSpec's pin. Each round is checkpointed
+    * ([[graft.ops.Subplan.once]]) so round r+1 reads round r's rows,
+    * never an r-deep recomputed plan (the contraction discipline).
+    * Emits the directed edge set (v, w, d), ≤ k rows per v. */
+  /** One round's candidate pairs off the CURRENT lists: symmetrized
+    * adjacency (forward ∪ k-capped reverse), self-joined on the
+    * intermediate id — ≤ (2k)² pairs per node. private[graft] for
+    * the same PlanSpec reason as [[knnInit]]. */
+  private[graft] def knnRoundCand(nbr: DataFrame, k: Int = KnnK): DataFrame = {
+    val rev = knnTopK(
+      nbr.select(col("w").as("v"), col("v").as("w"), col("d")), k)
+    val adj = nbr.select(col("v").as("u"), col("w").as("p"))
+      .unionAll(rev.select(col("v").as("u"), col("w").as("p")))
+      .distinct()
+    adj.as("a").join(adj.as("b"), Seq("u"))
+      .select(col("a.p").as("v"), col("b.p").as("w"))
+      .filter(col("v") =!= col("w"))
+  }
+
+  private[graft] def knnDescentGraph(all: DataFrame, k: Int = KnnK,
+      rounds: Int = KnnRounds): DataFrame = {
+    val fx = graft.ops.Subplan.once(knnFx(all))
+    var nbr = graft.ops.Subplan.once(
+      knnTopK(knnScore(knnInit(all), fx), k))
+    for (_ <- 1 to rounds) {
+      val merged = nbr.unionAll(knnScore(knnRoundCand(nbr, k), fx)).distinct()
+      nbr = graft.ops.Subplan.once(knnTopK(merged, k))
+    }
+    nbr
+  }
+
+  /** The ranked k-NN graph — (vec_id, nn_id, d, rk) with rk 1..k per
+    * vector under the (d, id) order; the s29 output contract. */
+  private[graft] def knnRanked(nbr: DataFrame): DataFrame =
+    nbr.groupBy(col("v"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("d")).as("nd"), (-col("w")).as("nw"),
+          col("w"), col("d")), KnnK).as("top"))
+      .select(col("v"), posexplode(col("top")))
+      .select(col("v").as("vec_id"), col("col.w").as("nn_id"),
+        col("col.d").as("d"), (col("pos") + 1).cast("int").as("rk"))
+
+  /** The d17 body — the k-NN graph as d13's edge source: graph edges
+    * verified at exact cosine ≥ 0.99 (d05's threshold — on the
+    * planted corpus exactly the twin pairs, which are mutual NN-1 and
+    * band-identical, so the graph cannot miss them), then the SAME
+    * [[embClusterDecision]] contraction + canonical d13 runs. The
+    * SemDeDup-class composition: at scale the graph's edge set is
+    * richer than band collisions alone (descent finds near pairs
+    * whose bands never collide), and the decision layer is unchanged
+    * — pair-source-agnostic by construction. */
+  private def knnClustersQuery(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+    val verified = knnDescentGraph(all)
+      .select(col("v").as("ia"), col("w").as("ib"))
+      .join(all.select(col("vec_id").as("ia"), col("v").as("va")), "ia")
+      .join(all.select(col("vec_id").as("ib"), col("v").as("vb")), "ib")
+      .filter(cosine(col("va"), col("vb")) >= 0.99)
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"))
+      .distinct()
+    embClusterDecision(all, verified)
+  }
+
   /** The s21 body — the IVFADC index in its DEPLOYMENT shape, the
     * s15 discipline applied to the compressed index (completing the
     * symmetry: s12 lands the grid IVF, s15 lands the trained k-means
@@ -2387,7 +2596,106 @@ object Similarity {
       |${bandsCteOver("bands2", "al2")},
       |${pairsCteOver("al2", "bands2")}""".stripMargin
 
+  /** One NN-descent improvement round as CTEs, n{r−1} → n{r}: capped
+    * reverse lists, symmetrized adjacency, neighbor-of-neighbor
+    * candidates, exact scoring, k-best merge — the same statements,
+    * in the same (d, id) order, as the engine's round loop. */
+  private def knnRoundCtes(r: Int): String =
+    s"""rev$r AS (SELECT w AS v, v AS w, d FROM (
+       |    SELECT v, w, d, ROW_NUMBER() OVER
+       |      (PARTITION BY w ORDER BY d ASC, v ASC) AS rk FROM n${r - 1})
+       |  WHERE rk <= $KnnK),
+       |adj$r AS MATERIALIZED (SELECT v AS u, w AS p FROM n${r - 1}
+       |  UNION SELECT v AS u, w AS p FROM rev$r),
+       |cnd$r AS (SELECT DISTINCT a.p AS v, b.p AS w
+       |  FROM adj$r a JOIN adj$r b ON a.u = b.u AND a.p <> b.p),
+       |sc$r AS (SELECT c.v, c.w,
+       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
+       |  FROM cnd$r c JOIN fx fa ON fa.vec_id = c.v
+       |  JOIN fx fb ON fb.vec_id = c.w),
+       |mg$r AS (SELECT v, w, d FROM n${r - 1}
+       |  UNION SELECT v, w, d FROM sc$r),
+       |n$r AS MATERIALIZED (SELECT v, w, d FROM (
+       |    SELECT v, w, d, ROW_NUMBER() OVER
+       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM mg$r)
+       |  WHERE rk <= $KnnK)""".stripMargin
+
+  /** The s29/d17 shared oracle front — the d05 planted/banded prefix
+    * ([[signBaseCte]] verbatim), the 2²⁰ fixed-point lattice, the md5
+    * init draws mapped through the planted id layout, band-collision
+    * seeds, the k-best init lists, then [[KnnRounds]] unrolled
+    * improvement rounds ending at CTE n[[KnnRounds]]. */
+  private def knnGraphCtes: String =
+    s"""$signBaseCte,
+       |fx AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+       |     for i in generate_series(1, 64)] AS x
+       |  FROM al),
+       |knn_cnt AS (SELECT COUNT(*) AS n_nat FROM e),
+       |drw AS (SELECT v, CASE WHEN idx < n_nat THEN idx
+       |      ELSE idx - n_nat + 1000000000 END AS w
+       |  FROM (SELECT a.vec_id AS v, c.n_nat,
+       |      ('0x' || substr(md5(a.vec_id || ':knn' || u.j), 1, 8))::BIGINT
+       |        % (2 * c.n_nat) AS idx
+       |    FROM al a, knn_cnt c,
+       |         unnest(generate_series(1, $KnnInitDraws)) u(j))),
+       |bp AS (SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |c0 AS (SELECT DISTINCT v, w FROM (
+       |    SELECT v, w FROM drw WHERE v <> w
+       |    UNION ALL SELECT v, w FROM bp)),
+       |s0 AS (SELECT c.v, c.w,
+       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
+       |  FROM c0 c JOIN fx fa ON fa.vec_id = c.v
+       |  JOIN fx fb ON fb.vec_id = c.w),
+       |n0 AS MATERIALIZED (SELECT v, w, d FROM (
+       |    SELECT v, w, d, ROW_NUMBER() OVER
+       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM s0)
+       |  WHERE rk <= $KnnK),
+       |${(1 to KnnRounds).map(knnRoundCtes).mkString(",\n")}""".stripMargin
+
+  private def knnGraphOracleSql: String =
+    s"""WITH $knnGraphCtes
+       |SELECT v AS vec_id, w AS nn_id, d, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT v, w, d, ROW_NUMBER() OVER
+       |    (PARTITION BY v ORDER BY d ASC, w ASC) AS rk
+       |  FROM n$KnnRounds) WHERE rk <= $KnnK""".stripMargin
+
+  /** The d17 oracle: the SAME unrolled graph, edges verified at exact
+    * cosine ≥ 0.99, then d13's recursive-CTE components + canonical
+    * verbatim. */
+  private def knnClustersOracleSql: String =
+    s"""WITH RECURSIVE $knnGraphCtes,
+       |gp AS (SELECT DISTINCT LEAST(v, w) AS vec_a,
+       |    GREATEST(v, w) AS vec_b FROM n$KnnRounds),
+       |gsc AS (SELECT g.vec_a, g.vec_b FROM gp g
+       |  JOIN al sa ON sa.vec_id = g.vec_a
+       |  JOIN al sb ON sb.vec_id = g.vec_b
+       |  WHERE list_dot_product(sa.v, sb.v)
+       |      / (sqrt(list_dot_product(sa.v, sa.v))
+       |         * sqrt(list_dot_product(sb.v, sb.v))) >= 0.99),
+       |edges AS (SELECT vec_a AS u, vec_b AS v FROM gsc
+       |  UNION SELECT vec_b, vec_a FROM gsc),
+       |reach(u, v) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+       |comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+       |nrm AS (SELECT vec_id, list_dot_product(v, v) AS nsq FROM al),
+       |crk AS (SELECT c.cluster_id, c.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY n.nsq DESC, c.vec_id ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |  FROM comp c JOIN nrm n USING (vec_id)),
+       |keep AS (SELECT cluster_id, vec_id AS keep_id, n_members
+       |  FROM crk WHERE rk = 1)
+       |SELECT c.vec_id, c.cluster_id, k.keep_id, k.n_members
+       |FROM comp c JOIN keep k USING (cluster_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s29_knn_graph" -> knnGraphOracleSql,
+    "d17_knn_graph_clusters" -> knnClustersOracleSql,
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,

@@ -736,6 +736,54 @@ class ExtSpec extends AnyFunSuite {
     assert(s21.nonEmpty)
   }
 
+  test("s29 NN-descent has converged at the registered round count and " +
+      "puts every planted twin at rank 1") {
+    // Convergence: lists improve monotonically under (d, id) over a
+    // finite state space, so descent reaches a fixpoint; the
+    // registered KnnRounds must already BE one on the fixture — one
+    // more round changes nothing (the oracle unrolls exactly
+    // KnnRounds, so a still-moving graph would mean the registered
+    // query undershot its own operator).
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    def edges(rounds: Int) =
+      ext.Similarity.knnDescentGraph(all, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atR = edges(ext.Similarity.KnnRounds)
+    val atR1 = edges(ext.Similarity.KnnRounds + 1)
+    assert(atR == atR1, "one more descent round still changed the graph")
+    // Twin recall: the planted twin is sign-band-identical (seeded at
+    // init) and the exact NN-1 (its distance is the 0.01-scaled dim-0
+    // perturbation; natural pairwise cosine tops out ~0.51), so every
+    // vector's rank-1 edge must be its twin — in both directions.
+    val rk1 = SparkEntry.queries("s29_knn_graph")(spark, sf)
+      .filter(col("rk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rk1.nonEmpty)
+    rk1.foreach { case (v, nn) =>
+      val expected = if (v < 1000000000L) v + 1000000000L else v - 1000000000L
+      assert(nn == expected, s"vec $v rank-1 neighbor $nn is not its twin")
+    }
+  }
+
+  test("d17 knn-graph clusters equal d13's band-collision clusters on the " +
+      "planted fixture") {
+    // On the planted corpus the verified (cos ≥ 0.99) edge sets
+    // coincide — twins are band-identical AND mutual NN-1, naturals
+    // never verify — so the two pair sources must feed the shared
+    // decision layer identical components: same clusters, same
+    // canonicals. (At scale they diverge — the graph finds near pairs
+    // whose bands never collide; this pin is the agreement case.)
+    val d13 = SparkEntry.queries("d13_embedding_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val d17 = SparkEntry.queries("d17_knn_graph_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(d17 == d13)
+    assert(d17.nonEmpty)
+  }
+
   test("s28 stored-index rerank returns exactly s17's answer") {
     // The deployment read path (landed s21 probe → ADC top-R → exact
     // rerank) must serve the in-lineage composition's answer

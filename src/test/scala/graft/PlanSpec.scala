@@ -474,6 +474,43 @@ class PlanSpec extends AnyFunSuite {
       s"neither the stored codes nor the raw-vector fetch may shuffle:\n$p")
   }
 
+  test("s29: every NN-descent join is keyed — no cartesian shapes, and the " +
+      "corpus count rides a ConstKey broadcast") {
+    // The graph's whole scale story is that candidates come from
+    // id-keyed equi-joins (band/sig collisions, adjacency on the
+    // intermediate id, fixed-point fetches on vec_id) — (2k)²·N rows
+    // a round, never an all-pairs shape; the single-row natural-count
+    // frame must ride the ConstKey broadcast idiom, not a cross join.
+    // The registered query's round checkpoints hide these stages
+    // behind ExistingRDD scans, so the pin explains the SAME library
+    // definitions the query runs (knnInit/knnScore/knnRoundCand),
+    // pre-checkpoint. The engine-wide zero-BNLJ loop still covers the
+    // registered s29/d17 tails.
+    import org.apache.spark.sql.functions.col
+    def explainOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val all = ext.Similarity.plantedTwinCorpus(
+      Tables(spark, sf, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val fx = ext.Similarity.knnFx(all)
+    val init = explainOf(
+      ext.Similarity.knnScore(ext.Similarity.knnInit(all), fx))
+    assert(!init.contains("CartesianProduct") &&
+        !init.contains("BroadcastNestedLoopJoin"),
+      s"init candidates must come from keyed joins only:\n$init")
+    assert(init.contains("BroadcastHashJoin"),
+      s"the ConstKey count join must be a keyed broadcast:\n$init")
+    // One improvement round over an (unmaterialized) init list frame:
+    // the adjacency self-join must key on the intermediate id u.
+    val round = explainOf(ext.Similarity.knnScore(
+      ext.Similarity.knnRoundCand(
+        ext.Similarity.knnScore(ext.Similarity.knnInit(all), fx)
+          .limit(1000)), fx))
+    assert(!round.contains("CartesianProduct") &&
+        !round.contains("BroadcastNestedLoopJoin"),
+      s"round candidates must come from keyed joins only:\n$round")
+  }
+
   test("s23: the filtered probe keys the broadcast join on (cid, label) " +
       "and still prunes the stored scan") {
     // The filtered-ANN contract: the label predicate is a JOIN KEY,
