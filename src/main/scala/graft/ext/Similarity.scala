@@ -747,6 +747,17 @@ object Similarity {
     // states both.
     "s28_ivfadc_stored_rerank" -> ((s, dir) => ivfadcStoredRerankQuery(s, dir)),
 
+    // INDEX-DRIFT diagnostics — the rebuild-trigger signal s18/s22's
+    // never-retrain discipline needs: per-cell occupancy and exact
+    // residual energy of the upserted landed index, split ALL vs the
+    // TRAINING baseline (the NOT-batch draw), so the reported deltas
+    // are exactly what the inserts added to each cell. One broadcast
+    // join + one partial agg over the store; exact int64 sums, means
+    // as the one final double division. The streaming twins expose
+    // the SAME definitions on their maintained state (StreamingSpec
+    // pins live ≡ batch).
+    "s30_index_drift" -> ((s, dir) => indexDriftQuery(s, dir)),
+
     // k-NN GRAPH construction by NN-descent (Dong et al., WWW 2011) —
     // the whole-corpus neighbor structure (k best per vector, not a
     // 10-query probe) SemDeDup-class pipelines build before
@@ -1324,8 +1335,10 @@ object Similarity {
     conv(substring(md5(concat(col("vec_id").cast("string"), lit(":ann"))),
       1, 8), 16, 10).cast("long") % 8 === 0
 
-  private val annBatchSqlPred =
-    "('0x' || substr(md5(vec_id || ':ann'), 1, 8))::BIGINT % 8 = 0"
+  private def annBatchSqlPredOn(sqlCol: String): String =
+    s"('0x' || substr(md5($sqlCol || ':ann'), 1, 8))::BIGINT % 8 = 0"
+
+  private val annBatchSqlPred = annBatchSqlPredOn("vec_id")
 
   /** The s19/s20 sampled-training draw — t08's md5 discipline applied
     * to quantizer TRAINING: Lloyd/PQ see only the deterministic 1/8
@@ -1373,15 +1386,24 @@ object Similarity {
     * idempotence too: re-upserting the same batch rewrites the same
     * rows). Repeat invocations — the bench's best-of — pay the
     * per-batch delta: batch assign + ≤ K-partition rewrite + probe. */
-  private def kmeansUpsertQuery(s: SparkSession, dir: String): DataFrame = {
+  /** THE upserted-postings store build — s18's store mutation moves
+    * (pre-batch train + posting land, batch assign against the STORED
+    * model, touched-cell dynamic partition overwrite, pk-dedup
+    * idempotence) under a caller-chosen namespace, returning (stored
+    * centroids, posting path). ONE definition for s18 (probe tail)
+    * and s30 (drift tail) — the diagnostics measure exactly the store
+    * the probe serves; each caller owns its namespace so repeat
+    * queries in one JVM stay idempotent (the s18/s22 rule). */
+  private def upsertedPostings(s: SparkSession, dir: String,
+      ns: String): (DataFrame, String) = {
     val fxAll = graft.ops.Subplan.once(
       emb(s, dir).select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val cents = graft.sources.SessionStore.storedOrBuild(
-      s, "s18_cents", dir, Seq("cid")) {
+      s, s"${ns}_cents", dir, Seq("cid")) {
       kmeansCentroids(fxAll.filter(!annBatchVec))
     }
     val postPath = graft.sources.SessionStore.pathOrBuild(
-      s, "s18_postings", dir, Seq("vec_id"), Seq("cid")) {
+      s, s"${ns}_postings", dir, Seq("vec_id"), Seq("cid")) {
       kmAssign(fxAll.filter(!annBatchVec), cents)
         .select(col("vec_id"), col("v"), col("cid"))
     }
@@ -1400,10 +1422,83 @@ object Similarity {
     val merged = graft.ops.Subplan.once(
       stored.join(touched, Seq("cid"), "left_semi").unionByName(batchAsg))
     graft.sources.Sink.write(merged, postPath, Seq("vec_id"), Seq("cid"))
-    val post = s.read.parquet(postPath)
+    (cents, postPath)
+  }
+
+  private def kmeansUpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, postPath) = upsertedPostings(s, dir, "s18")
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
-    kmProbedTop5(post, kmProbeCells(q, cents))
+    kmProbedTop5(s.read.parquet(postPath), kmProbeCells(q, cents))
+  }
+
+  /** THE index-drift metric — per-cell occupancy and exact residual
+    * energy of a (vec_id, v, cid) posting frame against its centroid
+    * set, split into ALL rows vs the BASELINE rows (`basePred` — the
+    * content the model was trained on): the signal a production index
+    * watches to schedule a rebuild (inserts never retrain, so cell
+    * imbalance and residual growth accumulate silently otherwise).
+    * One broadcast join (K centroid rows) + one partial agg over the
+    * store; sums are exact int64 (2²⁰ fixed point + the native
+    * [[graft.functions.SqDistLong]]), the means the ONE final double
+    * division (the t22 discipline). ONE definition for the s30 batch
+    * query and [[graft.streaming.DocStreams.AnnIndexMaintenance]]'s
+    * live metric. */
+  private[graft] def indexDriftStats(post: DataFrame, cents: DataFrame,
+      basePred: Column): DataFrame =
+    driftAgg(post.join(broadcast(cents), Seq("cid"))
+      .select(col("cid"),
+        graft.functions.SqDistLong.sqDist(
+          fixedPoint(col("v")), col("m")).as("rsq"),
+        basePred.as("isb")))
+
+  /** The compressed-index form of the drift metric — the store keeps
+    * only 8×4-bit codes, so the per-row energy is the ENCODED
+    * residual norm Σ_sub ‖codebook[sub][code]‖² (exact int64: the
+    * same [[graft.functions.PqAdcLookup]] table lookup as ADC, with
+    * the query table holding squared centroid norms) — growth says
+    * the stored codebooks are spending their 4-bit budget far from
+    * their training distribution. ONE definition for
+    * [[graft.streaming.DocStreams.CompressedAnnIndexMaintenance]]'s
+    * live metric and its StreamingSpec batch recompute. */
+  private[graft] def codeDriftStats(codes: DataFrame, pqc: DataFrame,
+      basePred: Column): DataFrame = {
+    val zerosSub = array((0 until PqSubDim).map(_ => lit(0L)): _*)
+    val ntab = pqCentTab(pqc).select(col("one"),
+      transform(col("ctab"), cl =>
+        transform(cl, c => graft.functions.SqDistLong.sqDist(
+          c.getField("m"), zerosSub))).as("qt"))
+    driftAgg(codes.withColumn("one", graft.ops.ConstKey.one(col("vec_id")))
+      .join(broadcast(ntab), "one")
+      .select(col("cid"),
+        graft.functions.PqAdcLookup.pqAdc(col("codes"), col("qt")).as("rsq"),
+        basePred.as("isb")))
+  }
+
+  /** The shared drift aggregation tail over (cid, rsq, isb) rows. */
+  private def driftAgg(scored: DataFrame): DataFrame =
+    scored.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_now"),
+        sum(when(col("isb"), 1L).otherwise(0L)).as("n_base"),
+        sum(col("rsq")).as("rsq_now"),
+        sum(when(col("isb"), col("rsq")).otherwise(0L)).as("rsq_base"))
+      .select(col("cid"), col("n_now"), col("n_base"),
+        col("rsq_now"), col("rsq_base"),
+        (col("rsq_now").cast("double") / col("n_now")).as("mean_rsq_now"),
+        when(col("n_base") > 0,
+          col("rsq_base").cast("double") / col("n_base"))
+          .otherwise(lit(null).cast("double")).as("mean_rsq_base"))
+
+  /** The s30 body — drift diagnostics over the UPSERTED landed index
+    * (its own store namespace, so the build+upsert is idempotent per
+    * JVM and independent of whether s18 ran): the baseline is the
+    * training content (NOT the batch draw), so the reported deltas
+    * are exactly what the inserts added to each cell. The oracle
+    * restates the metric over the s18 oracle chain (train pre-batch,
+    * assign everything) — the stored content by construction. */
+  private def indexDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, postPath) = upsertedPostings(s, dir, "s30")
+    indexDriftStats(s.read.parquet(postPath), cents, !annBatchVec)
   }
 
   // ---------------------------------------------------------------
@@ -2922,6 +3017,26 @@ object Similarity {
     // the rerank oracle states both; the partition-pruned plan and
     // the R·|Q| fetch topology are PlanSpec's pins.
     "s28_ivfadc_stored_rerank" -> ivfadcRerankOracleSql,
+    // s30: the metric over the s18 oracle chain (train on NOT-batch,
+    // assign everything — the upserted store's content); residual =
+    // exact int64 distance of each posted lattice point to its cell
+    // centroid, baseline = the training rows.
+    "s30_index_drift" ->
+      s"""WITH ${kmeansChainCtesOver(Some(s"NOT ($annBatchSqlPred)"))},
+         |st AS (SELECT p.cid,
+         |    CAST(${sqlDist("p.x", "c.m")} AS BIGINT) AS rsq,
+         |    NOT (${annBatchSqlPredOn("p.vec_id")}) AS isb
+         |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid)
+         |SELECT cid, COUNT(*) AS n_now,
+         |  CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(rsq) AS BIGINT) AS rsq_now,
+         |  CAST(SUM(CASE WHEN isb THEN rsq ELSE 0 END) AS BIGINT) AS rsq_base,
+         |  CAST(SUM(rsq) AS DOUBLE) / COUNT(*) AS mean_rsq_now,
+         |  CASE WHEN SUM(CASE WHEN isb THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(SUM(CASE WHEN isb THEN rsq ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN isb THEN 1 ELSE 0 END)
+         |    ELSE NULL END AS mean_rsq_base
+         |FROM st GROUP BY cid""".stripMargin,
     // s25: the full-corpus-trained compressed chain, deleted
     // candidates excluded BEFORE the rank (per-candidate ADC scores
     // are independent table lookups, so removing rows from the code

@@ -1189,6 +1189,17 @@ object DocStreams extends Serializable {
       for (cents <- centsDf; post <- postDf) yield
         graft.ext.Similarity.kmProbedTop5(post,
           graft.ext.Similarity.kmProbeCells(fixed(q), cents))
+
+    /** The live drift metric — s30's
+      * [[graft.ext.Similarity.indexDriftStats]] (ONE definition) over
+      * the maintained postings and bootstrap centroids; `basePred`
+      * names the baseline rows (the bootstrap content). The
+      * rebuild-trigger signal: inserts never retrain, so this is the
+      * only thing telling an operator the fixed model has drifted.
+      * None before the first non-empty trigger. */
+    def driftStats(basePred: org.apache.spark.sql.Column): Option[DataFrame] =
+      for (cents <- centsDf; post <- postDf) yield
+        graft.ext.Similarity.indexDriftStats(post, cents, basePred)
   }
 
   /** Live maintenance of the COMPRESSED ANN index — the streaming
@@ -1269,5 +1280,15 @@ object DocStreams extends Serializable {
       for (cents <- centsDf; pqc <- pqcDf; codes <- codesDf) yield
         graft.ext.Similarity.pqAdcTop5(
           graft.ext.Similarity.adcScored(codes, fixed(q), cents, pqc))
+
+    /** The live drift metric on the COMPRESSED state —
+      * [[graft.ext.Similarity.codeDriftStats]] (ONE definition with
+      * the batch recompute StreamingSpec pins against): the store
+      * keeps only codes, so the per-row energy is the ENCODED
+      * residual norm looked up from the stored codebooks. None before
+      * the bootstrap. */
+    def driftStats(basePred: org.apache.spark.sql.Column): Option[DataFrame] =
+      for (pqc <- pqcDf; codes <- codesDf) yield
+        graft.ext.Similarity.codeDriftStats(codes, pqc, basePred)
   }
 }

@@ -509,6 +509,18 @@ class StreamingSpec extends AnyFunSuite {
     val postIds = cm.postings.get.select(col("vec_id"))
       .filter(ext.Similarity.annBatchVec).limit(1).count()
     assert(postIds == 1L, "no batch-trigger vector reached the postings")
+    // Drift — the live s30: the twin's metric over its maintained
+    // state must equal the registered batch query row-for-row (same
+    // store content by the probe identity above, same ONE
+    // indexDriftStats definition; baseline = the bootstrap trigger).
+    val gotDrift = cm.driftStats(!ext.Similarity.annBatchVec)
+      .getOrElse(fail("no drift metric after replay"))
+      .collect().map(_.toSeq).toSet
+    val wantDrift = SparkEntry.queries("s30_index_drift")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(wantDrift.nonEmpty)
+    assert(gotDrift == wantDrift,
+      "live drift metric diverges from the batch s30 answer")
     // Retirement — the live s24: after retiring the ':del' draw, the
     // probe must equal the full assignment (same stored model) minus
     // the retired set, and a re-retire must change nothing.
@@ -577,6 +589,32 @@ class StreamingSpec extends AnyFunSuite {
     val codeIds = cm.codes.get.select(col("vec_id"))
       .filter(ext.Similarity.annBatchVec).limit(1).count()
     assert(codeIds == 1L, "no batch-trigger vector reached the codes")
+    // Drift on the compressed state — the twin's encoded-residual
+    // metric must equal the batch recompute through the SAME
+    // codeDriftStats definition over the same stored model (both
+    // quantizers trained on the bootstrap split, every vector encoded
+    // by the one residFrame/pqEncode pair).
+    val fxAllD = graft.ops.Subplan.once(ext.Similarity.emb(spark, sf)
+      .select(col("vec_id"), col("v"),
+        ext.Similarity.fixedPoint(col("v")).as("x")))
+    val centsD = ext.Similarity.kmeansCentroids(
+      fxAllD.filter(!ext.Similarity.annBatchVec))
+    val rfxsD = graft.ops.Subplan.once(
+      ext.Similarity.residFrame(fxAllD, centsD))
+    val pqcD = ext.Similarity.pqCodebooks(
+      rfxsD.filter(!ext.Similarity.annBatchVec)
+        .select(col("vec_id"), col("subs")))
+    val codesD = ext.Similarity.pqEncode(rfxsD, pqcD)
+      .select(col("vec_id"), col("cid"), col("codes"))
+    val gotCDrift = cm.driftStats(!ext.Similarity.annBatchVec)
+      .getOrElse(fail("no drift metric after replay"))
+      .collect().map(_.toSeq).toSet
+    val wantCDrift = ext.Similarity.codeDriftStats(codesD, pqcD,
+        !ext.Similarity.annBatchVec)
+      .collect().map(_.toSeq).toSet
+    assert(wantCDrift.nonEmpty)
+    assert(gotCDrift == wantCDrift,
+      "live compressed drift metric diverges from the batch recompute")
     // Retirement — the live s25: retiring the ':del' draw must equal
     // filtering the full in-lineage scored frame (same stored model)
     // to surviving candidates before the rank.
