@@ -27,10 +27,27 @@ object Bench {
     // so a breakage can't masquerade as a timing improvement; total sums
     // successful queries only.
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt.max(1)
+    // Honest-window mode (SPARK_GRAFT_BENCH_FULL=1): the default
+    // times fn(...).count(), and ColumnPruning drops TRAILING window/
+    // projection operators whose outputs count() never reads (t14/
+    // t18/q25/q27 partially measure their frontier) — consistent
+    // across rounds AND the anchor, so default ratios stay
+    // apples-to-apples. Full mode instead folds EVERY output column
+    // through xxhash64 into one sum, so nothing prunes and the
+    // window costs become measured numbers; it writes its record to
+    // bench/last_full.json so the canonical default artifact is
+    // never clobbered by a full-mode run.
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      if (full) {
+        import org.apache.spark.sql.functions.{col, sum, xxhash64}
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+          .agg(sum(col("h"))).count()
+      } else df.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { evaluate(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
@@ -39,8 +56,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val mode = if (full) ",\"mode\":\"full\"" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n$mode,"sf":"$sfDir"}"""
     println(line)
     // Also land the JSON line as a file: the driver recovers `parsed`
     // from a truncated stdout tail, so the machine-readable record must
@@ -49,7 +67,8 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(dir.resolve("last.json"), line + "\n")
+      val out = if (full) "last_full.json" else "last.json"
+      java.nio.file.Files.writeString(dir.resolve(out), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench/last.json: ${e.getMessage}")
     }
