@@ -438,6 +438,26 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    // d01 over a BUCKETED landed corpus — the on-disk prescription
+    // for the 100 TB ingest: the fingerprinted frame lands ONCE
+    // bucketed by fp (SessionStore.bucketedOrBuild — catalog-visible
+    // co-location, the J4 BucketSpec discipline applied to the
+    // d-family), and every recurring exact-dedup groupBy(fp) over it
+    // is a map-side aggregate over co-located buckets — NO exchange
+    // of the corpus, ever again (PlanSpec pins Bucketed: true + zero
+    // Exchange hashpartitioning). Same answer as d01 — storage
+    // layout is not oracle-visible (the s12/s15/s21 discipline), so
+    // d01's oracle states both.
+    "d18_exact_dedup_bucketed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = graft.sources.SessionStore.bucketedOrBuild(
+        s, "d18_fp", dir, 8, Seq("fp")) {
+        d.unionAll(d).select(col("doc_id"), fingerprintCol.as("fp"))
+      }
+      t.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
     // N-gram Jaccard near-dedup with exact prefix-filtered candidates
     // (All-Pairs/PPJoin) — identical results to the exhaustive
     // shingle-blocked join (DedupSpec pins the equality; the DuckDB
@@ -1066,6 +1086,13 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
+      """WITH dd AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM dd GROUP BY fp""".stripMargin,
+    // d18 serves d01's answer from the bucketed landed copy — the
+    // layout is PlanSpec's to pin, not the oracle's.
+    "d18_exact_dedup_bucketed" ->
       """WITH dd AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -45,6 +45,30 @@ object SessionStore {
       (build: => DataFrame): DataFrame =
     spark.read.parquet(pathOrBuild(spark, name, dir, pk, partitionCols)(build))
 
+  /** The stored table for (`name`, `dir`) in a BUCKETED layout —
+    * [[Sink.writeBucketed]] on first access per JVM, `spark.table`
+    * read-back afterwards: the catalog-visible co-location that lets
+    * a recurring key-grouped operator (d18's fingerprint dedup, the
+    * J4 bucketed join) run with NO exchange on the stored side. Same
+    * staleness discipline as the parquet stores: the table name
+    * carries the fixture-dir hash, and the build overwrites, so one
+    * JVM can never serve one corpus's layout to another. */
+  def bucketedOrBuild(spark: SparkSession, name: String, dir: String,
+      buckets: Int, bucketCols: Seq[String])
+      (build: => DataFrame): DataFrame =
+    spark.table(tableOrBuild(spark, name, dir, buckets, bucketCols)(build))
+
+  private def tableOrBuild(spark: SparkSession, name: String, dir: String,
+      buckets: Int, bucketCols: Seq[String])
+      (build: => DataFrame): String = {
+    val key = s"${name}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    built.computeIfAbsent(s"tbl:$key", _ => {
+      Sink.writeBucketed(build, key, buckets, bucketCols)
+      key
+    })
+  }
+
   /** The stored table's PATH, building + landing it on first access —
     * for maintenance queries that must WRITE BACK into the store (the
     * s18 partition upsert: [[Sink.write]] with `partitionCols` onto

@@ -474,6 +474,21 @@ class PlanSpec extends AnyFunSuite {
       s"neither the stored codes nor the raw-vector fetch may shuffle:\n$p")
   }
 
+  test("d18: the bucketed-corpus dedup reads the bucket layout and never " +
+      "shuffles") {
+    // The d-family's on-disk prescription: once the fingerprinted
+    // corpus lands bucketed by fp, the recurring dedup groupBy is a
+    // map-side aggregate over co-located buckets — the scan must
+    // report the bucket layout and the plan must contain NO
+    // hash-partitioning exchange (at 100 TB this exchange IS the
+    // dedup's cost).
+    val p = plan("d18_exact_dedup_bucketed")
+    assert(p.contains("Bucketed: true"),
+      s"the stored corpus scan must use the bucket layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"dedup over the bucketed corpus must not shuffle:\n$p")
+  }
+
   test("s29: every NN-descent join is keyed — no cartesian shapes, and the " +
       "corpus count rides a ConstKey broadcast") {
     // The graph's whole scale story is that candidates come from
