@@ -774,6 +774,51 @@ object Text {
     "t28_bpe_batch_train" -> ((s, dir) =>
       bpeBatchTrain(docs(s, dir), BpeBatchRounds, BpeBatchSize)),
 
+    // UNIGRAM-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    // trainer class, completing the tokenizer family beside BPE's
+    // t24–t28): seed vocab = every character plus the top-K 2..4-char
+    // substrings by occurrence-weighted frequency, then UniEmRounds
+    // EM rounds — E-step Viterbi-segments the word frontier under
+    // quantized-integer piece scores (ql(cnt+1) − ql(T), the native
+    // qlog2; the combined DP weight TieK·score − 1 makes the optimum
+    // lexicographic in (score, fewer pieces) and every tie-break
+    // pinned), M-step recounts pieces from those segmentations,
+    // pruning keeps all characters + the top UniPruneK multi-char
+    // pieces. Deterministic end-to-end, so the oracle unrolls both
+    // EM rounds (each with its own qlog chain over that round's
+    // counts) and hash-checks the final vocab exactly. Emits
+    // (piece, pcnt, score).
+    "t35_unigram_lm_train" -> ((s, dir) =>
+      uniScored(uniTrainFull(docs(s, dir))._1)
+        .select(col("p").as("piece"), col("pcnt"), col("score"))),
+
+    // UNIGRAM-LM segmentation APPLY — the t26 deployment split for
+    // the unigram family: train on the NOT-eval docs (the t08/t13 md5
+    // draw), Viterbi-segment the held-out docs' words under the
+    // LEARNED scores — including words (and characters) training
+    // never saw: unknown single chars fall back to the model's
+    // count-0 smoothing weight, so every word stays segmentable.
+    // ONE training loop serves t35 and t36 (uniTrainFull — the
+    // t24/t25 discipline); ONE DP expression serves the E-step and
+    // this apply. Emits t25/t26's per-doc shape.
+    "t36_unigram_lm_segment" -> ((s, dir) => {
+      val model = uniTrainFull(docs(s, dir).filter(!isEvalCol))._2
+      val heldOut = docs(s, dir).filter(isEvalCol)
+      val words = heldOut.select(explode(toks).as("w0"))
+        .filter(col("w0") =!= "")
+        .select(substring(col("w0"), 1, UniMaxWordLen).as("w")).distinct()
+      heldOut.select(col("doc_id"), explode(toks).as("w0"))
+        .filter(col("w0") =!= "")
+        .select(col("doc_id"), substring(col("w0"), 1, UniMaxWordLen).as("w"))
+        .join(uniSegmentWords(words, model)
+          .select(col("w"), size(col("seg")).as("n_pieces")), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_subtok"),
+          (sum(col("n_pieces")).cast("double") / count(lit(1)))
+            .as("subtok_per_word"))
+    }),
+
     // BPE segmentation APPLY — t24's other half, closing the
     // learn/apply split the pipeline honors for RF (SURVEY §2: train
     // once, apply everywhere): tokenize the corpus with the LEARNED
@@ -1548,6 +1593,305 @@ object Text {
           .as("syms"))
   }
 
+  // ---------------------------------------------------------------
+  // t35/t36 — UNIGRAM-LM (SentencePiece-class) tokenizer: the OTHER
+  // mainstream trainer beside BPE (Kudo, "Subword Regularization",
+  // ACL 2018). Where BPE grows a vocab bottom-up by merges, the
+  // unigram LM starts from a substring seed vocab and runs EM: the
+  // E-step Viterbi-segments every word under the current piece
+  // scores, the M-step recounts pieces from those segmentations, and
+  // pruning keeps the surviving multi-char pieces (single characters
+  // are never pruned — they guarantee every word stays segmentable).
+  // Everything is deterministic and exact-integer: scores live in
+  // qlog2's quantized log space (score(p) = ql(cnt+1) − ql(T), the
+  // one add-one smoothing), the Viterbi objective is the combined
+  // integer u = Σ (TieK·score(p) − 1) — lexicographically (total
+  // score, fewer pieces) because TieK = 128 exceeds the max piece
+  // count — and all ties in the DP break toward the LONGEST piece
+  // ending at each position (strict-improvement fold over ascending
+  // start positions). The oracle unrolls both EM rounds, each with
+  // its own qlog chain over that round's count values.
+  //
+  // Scale: the corpus touches ONE wide shuffle (the word-frequency
+  // frontier — bpeTrainFull's discipline); every EM stage after is
+  // bounded by DISTINCT words × word length, never corpus size, and
+  // the model (≤ chars + UniPruneK pieces) rides a one-row ConstKey
+  // broadcast. The word cap and piece cap are operator parameters:
+  // words truncate to UniMaxWordLen chars before counting (both
+  // engines state the same truncation), pieces to UniMaxPieceLen.
+  // ---------------------------------------------------------------
+
+  private[graft] val UniMaxPieceLen = 4
+  private[graft] val UniMaxWordLen = 24
+  private[graft] val UniSeedK = 48
+  private[graft] val UniPruneK = 32
+  private[graft] val UniEmRounds = 2
+
+  /** The tie-break multiplier: u = Σ (TieK·score − 1) decomposes
+    * uniquely back into (Σ score, n_pieces) because n ≤
+    * [[UniMaxWordLen]] < TieK. */
+  private val UniTieK = 128L
+
+  /** The unreachable-path sentinel: far below any real path sum
+    * (|pw| ≲ TieK·2¹⁶·log₂T ≈ 2²⁸ per piece, ≤ 24 pieces) yet safe
+    * against int64 overflow across 24 sentinel additions. */
+  private val UniNeg = -(1L << 40)
+
+  /** The one corpus-wide shuffle: truncated-word frequencies. */
+  private def uniWordFreqs(d: DataFrame): DataFrame =
+    d.select(explode(toks).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(substring(col("w0"), 1, UniMaxWordLen).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** The character inventory — every codepoint of every word, with
+    * occurrence-weighted counts. Never pruned: the coverage floor. */
+  private def uniChars(wf: DataFrame): DataFrame =
+    wf.select(col("cnt"),
+        explode(regexp_extract_all(col("w"), lit("."), lit(0))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("pcnt"))
+
+  /** Seed multi-char candidates: every substring of length
+    * 2..[[UniMaxPieceLen]], occurrence-weighted (top-K selection is
+    * the caller's). Spark's sequence() DESCENDS when from > to, so
+    * short words guard to an empty array explicitly. */
+  private def uniSeedMultis(wf: DataFrame): DataFrame =
+    wf.select(col("cnt"), explode(flatten(transform(
+        sequence(lit(2), lit(UniMaxPieceLen)), l =>
+          when(length(col("w")) >= l,
+            transform(sequence(lit(1), length(col("w")) - l + 1),
+              pos => col("w").substr(pos, l)))
+            .otherwise(array().cast("array<string>"))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("pcnt"))
+
+  /** Per-piece quantized scores of a (p, pcnt) vocab: score =
+    * ql(pcnt+1) − ql(T), T = Σ (pcnt+1) — add-one smoothing so a
+    * zero-count character still scores, every log the native
+    * [[graft.functions.QLog2]]. */
+  private def uniScored(vocab: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    import graft.ops.ConstKey
+    val t = vocab.agg(sum(col("pcnt") + 1).as("tt"))
+      .withColumn("k", ConstKey.one(col("tt")))
+    vocab.withColumn("k", ConstKey.one(col("pcnt") + 1))
+      .join(broadcast(t), Seq("k"))
+      .select(col("p"), col("pcnt"), col("tt"),
+        (qlog2(col("pcnt") + 1) - qlog2(col("tt"))).as("score"))
+  }
+
+  /** The one-row segmenter model: piece → pw map (pw = TieK·score −
+    * 1, the combined Viterbi weight) plus the unknown-single-char
+    * weight (a count-0 piece under the same smoothing: TieK·(ql(1) −
+    * ql(T)) − 1 = −TieK·ql(T) − 1) — how t36 segments eval words
+    * whose characters training never saw. */
+  private def uniModel(vocab: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    uniScored(vocab)
+      .select(col("p"), (lit(UniTieK) * col("score") - 1).as("pw"), col("tt"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("p"), col("pw"))))
+          .as("pmap"),
+        max(col("tt")).as("tt"))
+      .select(col("pmap"),
+        (lit(UniTieK) * (lit(0L) - qlog2(col("tt"))) - 1).as("unkpw"))
+  }
+
+  /** THE Viterbi fold — the DP chain over positions 1..len(w):
+    * chain[i+1] = best (u, seg) over pieces ending at i, candidate
+    * starts jj descending in piece length (ascending jj, strict-
+    * improvement keep ⇒ ties break to the longest piece). Unknown
+    * pieces: single chars fall back to `unkpw`, longer ones are
+    * unreachable. ONE expression for training's E-step and t36's
+    * apply — the t26 fold discipline; the oracle restates it as the
+    * same nested list_reduce ([[uniDpSql]]). */
+  private def uniDpChain: Column = {
+    val emptySeg = array().cast("array<string>")
+    aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(struct(lit(0L).as("u"), emptySeg.as("seg"))),
+      (acc, i) => concat(acc, array(
+        aggregate(
+          sequence(greatest(lit(1), i - lit(UniMaxPieceLen - 1)), i),
+          struct(lit(UniNeg).as("u"), emptySeg.as("seg")),
+          (b, jj) => {
+            val piece = col("w").substr(jj, i - jj + lit(1))
+            val pw = coalesce(element_at(col("pmap"), piece),
+              when(jj === i, col("unkpw")).otherwise(lit(UniNeg)))
+            val cand = struct(
+              (element_at(acc, jj).getField("u") + pw).as("u"),
+              concat(element_at(acc, jj).getField("seg"), array(piece))
+                .as("seg"))
+            when(cand.getField("u") > b.getField("u"), cand).otherwise(b)
+          }))))
+  }
+
+  /** Viterbi-segment a (w) word frame under a model row: (w, u,
+    * seg). The model is a one-row ConstKey broadcast; the DP is
+    * map-side column algebra — nothing here scales past the distinct
+    * words. */
+  private[graft] def uniSegmentWords(words: DataFrame,
+      model: DataFrame): DataFrame = {
+    import graft.ops.ConstKey
+    words.withColumn("k", ConstKey.one(length(col("w"))))
+      .join(broadcast(model.withColumn("k", ConstKey.one(col("unkpw")))),
+        Seq("k"))
+      .select(col("w"),
+        element_at(uniDpChain, length(col("w")) + 1).as("best"))
+      .select(col("w"), col("best").getField("u").as("u"),
+        col("best").getField("seg").as("seg"))
+  }
+
+  /** The EM training loop — ONE loop for t35 (which reads the final
+    * scored vocab) and t36 (which segments with the final model), the
+    * t24/t25 discipline. Returns (final (p, pcnt) vocab, final model
+    * row). Per round: score the vocab, Viterbi-segment the word
+    * frontier, recount pieces from the segmentations, keep all
+    * characters (count 0 if now unused) plus the top [[UniPruneK]]
+    * multi-char pieces by (count, piece). Each stage is checkpointed
+    * so round r+1 reads round r's rows (the contraction
+    * discipline). */
+  private[graft] def uniTrainFull(d: DataFrame,
+      rounds: Int = UniEmRounds): (DataFrame, DataFrame) = {
+    import graft.ops.Subplan
+    val wf = Subplan.once(uniWordFreqs(d))
+    val chars = Subplan.once(uniChars(wf))
+    var vocab = Subplan.once(chars.unionByName(
+      uniSeedMultis(wf)
+        .orderBy(col("pcnt").desc, col("p").asc).limit(UniSeedK)))
+    for (_ <- 1 to rounds) {
+      val model = uniModel(vocab)
+      val segCounts = Subplan.once(
+        uniSegmentWords(wf.select(col("w")), model)
+          .join(wf, Seq("w"))
+          .select(col("cnt"), explode(col("seg")).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("pcnt")))
+      vocab = Subplan.once(
+        chars.select(col("p"))
+          .join(segCounts, Seq("p"), "left")
+          .select(col("p"), coalesce(col("pcnt"), lit(0L)).as("pcnt"))
+          .unionByName(segCounts.filter(length(col("p")) >= 2)
+            .orderBy(col("pcnt").desc, col("p").asc).limit(UniPruneK)))
+    }
+    (vocab, uniModel(vocab))
+  }
+
+  /** [[uniDpChain]] restated for DuckDB — the same nested reduce
+    * (outer: positions via dummy fold, DuckDB's list_reduce seeds
+    * from the first element so the chain starts as the prepended
+    * [best₀]; inner: candidate starts ascending, strict-improvement
+    * keep = longest-piece tie-break), the same unknown-single-char
+    * fallback, the same sentinel. `vm` is the model table alias
+    * carrying (m, unkpw). ONE statement for every oracle
+    * segmentation — the bpeFoldCase discipline. */
+  private def uniDpSql(vm: String): String =
+    s"""list_reduce(
+       |  list_prepend([{'u': 0::BIGINT, 'seg': []::VARCHAR[]}],
+       |    list_transform(generate_series(1, length(w)), i -> NULL)),
+       |  (acc, dummy) -> list_append(acc,
+       |     list_reduce(
+       |       list_prepend({'u': ($UniNeg)::BIGINT, 'seg': []::VARCHAR[]},
+       |         list_transform(generate_series(
+       |             greatest(1, len(acc) - ${UniMaxPieceLen - 1}), len(acc)),
+       |           jj ->
+       |           {'u': acc[jj].u + coalesce($vm.m[w[jj:len(acc)]][1]::BIGINT,
+       |                   CASE WHEN jj = len(acc) THEN $vm.unkpw
+       |                        ELSE ($UniNeg)::BIGINT END),
+       |            'seg': list_append(acc[jj].seg, w[jj:len(acc)])})),
+       |       (b, c) -> CASE WHEN c.u > b.u THEN c ELSE b END)))""".stripMargin
+
+  /** The scored-model CTEs for vocab CTE `v` under suffix `sfx`:
+    * total mass, the qlog chain over that round's distinct count
+    * values ([[qlogChainCteNamed]] — round-dependent, hence the
+    * suffix), and the one-row (m, unkpw) model table. */
+  private def uniModelCtes(v: String, sfx: String): String =
+    s"""utv$sfx AS (SELECT CAST(SUM(pcnt + 1) AS BIGINT) AS tt FROM $v),
+       |uvl$sfx AS (SELECT DISTINCT x FROM (
+       |    SELECT pcnt + 1 AS x FROM $v UNION ALL SELECT tt FROM utv$sfx)),
+       |${qlogChainCteNamed(s"uvl$sfx", s"u$sfx")},
+       |uvm$sfx AS MATERIALIZED (SELECT
+       |    map(list(p ORDER BY p), list(pw ORDER BY p)) AS m,
+       |    (SELECT $UniTieK * (0 - qt.ql) - 1 FROM qlu$sfx qt, utv$sfx t
+       |      WHERE qt.x = t.tt) AS unkpw
+       |  FROM (SELECT v.p, $UniTieK * (qa.ql - qb.ql) - 1 AS pw
+       |    FROM $v v, utv$sfx t, qlu$sfx qa, qlu$sfx qb
+       |    WHERE qa.x = v.pcnt + 1 AND qb.x = t.tt))""".stripMargin
+
+  /** One EM round as CTEs, uv{r−1} → uv{r}: score, segment the word
+    * frontier, recount from the segmentations, re-assemble chars +
+    * top-K multis — the same statements, same tie-breaks, as
+    * [[uniTrainFull]]'s round. MATERIALIZED breaks the cross-round
+    * CTE inlining blowup (the knn-chain lesson). */
+  private def uniRoundCtes(r: Int): String =
+    s"""${uniModelCtes(s"uv${r - 1}", s"$r")},
+       |usg$r AS MATERIALIZED (SELECT w, cnt,
+       |    chain[len(chain)].seg AS seg FROM (
+       |    SELECT w, cnt, ${uniDpSql(s"uvm$r")} AS chain
+       |    FROM uw, uvm$r)),
+       |usc$r AS MATERIALIZED (SELECT p, CAST(SUM(cnt) AS BIGINT) AS pcnt
+       |  FROM (SELECT unnest(seg) AS p, cnt FROM usg$r) GROUP BY p),
+       |uv$r AS MATERIALIZED (
+       |  SELECT c.p, COALESCE(s.pcnt, 0::BIGINT) AS pcnt
+       |  FROM uch c LEFT JOIN usc$r s ON s.p = c.p
+       |  UNION ALL
+       |  SELECT p, pcnt FROM (
+       |    SELECT p, pcnt, ROW_NUMBER() OVER (ORDER BY pcnt DESC, p ASC) AS rk
+       |    FROM usc$r WHERE len(p) >= 2) WHERE rk <= $UniPruneK)""".stripMargin
+
+  /** The word frontier + seed vocab + `rounds` unrolled EM rounds —
+    * the shared front of the t35 and t36 oracles (`where` restricts
+    * the training corpus for t36's split, the bpeChainCte
+    * discipline). Ends at CTE uv`rounds`. */
+  private def uniChainCte(rounds: Int, where: String): String =
+    s"""uw AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT w0[1:$UniMaxWordLen] AS w FROM (
+       |      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w0
+       |      FROM documents$where)
+       |    WHERE w0 <> '') GROUP BY w),
+       |uch AS MATERIALIZED (SELECT p, CAST(SUM(cnt) AS BIGINT) AS pcnt
+       |  FROM (SELECT unnest(regexp_extract_all(w, '.')) AS p, cnt FROM uw)
+       |  GROUP BY p),
+       |umu AS (SELECT p, pcnt FROM (
+       |    SELECT p, pcnt, ROW_NUMBER() OVER (ORDER BY pcnt DESC, p ASC) AS rk
+       |    FROM (SELECT p, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM (
+       |      SELECT unnest(flatten(list_transform(
+       |          generate_series(2, $UniMaxPieceLen), l ->
+       |          list_transform(generate_series(1, len(w) - l + 1), pos ->
+       |            w[pos:pos+l-1])))) AS p, cnt
+       |      FROM uw) GROUP BY p)) WHERE rk <= $UniSeedK),
+       |uv0 AS MATERIALIZED (
+       |  SELECT p, pcnt FROM uch UNION ALL SELECT p, pcnt FROM umu),
+       |${(1 to rounds).map(uniRoundCtes).mkString(",\n")}""".stripMargin
+
+  private def uniTrainOracleSql: String = {
+    val r = UniEmRounds
+    s"""WITH ${uniChainCte(r, "")},
+       |${uniModelCtes(s"uv$r", "F")}
+       |SELECT v.p AS piece, v.pcnt AS pcnt, qa.ql - qb.ql AS score
+       |FROM uv$r v, utvF t, qluF qa, qluF qb
+       |WHERE qa.x = v.pcnt + 1 AND qb.x = t.tt""".stripMargin
+  }
+
+  private def uniSegmentOracleSql: String = {
+    val r = UniEmRounds
+    s"""WITH ${uniChainCte(r, s" WHERE NOT ($evalDrawSql)")},
+       |${uniModelCtes(s"uv$r", "F")},
+       |ew AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, w0[1:$UniMaxWordLen] AS w FROM (
+       |      SELECT doc_id,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w0
+       |      FROM documents WHERE $evalDrawSql)
+       |    WHERE w0 <> '')),
+       |edw AS (SELECT DISTINCT w FROM ew),
+       |esg AS MATERIALIZED (SELECT w,
+       |    len(chain[len(chain)].seg) AS n_pieces FROM (
+       |    SELECT w, ${uniDpSql("uvmF")} AS chain FROM edw, uvmF))
+       |SELECT e.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(s.n_pieces) AS BIGINT) AS n_subtok,
+       |  CAST(SUM(s.n_pieces) AS DOUBLE) / COUNT(*) AS subtok_per_word
+       |FROM ew e JOIN esg s ON s.w = e.w
+       |GROUP BY e.doc_id""".stripMargin
+  }
+
   /** The one-merge fold of [[bpeMergeFold]], restated for DuckDB: the
     * space-joined list_reduce over `$alias.syms` against the round's
     * b-row. Symbols are \s+-split word fragments, so ' ' can never
@@ -1709,28 +2053,36 @@ object Text {
     * mantissa normalization with the same truncating shift, then
     * FracBits square-and-shift rounds referencing each step's
     * PREVIOUS y exactly as the JVM loop does. */
-  private def qlogChainCte(valsCte: String): String = {
+  private def qlogChainCte(valsCte: String): String =
+    qlogChainCteNamed(valsCte, "")
+
+  /** The suffixed form — oracles whose chain needs MORE than one ql
+    * table (t35's two EM rounds look up logs of round-dependent
+    * counts, and round 2's inputs depend on round 1's ql) emit one
+    * chain per suffix; the recurrence text is this ONE generator
+    * either way. */
+  private def qlogChainCteNamed(valsCte: String, sfx: String): String = {
     val S = graft.functions.QLog2.MantBits
     val Q = graft.functions.QLog2.FracBits
     val msb = (1 to 62).map(k =>
       s"CASE WHEN x >= ${1L << k} THEN 1 ELSE 0 END").mkString(" + ")
     val head =
-      s"""qm AS (SELECT x, ($msb) AS m FROM $valsCte),
-         |q0 AS (SELECT x, m,
+      s"""qm$sfx AS (SELECT x, ($msb) AS m FROM $valsCte),
+         |q${sfx}_0 AS (SELECT x, m,
          |    CASE WHEN m <= $S THEN x * (1::BIGINT << ($S - m))
          |         ELSE x // (1::BIGINT << (m - $S)) END AS y,
-         |    0::BIGINT AS r FROM qm)""".stripMargin
+         |    0::BIGINT AS r FROM qm$sfx)""".stripMargin
     val steps = (1 to Q).map { i =>
-      s"""q$i AS (SELECT x, m,
+      s"""q${sfx}_$i AS (SELECT x, m,
          |    CASE WHEN (y * y) // ${1L << S} >= ${1L << (S + 1)}
          |         THEN ((y * y) // ${1L << S}) // 2
          |         ELSE (y * y) // ${1L << S} END AS y,
          |    r * 2 + CASE WHEN (y * y) // ${1L << S} >= ${1L << (S + 1)}
          |            THEN 1 ELSE 0 END AS r
-         |    FROM q${i - 1})""".stripMargin
+         |    FROM q${sfx}_${i - 1})""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s",\nql AS (SELECT x, m * ${1L << Q} + r AS ql FROM q$Q)"
+      s",\nql$sfx AS (SELECT x, m * ${1L << Q} + r AS ql FROM q${sfx}_$Q)"
   }
 
   /** t29's oracle: the naive-Bayes scoring restated over the same
@@ -1929,6 +2281,8 @@ object Text {
         |  CAST(u.n_new AS BIGINT) AS n_new
         |FROM full_c f JOIN touched u ON f.t = u.t AND f.lang = u.lang""".stripMargin,
     "t28_bpe_batch_train" -> bpeBatchOracleSql(BpeBatchRounds, BpeBatchSize),
+    "t35_unigram_lm_train" -> uniTrainOracleSql,
+    "t36_unigram_lm_segment" -> uniSegmentOracleSql,
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),
     "t01_token_stats" ->

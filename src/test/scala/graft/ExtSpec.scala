@@ -736,6 +736,68 @@ class ExtSpec extends AnyFunSuite {
     assert(s21.nonEmpty)
   }
 
+  test("t35/t36 unigram-LM: the Spark Viterbi equals a JVM DP replay and " +
+      "is optimal under the learned scores") {
+    // Train the registered model, collect it, and replay every word's
+    // segmentation with an independent plain-Scala DP over the same
+    // (pw map, unkpw) — the s13 Lloyd-replay discipline for the EM
+    // family. Then, for short words, enumerate EVERY segmentation by
+    // brute force and pin that the DP value is the true maximum of
+    // the combined objective (so t36's segmentation really is optimal
+    // under the learned scores, not just self-consistent).
+    val d = Tables(spark, sf, "documents")
+    val (_, model) = ext.Text.uniTrainFull(d)
+    val m = model.collect().head
+    val pmap = m.getAs[Map[String, Long]]("pmap")
+    val unkpw = m.getAs[Long]("unkpw")
+    val Neg = -(1L << 40)
+    def pw(piece: String): Long =
+      pmap.getOrElse(piece,
+        if (piece.length == 1) unkpw else Neg)
+    // The reference DP — same recurrence, same (strict-improvement,
+    // ascending start) tie-break.
+    def dp(w: String): (Long, List[String]) = {
+      val best = Array.fill(w.length + 1)((Neg, List.empty[String]))
+      best(0) = (0L, Nil)
+      for (i <- 1 to w.length) {
+        var b = (Neg, List.empty[String])
+        for (jj <- math.max(1, i - (ext.Text.UniMaxPieceLen - 1)) to i) {
+          val piece = w.substring(jj - 1, i)
+          val cand = (best(jj - 1)._1 + pw(piece),
+            best(jj - 1)._2 :+ piece)
+          if (cand._1 > b._1) b = cand
+        }
+        best(i) = b
+      }
+      best(w.length)
+    }
+    val words = d.select(explode(ext.Text.toks).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(substring(col("w0"), 1, 24).as("w")).distinct()
+    val got = ext.Text.uniSegmentWords(words, model)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getAs[Seq[String]](2).toList))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, (u, seg)) =>
+      val (ru, rseg) = dp(w)
+      assert(u == ru && seg == rseg,
+        s"word '$w': engine ($u, $seg) != JVM replay ($ru, $rseg)")
+    }
+    // Brute-force optimality on short words: every split point subset.
+    def allSegs(w: String): Iterator[List[String]] =
+      if (w.isEmpty) Iterator(Nil)
+      else (1 to math.min(ext.Text.UniMaxPieceLen, w.length)).iterator.flatMap(l =>
+        allSegs(w.drop(l)).map(w.take(l) :: _))
+    val short = got.keys.filter(_.length <= 10).take(200)
+    assert(short.nonEmpty)
+    short.foreach { w =>
+      val bestEnum = allSegs(w).map(seg =>
+        seg.map(pw).sum).max
+      assert(got(w)._1 == bestEnum,
+        s"word '$w': DP ${got(w)._1} != enumerated optimum $bestEnum")
+    }
+  }
+
   test("s29 NN-descent has converged at the registered round count and " +
       "puts every planted twin at rank 1") {
     // Convergence: lists improve monotonically under (d, id) over a
