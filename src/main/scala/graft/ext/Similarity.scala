@@ -771,6 +771,18 @@ object Similarity {
     "s29_knn_graph" -> ((s, dir) => knnRanked(knnDescentGraph(
       graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))))),
 
+    // GREEDY GRAPH SEARCH over the s29 graph — the read-path
+    // primitive of every graph-ANN index (HNSW layer-0 / NSG /
+    // DiskANN all walk a neighbor graph greedily): fixed entry
+    // vertex, per hop move to the best of {current} ∪ N(current) by
+    // exact distance, (d, id) tie-breaks, fixed unrolled hop budget
+    // (descent is monotone, so post-fixpoint hops are idempotent).
+    // Per-query work after construction: ≤ (k+1)·hops candidates —
+    // corpus-INDEPENDENT, the property billion-scale stores buy with
+    // graph construction. One knnDescentGraph definition with
+    // s29/d17.
+    "s31_knn_graph_search" -> ((s, dir) => knnSearchQuery(s, dir)),
+
     // The k-NN graph as the DEDUP edge source — s29's edges verified
     // at exact cosine ≥ 0.99, then d13's contraction + canonical
     // (embClusterDecision — ONE decision layer, pair-source-
@@ -1980,6 +1992,59 @@ object Similarity {
       .select(col("v").as("vec_id"), col("col.w").as("nn_id"),
         col("col.d").as("d"), (col("pos") + 1).cast("int").as("rk"))
 
+  /** Greedy-search hop budget: the walk is a monotone descent under
+    * (d, id) — each hop strictly improves or stays put — so extra
+    * hops past the fixpoint are idempotent and a fixed unroll is the
+    * oracle-able form (the KnnRounds discipline). 8 covers the spec
+    * fixture's walks with slack. */
+  private[graft] val KnnSearchHops = 8
+
+  /** The s31 body — GREEDY GRAPH SEARCH over the s29 k-NN graph, the
+    * read-path primitive of every graph-ANN index (HNSW's layer-0
+    * descent, Malkov & Yashunin 2018; NSG, DiskANN — all walk a
+    * neighbor graph greedily): start each query at a fixed entry
+    * vertex, and per hop move to the best of {current} ∪ N(current)
+    * by exact distance to the query — (d, id) tie-break — stopping
+    * at the first vertex no neighbor beats. Where s13/s16 probe a
+    * PARTITION of the corpus, the graph walk touches ≤ (k+1)·hops
+    * candidates per query TOTAL — the per-query work is
+    * corpus-independent once the graph exists, which is why
+    * billion-scale stores pay for graph construction. The graph is
+    * the ONE [[knnDescentGraph]] definition (s29's edges verbatim);
+    * every hop is a candidates-sized equi-join + a partial-agg argmin
+    * — never a corpus scan. Deterministic entry (vertex 0; query 0
+    * enters at 1), deterministic hops ⇒ the oracle unrolls the walk
+    * over its own unrolled graph. Emits (qid, nn_id, d). */
+  private def knnSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+    val fx = graft.ops.Subplan.once(knnFx(all))
+    val g = knnDescentGraph(all)
+    val q = graft.ops.Subplan.once(
+      fx.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("x").as("qx"),
+          when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
+    var cur = q
+    for (_ <- 1 to KnnSearchHops) {
+      val cand = cur.select(col("qid"), col("qx"), col("cur").as("cand"))
+        .unionAll(cur.join(g, cur("cur") === g("v"))
+          .select(col("qid"), col("qx"), g("w").as("cand")))
+        .filter(col("cand") =!= col("qid"))
+        .distinct()
+      cur = graft.ops.Subplan.once(cand
+        .join(fx.select(col("vec_id").as("cand"), col("x")), "cand")
+        .select(col("qid"), col("qx"), col("cand"),
+          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+        .groupBy(col("qid"))
+        .agg(max(col("qx")).as("qx"),
+          max(struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
+            col("cand"))).as("best"))
+        .select(col("qid"), col("qx"), col("best").getField("cand").as("cur")))
+    }
+    cur.join(fx.select(col("vec_id").as("cur"), col("x")), "cur")
+      .select(col("qid"), col("cur").as("nn_id"),
+        graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+  }
+
   /** The d17 body — the k-NN graph as d13's edge source: graph edges
     * verified at exact cosine ≥ 0.99 (d05's threshold — on the
     * planted corpus exactly the twin pairs, which are mutual NN-1 and
@@ -2750,6 +2815,32 @@ object Similarity {
        |  WHERE rk <= $KnnK),
        |${(1 to KnnRounds).map(knnRoundCtes).mkString(",\n")}""".stripMargin
 
+  /** The s31 oracle: the unrolled graph chain, then the walk itself
+    * unrolled hop by hop — candidates = {current} ∪ the graph row's
+    * neighbors, argmin by (exact distance, id). */
+  private def knnSearchOracleSql: String = {
+    val hops = (1 to KnnSearchHops).map { t =>
+      s"""wc$t AS (SELECT h.qid, h.cur AS cand FROM wh${t - 1} h
+         |  UNION SELECT h.qid, g.w FROM wh${t - 1} h
+         |    JOIN n$KnnRounds g ON g.v = h.cur),
+         |wh$t AS (SELECT qid, cand AS cur FROM (
+         |    SELECT c.qid, c.cand, ROW_NUMBER() OVER (PARTITION BY c.qid
+         |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, c.cand ASC) AS rk
+         |    FROM wc$t c JOIN fx f ON f.vec_id = c.cand
+         |    JOIN fx q ON q.vec_id = c.qid
+         |    WHERE c.cand <> c.qid) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |wh0 AS (SELECT vec_id AS qid,
+       |    CAST(CASE WHEN vec_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS cur
+       |  FROM al WHERE vec_id < 10),
+       |$hops
+       |SELECT h.qid, h.cur AS nn_id,
+       |  CAST(${sqlDist("q.x", "f.x")} AS BIGINT) AS d
+       |FROM wh$KnnSearchHops h JOIN fx f ON f.vec_id = h.cur
+       |JOIN fx q ON q.vec_id = h.qid""".stripMargin
+  }
+
   private def knnGraphOracleSql: String =
     s"""WITH $knnGraphCtes
        |SELECT v AS vec_id, w AS nn_id, d, CAST(rk AS INTEGER) AS rk
@@ -2790,6 +2881,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s29_knn_graph" -> knnGraphOracleSql,
+    "s31_knn_graph_search" -> knnSearchOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte

@@ -830,6 +830,53 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s31 greedy graph search: JVM walk replay, monotone descent, and " +
+      "hop-budget fixpoint") {
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val g = ext.Similarity.knnDescentGraph(all)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rows) => v -> rows.map(_.getLong(1)).toList }
+    val fx = ext.Similarity.knnFx(all)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // The reference walk — same entry, same candidates, same (d, id)
+    // argmin; returns the visited distance sequence for the
+    // monotonicity pin.
+    def walk(q: Long, hops: Int): (Long, Seq[Long]) = {
+      var cur = if (q == 0L) 1L else 0L
+      val ds = scala.collection.mutable.ArrayBuffer(dist(fx(q), fx(cur)))
+      for (_ <- 1 to hops) {
+        val cands = (cur :: g.getOrElse(cur, Nil)).filter(_ != q)
+        cur = cands.minBy(c => (dist(fx(q), fx(c)), c))
+        ds += dist(fx(q), fx(cur))
+      }
+      (cur, ds.toSeq)
+    }
+    val got = SparkEntry.queries("s31_knn_graph_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 10)
+    val want = (0L until 10L).map { q =>
+      val (nn, _) = walk(q, ext.Similarity.KnnSearchHops)
+      (q, nn, dist(fx(q), fx(nn)))
+    }.toSet
+    assert(got == want,
+      s"engine walk diverges from the JVM replay: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    (0L until 10L).foreach { q =>
+      val (atH, ds) = walk(q, ext.Similarity.KnnSearchHops)
+      // monotone descent: each hop improves or stays.
+      ds.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+      // the budget reaches the fixpoint on the fixture: more hops
+      // change nothing (post-fixpoint hops are idempotent).
+      val (atH4, _) = walk(q, ext.Similarity.KnnSearchHops + 4)
+      assert(atH4 == atH, s"query $q still moving after the hop budget")
+    }
+  }
+
   test("d17 knn-graph clusters equal d13's band-collision clusters on the " +
       "planted fixture") {
     // On the planted corpus the verified (cos ≥ 0.99) edge sets
