@@ -176,6 +176,24 @@ object Multimodal {
     * flag is exact int64, m10's discipline on the level axis. */
   private val SilencePerSampleMax = 9500L
 
+  /** The per-frame cut/shot frame — m10's lag + running-cut-count
+    * chain over [[frameEnergyRows]], ONE definition for m10 (the
+    * shot roll-up) and m12 (the keyframe pick), so the keyframes can
+    * never come from different shots than the roll-up reports. */
+  private[graft] def shotCutRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    frameEnergyRows(s, dir)
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("pn", lag(col("n_samples"), 1).over(w))
+      .withColumn("cut", when(col("pe").isNotNull &&
+        abs(col("energy") * col("pn") - col("pe") * col("n_samples")) >
+          lit(ShotCutThreshold) * col("n_samples") * col("pn"),
+        lit(1L)).otherwise(lit(0L)))
+      .withColumn("shot", sum(col("cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+  }
+
   /** The real decode path: typed mapPartitions over the payload column. */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
@@ -275,24 +293,38 @@ object Multimodal {
     // running-sum windows (the e04 sessionize discipline — key count
     // scales, per-key frame counts stay bounded by payload size), then
     // one partial-aggregating roll-up on (media, shot).
-    "m10_scene_shots" -> ((s, dir) => {
-      val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
-      val cuts = frameEnergyRows(s, dir)
-        .withColumn("pe", lag(col("energy"), 1).over(w))
-        .withColumn("pn", lag(col("n_samples"), 1).over(w))
-        .withColumn("cut", when(col("pe").isNotNull &&
-          abs(col("energy") * col("pn") - col("pe") * col("n_samples")) >
-            lit(ShotCutThreshold) * col("n_samples") * col("pn"),
-          lit(1L)).otherwise(lit(0L)))
-        .withColumn("shot", sum(col("cut"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("int"))
-      cuts.groupBy(col("media_id"), col("shot"))
+    "m10_scene_shots" -> ((s, dir) =>
+      shotCutRows(s, dir).groupBy(col("media_id"), col("shot"))
         .agg(min(col("frame")).as("start_frame"),
           max(col("frame")).as("end_frame"),
           count(lit(1)).as("n_frames"),
-          sum(col("energy")).as("shot_energy"))
-    }),
+          sum(col("energy")).as("shot_energy"))),
+
+    // Per-shot KEYFRAME selection — the step a frame-sampling
+    // pipeline runs AFTER m10's segmentation (sample per SHOT, not
+    // per fixed stride — the reason m10 exists): each shot keeps its
+    // peak frame by PER-SAMPLE energy. The normalization is the 2²⁰
+    // fixed-point floor quotient (energy·2²⁰ div n_samples — exact
+    // and identical under Spark `div` and DuckDB `//`; a raw-energy
+    // max would bias against every payload's short final frame, and
+    // a float division would make the argmax boundary-sensitive),
+    // ties to the earliest frame. Rides the SAME [[shotCutRows]]
+    // chain as m10, so the keyframes can never come from different
+    // shots than m10's roll-up reports. Plan: m10's windows + one
+    // partial-agg max(struct) per (media, shot).
+    "m12_shot_keyframes" -> ((s, dir) =>
+      shotCutRows(s, dir)
+        .select(col("media_id"), col("shot"), col("frame"), col("energy"),
+          expr("(energy * 1048576) div n_samples").as("eps"))
+        .groupBy(col("media_id"), col("shot"))
+        .agg(max(struct(col("eps"), (-col("frame")).as("nf"),
+            col("frame"), col("energy"))).as("kf"),
+          count(lit(1)).as("n_frames"))
+        .select(col("media_id"), col("shot"),
+          col("kf").getField("frame").as("keyframe"),
+          col("kf").getField("energy").as("kf_energy"),
+          col("kf").getField("eps").as("kf_eps"),
+          col("n_frames"))),
 
     // Silence segmentation over the m05 energy track — the audio
     // (VAD/trimming) sibling of m10's video shot cuts, completing the
@@ -533,6 +565,22 @@ object Multimodal {
     * the frame-energy kernel shared by the m05, m10, and m11 oracles,
     * so both segmentations are checked against the same energies the
     * energy query registers. */
+  /** The m10 cut/shot chain as CTEs ending in
+    * `ct`(media_id, frame, n_samples, energy, shot) — the SQL twin of
+    * [[shotCutRows]], ONE statement for the m10 and m12 oracles. */
+  private lazy val shotCutCtes =
+    s"""$frameEnergyCte,
+      |lg AS (SELECT media_id, frame, n_samples, energy,
+      |    lag(energy) OVER w AS pe, lag(n_samples) OVER w AS pn
+      |  FROM en WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
+      |ct AS (SELECT media_id, frame, n_samples, energy,
+      |    SUM(CASE WHEN pe IS NOT NULL
+      |          AND abs(energy * pn - pe * n_samples)
+      |            > $ShotCutThreshold * n_samples * pn
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY media_id ORDER BY frame
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+      |  FROM lg)""".stripMargin
+
   private val frameEnergyCte =
     """d AS (SELECT doc_id, text,
       |    octet_length(encode(text))::BIGINT AS n FROM documents
@@ -612,22 +660,29 @@ object Multimodal {
     // kernel for both oracles): per-media lag, the cross-multiplied
     // exact-integer cut flag, running cut count = shot id, roll up.
     "m10_scene_shots" ->
-      s"""WITH $frameEnergyCte,
-        |lg AS (SELECT media_id, frame, n_samples, energy,
-        |    lag(energy) OVER w AS pe, lag(n_samples) OVER w AS pn
-        |  FROM en WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
-        |ct AS (SELECT media_id, frame, energy,
-        |    SUM(CASE WHEN pe IS NOT NULL
-        |          AND abs(energy * pn - pe * n_samples)
-        |            > $ShotCutThreshold * n_samples * pn
-        |        THEN 1 ELSE 0 END) OVER (PARTITION BY media_id ORDER BY frame
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
-        |  FROM lg)
+      s"""WITH $shotCutCtes
         |SELECT media_id, CAST(shot AS INTEGER) AS shot,
         |  MIN(frame) AS start_frame, MAX(frame) AS end_frame,
         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(SUM(energy) AS BIGINT) AS shot_energy
         |FROM ct GROUP BY media_id, shot""".stripMargin,
+    // m12: the SAME cut chain, each shot's peak frame by the 2²⁰
+    // fixed-point per-sample energy quotient, ties to the earliest
+    // frame.
+    "m12_shot_keyframes" ->
+      s"""WITH $shotCutCtes,
+        |ek AS (SELECT media_id, shot, frame, energy,
+        |    (energy * 1048576) // n_samples AS eps,
+        |    ROW_NUMBER() OVER (PARTITION BY media_id, shot
+        |      ORDER BY (energy * 1048576) // n_samples DESC, frame ASC)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY media_id, shot) AS n_frames
+        |  FROM ct)
+        |SELECT media_id, CAST(shot AS INTEGER) AS shot,
+        |  frame AS keyframe, energy AS kf_energy,
+        |  CAST(eps AS BIGINT) AS kf_eps,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM ek WHERE rk = 1""".stripMargin,
     // The silence roll-up over the SAME energy CTE: level flag,
     // change-count segment ids, (media, seg) roll-up — m10's window
     // restatement on the level axis.

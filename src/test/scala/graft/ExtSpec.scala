@@ -830,6 +830,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("m12 keyframes are each shot's per-sample-energy argmax " +
+      "(JVM recompute)") {
+    // Independent recompute off the shared cut chain: per (media,
+    // shot), the keyframe must be the frame maximizing the 2²⁰
+    // fixed-point per-sample quotient with ties to the earliest
+    // frame, and n_frames must count the whole shot.
+    val rows = ext.Multimodal.shotCutRows(spark, sf)
+      .select(col("media_id"), col("shot"), col("frame"), col("energy"),
+        expr("(energy * 1048576) div n_samples").as("eps"))
+      .collect().map(r => ((r.getAs[Long]("media_id"), r.getAs[Int]("shot")),
+        (r.getAs[Int]("frame"), r.getAs[Long]("energy"), r.getAs[Long]("eps"))))
+    val want = rows.groupBy(_._1).map { case ((m, s0), fs) =>
+      val best = fs.map(_._2).minBy(t => (-t._3, t._1))
+      (m, s0, best._1, best._2, best._3, fs.length.toLong)
+    }.toSet
+    val got = SparkEntry.queries("m12_shot_keyframes")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("shot"),
+        r.getAs[Int]("keyframe"), r.getAs[Long]("kf_energy"),
+        r.getAs[Long]("kf_eps"), r.getAs[Long]("n_frames"))).toSet
+    assert(got.nonEmpty)
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("s31 greedy graph search: JVM walk replay, monotone descent, and " +
       "hop-budget fixpoint") {
     val all = graft.ops.Subplan.once(
