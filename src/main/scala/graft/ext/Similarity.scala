@@ -2015,10 +2015,24 @@ object Similarity {
     * — never a corpus scan. Deterministic entry (vertex 0; query 0
     * enters at 1), deterministic hops ⇒ the oracle unrolls the walk
     * over its own unrolled graph. Emits (qid, nn_id, d). */
+  /** THE landed k-NN graph — s29's edges in a stored table
+    * ([[graft.sources.SessionStore.storedOrBuild]]), shared READ-ONLY
+    * by d17 and s31 (the s15/s23 shared-store rule): a graph index is
+    * built once and consumed many times — that asymmetry is the whole
+    * economics of graph ANN, and the repeat timings should measure
+    * the consumer's work, not a rebuild per query. s29 itself stays
+    * the honest in-lineage construction (its cost IS construction,
+    * exactly as s16 re-trains while s21 reads its store). */
+  private def knnGraphStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SessionStore.storedOrBuild(s, "knn_graph", dir,
+      Seq("v", "w")) {
+      knnDescentGraph(graft.ops.Subplan.once(withPlantedTwins(emb(s, dir))))
+    }
+
   private def knnSearchQuery(s: SparkSession, dir: String): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
-    val g = knnDescentGraph(all)
+    val g = knnGraphStore(s, dir)
     val q = graft.ops.Subplan.once(
       fx.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"),
@@ -2056,7 +2070,7 @@ object Similarity {
     * — pair-source-agnostic by construction. */
   private def knnClustersQuery(s: SparkSession, dir: String): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
-    val verified = knnDescentGraph(all)
+    val verified = knnGraphStore(s, dir)
       .select(col("v").as("ia"), col("w").as("ib"))
       .join(all.select(col("vec_id").as("ia"), col("v").as("va")), "ia")
       .join(all.select(col("vec_id").as("ib"), col("v").as("vb")), "ib")
