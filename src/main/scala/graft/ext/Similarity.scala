@@ -758,6 +758,17 @@ object Similarity {
     // pins live ≡ batch).
     "s30_index_drift" -> ((s, dir) => indexDriftQuery(s, dir)),
 
+    // INDEX REBUILD — the operator s30's drift signal schedules,
+    // closing the index lifecycle (build → land → insert → delete →
+    // drift-detect → rebuild): retrain the quantizer ON THE DRIFTED
+    // STORE's content, re-assign every stored vector, land as a NEW
+    // generation store (build-alongside-and-swap — never in-place,
+    // which could strand stale rows in cells the new model empties),
+    // probe the new generation. Stored content = the full corpus and
+    // exact-integer Lloyd is row-order-free, so the rebuilt index ≡
+    // s13's full-corpus index — one oracle states both.
+    "s32_index_rebuild" -> ((s, dir) => indexRebuildQuery(s, dir)),
+
     // k-NN GRAPH construction by NN-descent (Dong et al., WWW 2011) —
     // the whole-corpus neighbor structure (k best per vector, not a
     // 10-query probe) SemDeDup-class pipelines build before
@@ -1511,6 +1522,40 @@ object Similarity {
   private def indexDriftQuery(s: SparkSession, dir: String): DataFrame = {
     val (cents, postPath) = upsertedPostings(s, dir, "s30")
     indexDriftStats(s.read.parquet(postPath), cents, !annBatchVec)
+  }
+
+  /** The s32 body — INDEX REBUILD, the operator s30's drift signal
+    * schedules and the last arc of the index lifecycle (build s13 →
+    * land s15 → insert s18 → delete s24 → drift-detect s30 → rebuild
+    * s32): the drifted store (the upserted postings — pre-batch
+    * model, pre-batch + batch content) is read back, the quantizer
+    * RETRAINS on the stored content, every stored vector re-assigns
+    * against the new model, and the result lands as a NEW GENERATION
+    * store (the production swap: build alongside, cut over — never an
+    * in-place overwrite, which could leave stale rows in cells the
+    * new model empties). Because the stored content IS the full
+    * corpus and exact-integer Lloyd is row-order-free, the rebuilt
+    * index ≡ s13's full-corpus index — which is what the oracle
+    * states (the s12/s15 rule: store generations are not
+    * oracle-visible) and ExtSpec pins row-for-row. At 100 TB a
+    * rebuild costs what the original build cost (rounds × corpus, or
+    * × sample with s19's trainFilter) and runs offline beside the
+    * serving generation; the probe reads only the new generation's
+    * probed cells under dynamic partition pruning. */
+  private def indexRebuildQuery(s: SparkSession, dir: String): DataFrame = {
+    val (_, postPath) = upsertedPostings(s, dir, "s32")
+    lazy val stored = graft.ops.Subplan.once(
+      s.read.parquet(postPath)
+        .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s32r_cents", dir, Seq("cid")) { kmeansCentroids(stored) }
+    val post = graft.sources.SessionStore.storedOrBuild(
+      s, "s32r_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(stored, cents).select(col("vec_id"), col("v"), col("cid"))
+    }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    kmProbedTop5(post, kmProbeCells(q, cents))
   }
 
   // ---------------------------------------------------------------
@@ -3123,6 +3168,9 @@ object Similarity {
     // the rerank oracle states both; the partition-pruned plan and
     // the R·|Q| fetch topology are PlanSpec's pins.
     "s28_ivfadc_stored_rerank" -> ivfadcRerankOracleSql,
+    // s32 rebuilds to exactly the full-corpus-trained index — s13's
+    // oracle states it (generations are not oracle-visible).
+    "s32_index_rebuild" -> kmeansOracleSql,
     // s30: the metric over the s18 oracle chain (train on NOT-batch,
     // assign everything — the upserted store's content); residual =
     // exact int64 distance of each posted lattice point to its cell

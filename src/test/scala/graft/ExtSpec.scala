@@ -917,6 +917,20 @@ class ExtSpec extends AnyFunSuite {
     assert(d17.nonEmpty)
   }
 
+  test("s32 rebuild of the drifted store returns exactly s13's full-corpus " +
+      "answer") {
+    // The lifecycle closure: the upserted store's content is the full
+    // corpus, retraining on it is row-order-free exact-integer Lloyd,
+    // so the rebuilt generation must serve s13's in-lineage
+    // full-corpus answer row-for-row — drift erased by construction.
+    val s13 = SparkEntry.queries("s13_ivf_kmeans")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s32 = SparkEntry.queries("s32_index_rebuild")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s32 == s13)
+    assert(s32.nonEmpty)
+  }
+
   test("s28 stored-index rerank returns exactly s17's answer") {
     // The deployment read path (landed s21 probe → ADC top-R → exact
     // rerank) must serve the in-lineage composition's answer

@@ -489,6 +489,20 @@ class PlanSpec extends AnyFunSuite {
       s"dedup over the bucketed corpus must not shuffle:\n$p")
   }
 
+  test("s32: the rebuilt generation probes under dynamic partition pruning") {
+    // The lifecycle's last arc keeps the family's probe pin: the NEW
+    // generation's cell-partitioned postings must scan only the
+    // probed cells, and nothing shuffles through the probe join.
+    val p = plan("s32_index_rebuild")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the rebuilt posting scan must carry a dynamic partition-pruning " +
+        s"filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the rebuilt postings must stream through the probe join:\n$p")
+  }
+
   test("s29: every NN-descent join is keyed — no cartesian shapes, and the " +
       "corpus count rides a ConstKey broadcast") {
     // The graph's whole scale story is that candidates come from
