@@ -132,6 +132,80 @@ object Soak {
       s""""s13_nprobe_curve":{${npCurve.mkString(",")}}"""
     }
 
+    // Graph-family recall mode (`Soak <dir> --knn`): quality of the
+    // NN-descent graph and the greedy walk on the NATURAL corpus (the
+    // --ann discipline — no planted twins), against the exact L2 NN-1
+    // (the graph's own metric; the --ann modes measure the cosine
+    // family). Reports:
+    //  - contain1: exact NN-1 appears anywhere in the vector's k-list
+    //    (graph recall@k — what a SemDeDup edge consumer gets);
+    //  - rank1: the list's rank-1 IS the exact NN-1;
+    //  - walk1: the s31 greedy walk (every vector as a query, same
+    //    knnGreedyWalk loop as the registered operator) lands on the
+    //    exact NN-1 — greedy-descent recall, local minima included.
+    // On the natural corpus the md5 init draws that map into the twin
+    // id range simply find no row (≈ half), so init degree is ~K/2 —
+    // documented, not a bug.
+    if (args.contains("--knn")) {
+      val all = ops.Subplan.once(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))
+      val fx = ops.Subplan.once(ext.Similarity.knnFx(all))
+      val t0 = System.nanoTime()
+      val g = ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // Exact L2 NN-1 by the s03 block-grid shape (never a corpus
+      // broadcast): probe side replicated over blocks, corpus side
+      // salted by id.
+      val blocks = 32
+      val aSide = fx.select(col("vec_id").as("qid"), col("x").as("qx"))
+        .withColumn("blk", explode(array((0 until blocks).map(lit): _*)))
+      val bSide = fx.withColumn("blk",
+        pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
+      val exact = ops.Subplan.once(aSide.join(bSide, Seq("blk"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+        .groupBy(col("qid"))
+        .agg(max(struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
+          col("nn_id"))).as("b"))
+        .select(col("qid").as("vec_id"), col("b.nn_id").as("nn_id")))
+      val n = exact.count()
+      val (contain, _) = timed(exact
+        .join(g.select(col("v").as("vec_id"), col("w").as("nn_id")),
+          Seq("vec_id", "nn_id"), "left_semi").count())
+      val (rank1, _) = timed(exact
+        .join(ext.Similarity.knnRanked(g).filter(col("rk") === 1)
+            .select(col("vec_id"), col("nn_id")),
+          Seq("vec_id", "nn_id"), "left_semi").count())
+      val q0 = fx.select(col("vec_id").as("qid"), col("x").as("qx"),
+        when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur"))
+      val (walk1, tWalk) = timed(exact
+        .join(ext.Similarity.knnGreedyWalk(q0, fx, g)
+            .select(col("qid").as("vec_id"), col("nn_id")),
+          Seq("vec_id", "nn_id"), "left_semi").count())
+      // The OPERATIONAL number (the trained family's twin-recall
+      // discipline): on the planted corpus every vector's true NN-1
+      // is its twin — the near-dup case a SemDeDup edge consumer
+      // cares about — and the graph must hold it at rank 1 (ExtSpec
+      // pins 100%; this measures it at scale).
+      val planted = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
+      val gp = ext.Similarity.knnRanked(
+        ext.Similarity.knnDescentGraph(planted))
+      val nOrig = planted.filter(col("vec_id") < 1000000000L).count()
+      val (twin, _) = timed(gp.filter(col("rk") === 1 &&
+        col("vec_id") < 1000000000L &&
+        col("nn_id") === col("vec_id") + 1000000000L).count())
+      println(s"""{"dir":"$sfDir","mode":"knn","n_vec":$n,""" +
+        s""""build_sec":$tBuild,""" +
+        s""""contain1":${contain.toDouble / n},""" +
+        s""""rank1":${rank1.toDouble / n},""" +
+        s""""walk1":${walk1.toDouble / n},"walk_sec":$tWalk,""" +
+        s""""twin_rank1":${twin.toDouble / nOrig}}""")
+      spark.stop()
+      return
+    }
+
     if (args.contains("--ann-trained")) {
       val all = ops.Subplan.once(
         ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))

@@ -2077,13 +2077,22 @@ object Similarity {
   private def knnSearchQuery(s: SparkSession, dir: String): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
-    val g = knnGraphStore(s, dir)
     val q = graft.ops.Subplan.once(
       fx.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"),
           when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
-    var cur = q
-    for (_ <- 1 to KnnSearchHops) {
+    knnGreedyWalk(q, fx, knnGraphStore(s, dir))
+  }
+
+  /** The greedy walk loop over a graph `g` for a (qid, qx, cur)
+    * query frame — ONE loop for the registered s31 (10 queries) and
+    * the `Soak --knn` recall sweep (every vector walks), so the
+    * measured walk recall is the recall OF THE REGISTERED OPERATOR.
+    * Emits (qid, nn_id, d). */
+  private[graft] def knnGreedyWalk(q0: DataFrame, fx: DataFrame,
+      g: DataFrame, hops: Int = KnnSearchHops): DataFrame = {
+    var cur = q0
+    for (_ <- 1 to hops) {
       val cand = cur.select(col("qid"), col("qx"), col("cur").as("cand"))
         .unionAll(cur.join(g, cur("cur") === g("v"))
           .select(col("qid"), col("qx"), g("w").as("cand")))
