@@ -180,7 +180,7 @@ object Soak {
       val q0 = fx.select(col("vec_id").as("qid"), col("x").as("qx"),
         when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur"))
       val (walk1, tWalk) = timed(exact
-        .join(ext.Similarity.knnGreedyWalk(q0, fx, g)
+        .join(ext.Similarity.knnBeamWalk(q0, fx, g)
             .select(col("qid").as("vec_id"), col("nn_id")),
           Seq("vec_id", "nn_id"), "left_semi").count())
       // The OPERATIONAL number (the trained family's twin-recall

@@ -794,6 +794,15 @@ object Similarity {
     // s29/d17.
     "s31_knn_graph_search" -> ((s, dir) => knnSearchQuery(s, dir)),
 
+    // BEAM search over the s29 graph — HNSW's ef knob on s31's walk
+    // (ONE knnBeamWalk loop; greedy IS its beam-1 case): the frontier
+    // keeps the KnnBeamWidth best visited vertices per hop, escaping
+    // the single-path local minima greedy descent stops in, for B×
+    // hop work that stays corpus-independent. Emits the final
+    // frontier ranked (qid, nn_id, d, rk).
+    "s33_knn_beam_search" -> ((s, dir) =>
+      knnWalkQuery(s, dir, beam = KnnBeamWidth)),
+
     // The k-NN graph as the DEDUP edge source — s29's edges verified
     // at exact cosine ≥ 0.99, then d13's contraction + canonical
     // (embClusterDecision — ONE decision layer, pair-source-
@@ -2074,23 +2083,43 @@ object Similarity {
       knnDescentGraph(graft.ops.Subplan.once(withPlantedTwins(emb(s, dir))))
     }
 
-  private def knnSearchQuery(s: SparkSession, dir: String): DataFrame = {
+  private def knnSearchQuery(s: SparkSession, dir: String): DataFrame =
+    knnWalkQuery(s, dir, beam = 1)
+      .select(col("qid"), col("nn_id"), col("d"))
+
+  /** The shared s31/s33 body: the registered 10-query frame walked
+    * over the landed graph through [[knnBeamWalk]] at the given
+    * width (s31 = greedy B = 1, dropping the degenerate rk; s33 =
+    * [[KnnBeamWidth]], ranked frontier out). */
+  private def knnWalkQuery(s: SparkSession, dir: String,
+      beam: Int): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
     val q = graft.ops.Subplan.once(
       fx.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"),
           when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
-    knnGreedyWalk(q, fx, knnGraphStore(s, dir))
+    knnBeamWalk(q, fx, knnGraphStore(s, dir), beam)
   }
 
-  /** The greedy walk loop over a graph `g` for a (qid, qx, cur)
-    * query frame — ONE loop for the registered s31 (10 queries) and
-    * the `Soak --knn` recall sweep (every vector walks), so the
-    * measured walk recall is the recall OF THE REGISTERED OPERATOR.
-    * Emits (qid, nn_id, d). */
-  private[graft] def knnGreedyWalk(q0: DataFrame, fx: DataFrame,
-      g: DataFrame, hops: Int = KnnSearchHops): DataFrame = {
+  /** s33's beam width — HNSW's ef knob: the frontier keeps the B
+    * best visited vertices instead of one, trading B× hop work
+    * (still corpus-independent) for escape from single-path local
+    * minima. */
+  private[graft] val KnnBeamWidth = 4
+
+  /** THE walk loop over a graph `g` for a (qid, qx, cur) query frame
+    * (one or more frontier rows per query) — beam search with greedy
+    * as its B = 1 case, so s31 (greedy), s33 (beam), and the
+    * `Soak --knn` recall sweep all ride ONE loop and the measured
+    * recall is the recall of the registered operators. Per hop:
+    * candidates = frontier ∪ its graph neighbors (the frontier is
+    * included, so the kept set improves monotonically under the
+    * (d, id) order and post-fixpoint hops are idempotent), scored
+    * exactly, top-B kept per query by bounded-heap partial agg.
+    * Emits the final frontier ranked: (qid, nn_id, d, rk ≤ B). */
+  private[graft] def knnBeamWalk(q0: DataFrame, fx: DataFrame,
+      g: DataFrame, beam: Int = 1, hops: Int = KnnSearchHops): DataFrame = {
     var cur = q0
     for (_ <- 1 to hops) {
       val cand = cur.select(col("qid"), col("qx"), col("cur").as("cand"))
@@ -2104,13 +2133,22 @@ object Similarity {
           graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
         .groupBy(col("qid"))
         .agg(max(col("qx")).as("qx"),
-          max(struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
-            col("cand"))).as("best"))
-        .select(col("qid"), col("qx"), col("best").getField("cand").as("cur")))
+          graft.functions.TopKAgg.topK(
+            struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
+              col("cand")), beam).as("top"))
+        .select(col("qid"), col("qx"), explode(col("top")).as("t"))
+        .select(col("qid"), col("qx"), col("t.cand").as("cur")))
     }
     cur.join(fx.select(col("vec_id").as("cur"), col("x")), "cur")
-      .select(col("qid"), col("cur").as("nn_id"),
+      .select(col("qid"), col("qx"), col("cur"),
         graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("d")).as("nd"), (-col("cur")).as("nc"),
+          col("cur"), col("d")), beam).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.cur").as("nn_id"),
+        col("col.d").as("d"), (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** The d17 body — the k-NN graph as d13's edge source: graph edges
@@ -2883,10 +2921,12 @@ object Similarity {
        |  WHERE rk <= $KnnK),
        |${(1 to KnnRounds).map(knnRoundCtes).mkString(",\n")}""".stripMargin
 
-  /** The s31 oracle: the unrolled graph chain, then the walk itself
-    * unrolled hop by hop — candidates = {current} ∪ the graph row's
-    * neighbors, argmin by (exact distance, id). */
-  private def knnSearchOracleSql: String = {
+  /** The s31/s33 walk CTEs — entry frame + the hops unrolled, each
+    * keeping rank ≤ `beam` per query (greedy = beam 1): candidates =
+    * frontier ∪ the graph rows' neighbors, ranked by (exact distance,
+    * id). ONE generator for both widths, the knnRoundCtes
+    * discipline. */
+  private def knnWalkCtes(beam: Int): String = {
     val hops = (1 to KnnSearchHops).map { t =>
       s"""wc$t AS (SELECT h.qid, h.cur AS cand FROM wh${t - 1} h
          |  UNION SELECT h.qid, g.w FROM wh${t - 1} h
@@ -2896,18 +2936,37 @@ object Similarity {
          |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, c.cand ASC) AS rk
          |    FROM wc$t c JOIN fx f ON f.vec_id = c.cand
          |    JOIN fx q ON q.vec_id = c.qid
-         |    WHERE c.cand <> c.qid) WHERE rk = 1)""".stripMargin
+         |    WHERE c.cand <> c.qid) WHERE rk <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $knnGraphCtes,
-       |wh0 AS (SELECT vec_id AS qid,
+    s"""wh0 AS (SELECT vec_id AS qid,
        |    CAST(CASE WHEN vec_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS cur
        |  FROM al WHERE vec_id < 10),
-       |$hops
+       |$hops""".stripMargin
+  }
+
+  /** The s31 oracle: the unrolled graph chain + the width-1 walk. */
+  private def knnSearchOracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |${knnWalkCtes(1)}
        |SELECT h.qid, h.cur AS nn_id,
        |  CAST(${sqlDist("q.x", "f.x")} AS BIGINT) AS d
        |FROM wh$KnnSearchHops h JOIN fx f ON f.vec_id = h.cur
        |JOIN fx q ON q.vec_id = h.qid""".stripMargin
-  }
+
+  /** The s33 oracle: the SAME walk at [[KnnBeamWidth]], final
+    * frontier ranked by (exact distance, id). */
+  private def knnBeamOracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |${knnWalkCtes(KnnBeamWidth)}
+       |SELECT qid, cur AS nn_id, CAST(dd AS BIGINT) AS d,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT h.qid, h.cur,
+       |    ${sqlDist("q.x", "f.x")} AS dd,
+       |    ROW_NUMBER() OVER (PARTITION BY h.qid
+       |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, h.cur ASC) AS rk
+       |  FROM wh$KnnSearchHops h JOIN fx f ON f.vec_id = h.cur
+       |  JOIN fx q ON q.vec_id = h.qid)
+       |WHERE rk <= $KnnBeamWidth""".stripMargin
 
   private def knnGraphOracleSql: String =
     s"""WITH $knnGraphCtes
@@ -2950,6 +3009,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s29_knn_graph" -> knnGraphOracleSql,
     "s31_knn_graph_search" -> knnSearchOracleSql,
+    "s33_knn_beam_search" -> knnBeamOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte

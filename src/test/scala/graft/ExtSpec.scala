@@ -901,6 +901,50 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s33 beam search: JVM beam replay, and the width-1 beam IS s31's " +
+      "greedy walk") {
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val g = ext.Similarity.knnDescentGraph(all)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rows) => v -> rows.map(_.getLong(1)).toList }
+    val fx = ext.Similarity.knnFx(all)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // The reference beam — frontier ∪ neighbors, dedup, top-B by
+    // (d, id) per hop; final frontier ranked the same way.
+    def beamWalk(q: Long, b: Int): List[(Long, Long, Int)] = {
+      var frontier = List(if (q == 0L) 1L else 0L)
+      for (_ <- 1 to ext.Similarity.KnnSearchHops) {
+        val cands = (frontier ++ frontier.flatMap(c => g.getOrElse(c, Nil)))
+          .distinct.filter(_ != q)
+        frontier = cands.sortBy(c => (dist(fx(q), fx(c)), c)).take(b)
+      }
+      frontier.sortBy(c => (dist(fx(q), fx(c)), c)).take(b)
+        .zipWithIndex.map { case (c, i) => (c, dist(fx(q), fx(c)), i + 1) }
+    }
+    val gotBeam = SparkEntry.queries("s33_knn_beam_search")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getInt(3)))).groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._2).sortBy(_._3).toList }
+    assert(gotBeam.size == 10)
+    gotBeam.foreach { case (q, rows) =>
+      val want = beamWalk(q, ext.Similarity.KnnBeamWidth)
+      assert(rows == want, s"query $q: engine $rows != JVM replay $want")
+    }
+    // Unification: the beam machinery at width 1 must reproduce the
+    // registered greedy walk exactly — greedy IS beam-1, one loop.
+    val s31 = SparkEntry.queries("s31_knn_graph_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val beam1 = gotBeam.keys.map { q =>
+      val (c, d, _) = beamWalk(q, 1).head; (q, c, d)
+    }.toSet
+    assert(s31 == beam1, "width-1 beam diverges from the greedy walk")
+  }
+
   test("d17 knn-graph clusters equal d13's band-collision clusters on the " +
       "planted fixture") {
     // On the planted corpus the verified (cos ≥ 0.99) edge sets
