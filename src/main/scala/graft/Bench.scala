@@ -36,13 +36,17 @@ object Bench {
     // through xxhash64 into one sum, so nothing prunes and the
     // window costs become measured numbers; it writes its record to
     // bench/last_full.json so the canonical default artifact is
-    // never clobbered by a full-mode run.
+    // never clobbered by a full-mode run. Known limit: xxhash64
+    // rejects MAP-typed columns, so a future map-emitting query would
+    // break in full mode only (none of the registered queries emit
+    // one). collect() on the single global-sum row forces the hash
+    // unambiguously — count() would leave the sum prunable in theory.
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       if (full) {
         import org.apache.spark.sql.functions.{col, sum, xxhash64}
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
-          .agg(sum(col("h"))).count()
+          .agg(sum(col("h"))).collect()
       } else df.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to n).map { _ =>

@@ -141,7 +141,7 @@ object Soak {
     //    (graph recall@k — what a SemDeDup edge consumer gets);
     //  - rank1: the list's rank-1 IS the exact NN-1;
     //  - walk1: the s31 greedy walk (every vector as a query, same
-    //    knnGreedyWalk loop as the registered operator) lands on the
+    //    knnBeamWalk loop at beam=1 as the registered operator) lands on the
     //    exact NN-1 — greedy-descent recall, local minima included.
     // On the natural corpus the md5 init draws that map into the twin
     // id range simply find no row (≈ half), so init degree is ~K/2 —

@@ -1840,8 +1840,8 @@ object Similarity {
   private def ivfadcRerankQuery(s: SparkSession, dir: String): DataFrame =
     exactRerankTail(s, dir, ivfadcScored(s, dir))
 
-  /** THE exact-rerank tail — each query's ADC top-`r` (the (adc,
-    * nn_id) tie-break [[pqAdcTop5]] states) kept by bounded-heap
+  /** THE exact-rerank tail — each query's ADC top-[[RerankR]] (the
+    * (adc, nn_id) tie-break [[pqAdcTop5]] states) kept by bounded-heap
     * partial agg, then ONLY those R·|Q| raw vectors fetched from the
     * embeddings table (broadcast-restricted scan — the reference's
     * keyed-read shape, chip.py:39-51) and ranked by exact cosine.
@@ -1851,12 +1851,12 @@ object Similarity {
     * only differ by where their ADC candidates came from — never by
     * the rerank itself. `scored` carries (qid, nn_id, adc). */
   private def exactRerankTail(s: SparkSession, dir: String,
-      scored: DataFrame, r: Int = RerankR): DataFrame = {
+      scored: DataFrame): DataFrame = {
     val cand = scored
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("adc")).as("na"), (-col("nn_id")).as("ni"),
-          col("nn_id")), r).as("top"))
+          col("nn_id")), RerankR).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.nn_id").as("nn_id"))
     val e = emb(s, dir)
