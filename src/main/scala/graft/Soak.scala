@@ -183,6 +183,38 @@ object Soak {
         .join(ext.Similarity.knnBeamWalk(q0, fx, g)
             .select(col("qid").as("vec_id"), col("nn_id")),
           Seq("vec_id", "nn_id"), "left_semi").count())
+      // Beam/entry recall sweep — the RerankR r-sweep discipline
+      // applied to the graph knobs (every walk is the ONE registered
+      // knnBeamWalkFull loop; the ef column is the ONE knnEfRank
+      // tail, so the curve measures the registered s33/s36
+      // operators): B sweeps at a single entry, entries sweep at the
+      // registered B. For e entries every query starts at vertices
+      // {0..e−1} (its own id remapped to e — the s31 entry rule
+      // generalized). walk1 = frontier rank-1 IS the exact NN-1;
+      // ef5 = exact NN-1 anywhere in the visited top-5 (s36's
+      // answer).
+      def sweepAt(b: Int, e: Int): String = {
+        val qe = fx.select(col("vec_id").as("qid"), col("x").as("qx"))
+          .withColumn("cur0",
+            explode(array((0 until e).map(i => lit(i.toLong)): _*)))
+          .select(col("qid"), col("qx"),
+            when(col("cur0") === col("qid"), lit(e.toLong))
+              .otherwise(col("cur0")).as("cur"))
+        val t0 = System.nanoTime()
+        val (frontier, visited) =
+          ext.Similarity.knnBeamWalkFull(qe, fx, g, b)
+        val w = exact.join(frontier.filter(col("rk") === 1)
+            .select(col("qid").as("vec_id"), col("nn_id")),
+          Seq("vec_id", "nn_id"), "left_semi").count()
+        val ef = exact.join(ext.Similarity.knnEfRank(visited)
+            .select(col("qid").as("vec_id"), col("nn_id")),
+          Seq("vec_id", "nn_id"), "left_semi").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        s""""b${b}_e$e":{"walk1":${w.toDouble / n},""" +
+          s""""ef5":${ef.toDouble / n},"sec":$sec}"""
+      }
+      val sweep = (Seq(1, 2, 4, 8, 16).map(b => sweepAt(b, 1)) ++
+        Seq(2, 4).map(e => sweepAt(4, e))).mkString(",")
       // The OPERATIONAL number (the trained family's twin-recall
       // discipline): on the planted corpus every vector's true NN-1
       // is its twin — the near-dup case a SemDeDup edge consumer
@@ -201,7 +233,41 @@ object Soak {
         s""""contain1":${contain.toDouble / n},""" +
         s""""rank1":${rank1.toDouble / n},""" +
         s""""walk1":${walk1.toDouble / n},"walk_sec":$tWalk,""" +
-        s""""twin_rank1":${twin.toDouble / nOrig}}""")
+        s""""twin_rank1":${twin.toDouble / nOrig},""" +
+        s""""sweep":{$sweep}}""")
+      spark.stop()
+      return
+    }
+
+    // Insert-fixpoint probe (`Soak <dir> --knn-ins <maxRounds>`): the
+    // restricted insert delta (s34's knnInsertDelta — base graph over
+    // the !annBatch subset, batch = the annBatch draw) at every round
+    // budget 0..maxRounds, reporting edge count, changed edges vs the
+    // previous budget, and wall time — the KnnRounds fixpoint
+    // discipline applied to KnnInsRounds (a knob change needs this
+    // measurement re-run).
+    if (args.contains("--knn-ins")) {
+      val i = args.indexOf("--knn-ins")
+      require(i + 1 < args.length, "usage: Soak <dir> --knn-ins <maxRounds>")
+      val maxR = args(i + 1).toInt
+      val all = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
+      val existing = ops.Subplan.once(all.filter(!ext.Similarity.annBatchVec))
+      val base = ops.Subplan.once(ext.Similarity.knnDescentGraph(existing))
+      val batchIds = all.filter(ext.Similarity.annBatchVec)
+        .select(col("vec_id"))
+      var prev: Set[(Long, Long, Long)] = null
+      val rows = (0 to maxR).map { r =>
+        val t0 = System.nanoTime()
+        val d = ext.Similarity.knnInsertDelta(base, all, batchIds, rounds = r)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val changed = if (prev == null) -1L
+          else ((d -- prev).size + (prev -- d).size).toLong
+        prev = d
+        s""""r$r":{"edges":${d.size},"changed":$changed,"sec":$sec}"""
+      }.mkString(",")
+      println(s"""{"dir":"$sfDir","mode":"knn-ins",$rows}""")
       spark.stop()
       return
     }
@@ -285,6 +351,33 @@ object Soak {
         s""""$name":{"rows":$n,"sec":$best}"""
       }.mkString(",")
       println(s"""{"dir":"$sfDir","mode":"queries",$rows}""")
+      spark.stop()
+      return
+    }
+
+    // Unigram-depth mode (`Soak <dir> --uni <rounds> [seedK]`): the
+    // t35 EM loop at tokenizer-realistic depth (the registered query
+    // trains UniEmRounds=2 over a 48-multis seed so the oracle's
+    // unrolled per-round qlog chains stay tractable; SentencePiece
+    // runs more rounds over far wider seeds). Measures s/round and
+    // the frontier sizes that bound every EM stage (distinct words,
+    // final vocab) — the accepted cost model is "EM is
+    // frontier-sized, never corpus-sized", so s/round should hold as
+    // rounds grow and move only with seedK.
+    if (args.contains("--uni")) {
+      val i = args.indexOf("--uni")
+      require(i + 1 < args.length, "usage: Soak <dir> --uni <rounds> [seedK]")
+      val rounds = args(i + 1).toInt
+      val seedK = if (i + 2 < args.length && args(i + 2).forall(_.isDigit))
+        args(i + 2).toInt else ext.Text.UniSeedK
+      val d = Tables(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      val (vocab, _) = ext.Text.uniTrainFull(d, rounds, seedK)
+      val nVocab = vocab.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"dir":"$sfDir","mode":"uni","rounds":$rounds,""" +
+        s""""seed_k":$seedK,"vocab":$nVocab,"sec":$sec,""" +
+        s""""sec_per_round":${sec / rounds}}""")
       spark.stop()
       return
     }

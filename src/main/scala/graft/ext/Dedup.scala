@@ -413,6 +413,54 @@ object Dedup {
     * before the broadcast), so each of the millions of candidate pairs
     * costs one allocation-free two-cursor pass instead of
     * `array_intersect`'s per-pair hash set + result array. */
+  /** The d03/d19 shared oracle: the exhaustive jaccard chain
+    * restricted to minhash band collisions. */
+  private lazy val minhashLshOracleSql: String =
+    s"""WITH $shingleCte,
+       |mh AS (SELECT doc_id, i,
+       |    MIN(((67108879 + 65537 * i) * x + 1000003 * i + 12345)
+       |        % 2305843009213693951) AS mh
+       |  FROM sh, unnest(generate_series(0, 31)) u(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
+       |WHERE EXISTS (SELECT 1 FROM cand c
+       |  WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+       |  AND j.jaccard >= 0.5""".stripMargin
+
+  /** The d03 minhash pipeline, factored so d19 can LAND the frames:
+    * gathered shingle sets (one row per doc), the 32 row-local
+    * minhash folds + 8 band sigs (long form), and the band-collision
+    * candidate self-join. ONE set of definitions for the in-lineage
+    * d03 and the bucketed-store d19 — the band keys can never
+    * drift. */
+  private[graft] def minhashSets(s: SparkSession, dir: String): DataFrame =
+    gatherShingleSets(shingles(s, dir))
+      .select(col("doc_id"), col("raw").as("xs"), size(col("raw")).as("n"))
+
+  private[graft] def minhashBands(sets: DataFrame): DataFrame = {
+    val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
+      df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
+    }
+    withMh.select(col("doc_id"),
+      explode(bandSigs((0 until NumHashes).map(i => col(s"mh$i")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+  }
+
+  private[graft] def bandCollisionCands(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, t: Double): DataFrame = {
     val slim = sets.select(col("doc_id"), sort_array(col("xs")).as("xs"), col("n"))
     cand
@@ -480,23 +528,29 @@ object Dedup {
       // so it is materialized exactly once (Subplan.once; round 3 ran
       // the whole shingle pipeline 4× here). GC releases the
       // checkpoint when the returned plan is dropped.
-      val sets = graft.ops.Subplan.once(
-        gatherShingleSets(shingles(s, dir))
-          .select(col("doc_id"), col("raw").as("xs"),
-            size(col("raw")).as("n")))
-      val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
-        df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
+      val sets = graft.ops.Subplan.once(minhashSets(s, dir))
+      verifyJaccard(bandCollisionCands(minhashBands(sets)), sets, 0.5)
+    }),
+
+    // d03 over a LANDED BUCKETED band store — d18's on-disk
+    // prescription applied to the NEAR-dup ingest: the band
+    // signatures land ONCE bucketed by (band, sig)
+    // (SessionStore.bucketedOrBuild) and every recurring LSH pass is
+    // a bucket-co-located self-join — NO exchange of the banded
+    // corpus, ever again (PlanSpec pins Bucketed: true + zero band
+    // exchanges; at 100 TB that exchange IS the recurring near-dup
+    // cost). The gathered sets land beside them for the verify
+    // fetch. Same minhashSets/minhashBands/bandCollisionCands/
+    // verifyJaccard definitions as d03 — same answer, one oracle
+    // (storage layout is not oracle-visible, the d18 rule).
+    "d19_minhash_lsh_bucketed" -> ((s, dir) => {
+      val sets = graft.sources.SessionStore.storedOrBuild(
+        s, "d19_sets", dir, Seq("doc_id")) { minhashSets(s, dir) }
+      val bands = graft.sources.SessionStore.bucketedOrBuild(
+        s, "d19_bands", dir, 8, Seq("band", "sig")) {
+        minhashBands(sets)
       }
-      val bandStructs = bandSigs((0 until NumHashes).map(i => col(s"mh$i")))
-      val bands = withMh.select(col("doc_id"), explode(bandStructs).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      verifyJaccard(cand, sets, 0.5)
+      verifyJaccard(bandCollisionCands(bands), sets, 0.5)
     }),
 
     // SimHash signatures: 60-bit (15 md5 hex chars — the widest prefix
@@ -1100,23 +1154,10 @@ object Dedup {
     "d02_ngram_jaccard" ->
       s"""WITH $shingleCte
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin,
-    "d03_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, i,
-         |    MIN(((67108879 + 65537 * i) * x + 1000003 * i + 12345)
-         |        % 2305843009213693951) AS mh
-         |  FROM sh, unnest(generate_series(0, 31)) u(i)
-         |  GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 4 AS band,
-         |    string_agg(mh::VARCHAR, '_' ORDER BY i) AS sig
-         |  FROM mh GROUP BY doc_id, i // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-         |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
-         |WHERE EXISTS (SELECT 1 FROM cand c
-         |  WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
-         |  AND j.jaccard >= 0.5""".stripMargin,
+    "d03_minhash_lsh" -> minhashLshOracleSql,
+    // Same answer over the landed bucketed band store — storage
+    // layout is not oracle-visible (the d18 rule), ONE oracle text.
+    "d19_minhash_lsh_bucketed" -> minhashLshOracleSql,
     "d04_simhash" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -803,6 +803,34 @@ object Similarity {
     "s33_knn_beam_search" -> ((s, dir) =>
       knnWalkQuery(s, dir, beam = KnnBeamWidth)),
 
+    // BATCH INSERT into the landed k-NN graph — the graph family's
+    // missing CRUD arc (s18/s22 gave it to both IVF forms): descent
+    // RESTRICTED to the batch's touched neighborhood (seeds = md5
+    // draws + band collisions + stored-graph expansion, symmetrized;
+    // KnnInsRounds rounds over the fixed touched set), then a
+    // whole-key-group dynamic-partition upsert of exactly the touched
+    // owners' lists. Per-batch work scales with the touched
+    // neighborhood, never the corpus. Emits the touched owners'
+    // ranked lists read back from the upserted store.
+    "s34_knn_graph_insert" -> ((s, dir) => knnGraphInsertQuery(s, dir)),
+
+    // BATCH DELETE from the landed k-NN graph — s34's reverse half:
+    // the ':del' 1/16 retirement draw drops its owners' rows and
+    // every surviving list that referenced a retired id HEALS from
+    // (its own surviving edges ∪ the retired neighbors' surviving
+    // lists), rescored exactly. No dangling edge survives; emptied
+    // partitions drop explicitly (the s24 discipline). Emits the
+    // healed owners' ranked lists from the post-delete store.
+    "s35_knn_graph_delete" -> ((s, dir) => knnGraphDeleteQuery(s, dir)),
+
+    // EF-SEARCH over the landed graph — s33's walk (ONE
+    // knnBeamWalkFull loop), answering with the best KnnEfTopK of the
+    // VISITED set instead of the final frontier (HNSW's ef-search
+    // return semantics): the walk scores every visited vertex anyway,
+    // so the deeper answer costs one bounded-heap agg — and k may
+    // exceed the beam width, which the frontier never can.
+    "s36_knn_efsearch" -> ((s, dir) => knnEfSearchQuery(s, dir)),
+
     // The k-NN graph as the DEDUP edge source — s29's edges verified
     // at exact cosine ≥ 0.99, then d13's contraction + canonical
     // (embClusterDecision — ONE decision layer, pair-source-
@@ -1985,7 +2013,7 @@ object Similarity {
     * rows (distances are exact longs, so duplicates are identical and
     * a plain distinct removes them) — a duplicate surviving here
     * would occupy two of the k slots. */
-  private def knnTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def knnTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("v"))
       .agg(graft.functions.TopKAgg.topK(
         struct((-col("d")).as("nd"), (-col("w")).as("nw"),
@@ -2093,13 +2121,22 @@ object Similarity {
     * [[KnnBeamWidth]], ranked frontier out). */
   private def knnWalkQuery(s: SparkSession, dir: String,
       beam: Int): DataFrame = {
+    val (fx, q) = knnQueryFrame(s, dir)
+    knnBeamWalk(q, fx, knnGraphStore(s, dir), beam)
+  }
+
+  /** The shared s31/s33/s36 query front: the checkpointed fixed-point
+    * corpus and the registered 10-query entry frame (vertex 0 enters
+    * at 1, everyone else at 0). */
+  private def knnQueryFrame(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
     val q = graft.ops.Subplan.once(
       fx.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"),
           when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
-    knnBeamWalk(q, fx, knnGraphStore(s, dir), beam)
+    (fx, q)
   }
 
   /** s33's beam width — HNSW's ef knob: the frontier keeps the B
@@ -2119,27 +2156,47 @@ object Similarity {
     * exactly, top-B kept per query by bounded-heap partial agg.
     * Emits the final frontier ranked: (qid, nn_id, d, rk ≤ B). */
   private[graft] def knnBeamWalk(q0: DataFrame, fx: DataFrame,
-      g: DataFrame, beam: Int = 1, hops: Int = KnnSearchHops): DataFrame = {
+      g: DataFrame, beam: Int = 1, hops: Int = KnnSearchHops): DataFrame =
+    knnBeamWalkFull(q0, fx, g, beam, hops)._1
+
+  /** [[knnBeamWalk]] plus the VISITED set — the loop scores every
+    * visited vertex per hop anyway (the per-hop checkpoint is now the
+    * SCORED candidate frame; the frontier derives from it lazily), so
+    * accumulating the per-hop scored frames costs NO extra scoring.
+    * Returns (final ranked frontier — [[knnBeamWalk]]'s contract
+    * verbatim, visited (qid, cand, d) rows — duplicates across hops
+    * carry identical exact distances, so a plain distinct dedups
+    * them). s36 (ef-search) ranks the visited union; s31/s33 keep the
+    * frontier-only form. ONE loop for all three (and the `Soak --knn`
+    * sweeps), so measured recall is the registered operators'. */
+  private[graft] def knnBeamWalkFull(q0: DataFrame, fx: DataFrame,
+      g: DataFrame, beam: Int = 1, hops: Int = KnnSearchHops)
+      : (DataFrame, DataFrame) = {
     var cur = q0
+    var visited: Option[DataFrame] = None
     for (_ <- 1 to hops) {
       val cand = cur.select(col("qid"), col("qx"), col("cur").as("cand"))
         .unionAll(cur.join(g, cur("cur") === g("v"))
           .select(col("qid"), col("qx"), g("w").as("cand")))
         .filter(col("cand") =!= col("qid"))
         .distinct()
-      cur = graft.ops.Subplan.once(cand
+      val scored = graft.ops.Subplan.once(cand
         .join(fx.select(col("vec_id").as("cand"), col("x")), "cand")
         .select(col("qid"), col("qx"), col("cand"),
-          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d")))
+      val hopRows = scored.select(col("qid"), col("cand"), col("d"))
+      visited = Some(visited.map(_.unionAll(hopRows)).getOrElse(hopRows))
+      cur = scored
         .groupBy(col("qid"))
         .agg(max(col("qx")).as("qx"),
           graft.functions.TopKAgg.topK(
             struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
               col("cand")), beam).as("top"))
         .select(col("qid"), col("qx"), explode(col("top")).as("t"))
-        .select(col("qid"), col("qx"), col("t.cand").as("cur")))
+        .select(col("qid"), col("qx"), col("t.cand").as("cur"))
     }
-    cur.join(fx.select(col("vec_id").as("cur"), col("x")), "cur")
+    val frontier = cur
+      .join(fx.select(col("vec_id").as("cur"), col("x")), "cur")
       .select(col("qid"), col("qx"), col("cur"),
         graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
       .groupBy(col("qid"))
@@ -2149,7 +2206,47 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cur").as("nn_id"),
         col("col.d").as("d"), (col("pos") + 1).cast("int").as("rk"))
+    (frontier, visited.get)
   }
+
+  /** s36's return depth — ef-search emits the best [[KnnEfTopK]] of
+    * the VISITED set, which may exceed the beam width: the frontier
+    * is provably the visited set's top-B under (d, id) (the kept set
+    * improves monotonically, so anything ever dropped was beaten by
+    * every later frontier), so k > B is strictly more answer for the
+    * same walk. */
+  private[graft] val KnnEfTopK = 5
+
+  /** The s36 body — EF-SEARCH over the landed k-NN graph: the s33
+    * beam walk (same entry, same hops, same width — ONE
+    * [[knnBeamWalkFull]] loop), but the answer is the best
+    * [[KnnEfTopK]] of EVERY vertex the walk ever scored, not the
+    * final frontier (HNSW's ef-search return semantics, Malkov &
+    * Yashunin 2018 §4 — the searcher maintains the best ef of the
+    * visited set). The walk already scores each hop's candidates
+    * exactly; ranking their union adds one bounded-heap agg over
+    * ≤ hops·(k+1)·B rows per query — still corpus-independent. */
+  private def knnEfSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    val (fx, q) = knnQueryFrame(s, dir)
+    val (_, visited) =
+      knnBeamWalkFull(q, fx, knnGraphStore(s, dir), KnnBeamWidth)
+    knnEfRank(visited)
+  }
+
+  /** The ef ranking tail over a visited (qid, cand, d) frame — ONE
+    * definition for the registered s36 and the `Soak --knn`
+    * beam/entry sweep, so the measured ef recall is the registered
+    * operator's. */
+  private[graft] def knnEfRank(visited: DataFrame,
+      k: Int = KnnEfTopK): DataFrame =
+    visited.distinct()
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
+          col("cand"), col("d")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.cand").as("nn_id"),
+        col("col.d").as("d"), (col("pos") + 1).cast("int").as("rk"))
 
   /** The d17 body — the k-NN graph as d13's edge source: graph edges
     * verified at exact cosine ≥ 0.99 (d05's threshold — on the
@@ -2171,6 +2268,247 @@ object Similarity {
         greatest(col("ia"), col("ib")).as("doc_b"))
       .distinct()
     embClusterDecision(all, verified)
+  }
+
+  // ---------------------------------------------------------------
+  // s34/s35 — k-NN GRAPH MAINTENANCE, the missing arc of the index
+  // lifecycle (every other index family has CRUD: s18/s22 insert,
+  // s24/s25 delete; the graph — the most expensive index to build —
+  // had none): a production near-dup pipeline ingests batches daily
+  // and cannot re-run full NN-descent per batch. Insert restricts
+  // descent to the TOUCHED NEIGHBORHOOD (batch ∪ every vertex its
+  // seeds reach), delete heals dangling lists from the retired
+  // vertices' own surviving lists — both deterministic (the exact-
+  // int64 machinery of s29), so the DuckDB oracles unroll them. The
+  // reference's append-upsert sink semantics (ccdc/cassandra.py:45-63,
+  // PK dedup per resources/schema.cql:142) is the same whole-key-group
+  // discipline s18 ports.
+  // ---------------------------------------------------------------
+
+  /** Insert-descent round budget: fixed so the oracle can unroll (the
+    * [[KnnRounds]] discipline) and the measured FIXPOINT on the spec
+    * fixture (`Soak --knn-ins` at sf0.001: per-round changed-edge
+    * counts 336, 194, 50, 14, 2, 0 — ExtSpec pins that round 7
+    * changes nothing). Fewer rounds than the full build's 8: the
+    * seeds start from the stored graph's fixpoint lists, not from
+    * scratch. A knob change needs a fresh `--knn-ins` measurement. */
+  private[graft] val KnnInsRounds = 6
+
+  /** Hive-partition fan of the landed graph stores (pt = v mod this):
+    * the unit of the dynamic-partition upsert. At 100 TB this is the
+    * store's real partition count (thousands); the fixture keeps it
+    * small so a batch still touches a proper subset. */
+  private[graft] val KnnGraphParts = 16
+
+  private def ptCol(c: Column): Column =
+    pmod(c, lit(KnnGraphParts.toLong)).cast("int")
+
+  /** The insert SEED pairs for a batch arriving into `all`: the
+    * batch's own md5 exploration draws (the [[knnInitDraws]] family —
+    * same ':knn' keys, same full-corpus index space), band collisions
+    * touching the batch (batch bands probe ALL bands — batch–existing
+    * and batch–batch), and the STORED GRAPH's neighbors of those
+    * collision partners (a collision says "b lands near w"; w's list
+    * is the cheapest description of near-w). Symmetrized, so every
+    * existing vertex a seed reaches gets the chance to adopt the new
+    * vector into its own list — without the flip, inserts could only
+    * ever ADD vertices' knowledge of the batch, never the reverse. */
+  private def knnBatchSeed(stored: DataFrame, all: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val bt = broadcast(batchIds.select(col("vec_id")))
+    val drw = knnInitDraws(all)
+      .join(bt.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+    val bands = all.select(col("vec_id"),
+      explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val bp = bands.join(bt, Seq("vec_id"), "left_semi").as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
+    val gx = bp.select(col("v"), col("w").as("u"))
+      .join(stored.select(col("v").as("u"), col("w").as("x")), Seq("u"))
+      .select(col("v"), col("x").as("w"))
+      .filter(col("v") =!= col("w"))
+    val oneWay = drw.unionAll(bp).unionAll(gx)
+    oneWay.unionAll(oneWay.select(col("w").as("v"), col("v").as("w")))
+      .filter(col("v") =!= col("w"))
+  }
+
+  /** THE graph-insert fold — ONE definition for batch s34 and
+    * [[graft.streaming.DocStreams.KnnGraphMaintenance]]: seed the
+    * batch ([[knnBatchSeed]]), fix the touched set T = every seed
+    * endpoint ONCE, then [[KnnInsRounds]] descent rounds RESTRICTED to
+    * T (the same [[knnRoundCand]] candidate generator, semi-joined to
+    * T on the owner side — only touched vertices' lists may move, so
+    * the state stays batch-neighborhood-sized and the round cost
+    * scales with |T|·(2k)², never the corpus). T-owners start from
+    * their STORED lists merged with the scored seeds, so existing
+    * knowledge is never lost and lists improve monotonically under
+    * (d, id) exactly as the full build's do. Emits the touched
+    * owners' final lists (v, w, d) — the rows to upsert; untouched
+    * owners' stored rows are by construction unchanged. */
+  private[graft] def knnInsertDelta(stored: DataFrame, all: DataFrame,
+      batchIds: DataFrame, k: Int = KnnK,
+      rounds: Int = KnnInsRounds): DataFrame = {
+    val fx = graft.ops.Subplan.once(knnFx(all))
+    val ss = graft.ops.Subplan.once(
+      knnScore(knnBatchSeed(stored, all, batchIds), fx))
+    val touched = broadcast(ss.select(col("v")).distinct())
+    var nbr = graft.ops.Subplan.once(knnTopK(
+      stored.join(touched, Seq("v"), "left_semi")
+        .unionAll(ss).distinct(), k))
+    for (_ <- 1 to rounds) {
+      val cand = knnRoundCand(nbr, k).join(touched, Seq("v"), "left_semi")
+      nbr = graft.ops.Subplan.once(
+        knnTopK(nbr.unionAll(knnScore(cand, fx)).distinct(), k))
+    }
+    nbr
+  }
+
+  /** THE graph-delete heal — ONE definition for batch s35 and the
+    * streaming twin's retire: owners that survive but reference a
+    * retired id rebuild their lists from (their own surviving edges) ∪
+    * (each retired neighbor's surviving list — the classic graph-ANN
+    * heal: when w dies, w's neighbors are the best candidates for the
+    * hole w leaves), rescored exactly and re-topped at k (s24's
+    * anti-join discipline on the edge rows; lists may come back
+    * SHORTER than k when the pool is thin — honest, never padded).
+    * Untouched owners keep their rows verbatim. Emits the touched
+    * survivors' healed lists (v, w, d). */
+  private[graft] def knnDeleteHeal(stored: DataFrame, fx: DataFrame,
+      delIds: DataFrame, k: Int = KnnK): DataFrame = {
+    val del = broadcast(delIds.select(col("vec_id")))
+    val delV = broadcast(del.select(col("vec_id").as("v")))
+    val delW = broadcast(del.select(col("vec_id").as("w")))
+    val touched = broadcast(stored
+      .join(delW, Seq("w"), "left_semi")
+      .join(delV, Seq("v"), "left_anti")
+      .select(col("v")).distinct())
+    val own = stored.join(touched, Seq("v"), "left_semi")
+      .join(delW, Seq("w"), "left_anti")
+      .select(col("v"), col("w"))
+    val inh = stored.join(touched, Seq("v"), "left_semi")
+      .join(delW, Seq("w"), "left_semi")
+      .select(col("v"), col("w").as("u"))
+      .join(stored.select(col("v").as("u"), col("w").as("x")), Seq("u"))
+      .join(broadcast(del.select(col("vec_id").as("x"))), Seq("x"), "left_anti")
+      .select(col("v"), col("x").as("w"))
+      .filter(col("v") =!= col("w"))
+    knnTopK(knnScore(own.unionAll(inh), fx), k)
+  }
+
+  /** The s34 body — BATCH INSERT into the landed k-NN graph. Two
+    * stores: `s34_base` holds the pre-batch graph (built over the
+    * !annBatchVec subset, READ-ONLY — the generation the fold is
+    * defined against, so the fold is a pure function of (base, batch)
+    * and repeat invocations are idempotent by construction; the graph
+    * fold is context-SENSITIVE, unlike s18's assignment, so folding
+    * against an already-mutated store would drift), and `s34_graph`,
+    * initialized as its copy and MUTATED by the whole-key-group
+    * upsert: touched partitions' stored rows minus touched owners,
+    * plus the delta, rewritten under dynamic partition overwrite
+    * (untouched partitions' files are never opened). Emits the
+    * touched owners' ranked lists READ BACK from the upserted store
+    * (t30's touched-keys discipline; the bounded pt collect becomes a
+    * static partition filter, so the read-back scan opens only the
+    * touched partitions — PlanSpec pins it). */
+  private def knnGraphInsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+    val basePath = graft.sources.SessionStore.pathOrBuild(
+      s, "s34_base", dir, Seq("v", "w"), Seq("pt")) {
+      knnDescentGraph(graft.ops.Subplan.once(all.filter(!annBatchVec)))
+        .withColumn("pt", ptCol(col("v")))
+    }
+    val gPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s34_graph", dir, Seq("v", "w"), Seq("pt")) {
+      s.read.parquet(basePath)
+    }
+    val base = s.read.parquet(basePath).select(col("v"), col("w"), col("d"))
+    val delta = graft.ops.Subplan.once(knnInsertDelta(
+      base, all, all.filter(annBatchVec).select(col("vec_id"))))
+    val touched = broadcast(delta.select(col("v")).distinct())
+    // The touched partitions as STATIC pruning values — a bounded
+    // ≤ [[KnnGraphParts]]-entry driver-side collect (deleteFromStore's
+    // metadata-op discipline): both the merge read and the answer
+    // read-back open ONLY those partitions' files (PlanSpec pins the
+    // PartitionFilters), which is the whole point of the partitioned
+    // upsert layout.
+    val ptVals = delta.select(ptCol(col("v")).as("pt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val merged = graft.ops.Subplan.once(
+      s.read.parquet(gPath)
+        .filter(col("pt").isin(ptVals: _*))
+        .join(touched, Seq("v"), "left_anti")
+        .select(col("v"), col("w"), col("d"))
+        .unionByName(delta)
+        .withColumn("pt", ptCol(col("v"))))
+    graft.sources.Sink.write(merged, gPath, Seq("v", "w"), Seq("pt"))
+    knnRanked(s.read.parquet(gPath)
+      .filter(col("pt").isin(ptVals: _*))
+      .join(touched, Seq("v"), "left_semi")
+      .select(col("v"), col("w"), col("d")))
+  }
+
+  /** The s35 body — BATCH DELETE from the landed k-NN graph, s34's
+    * reverse half (same two-store discipline: `s35_base` read-only
+    * pre-delete generation over the FULL corpus, `s35_graph` its
+    * mutated copy): the md5 ':del' 1/16 retirement draw drops its
+    * owners' rows, and every surviving list that referenced a retired
+    * id heals from [[knnDeleteHeal]]'s candidate pools. The write
+    * rewrites exactly the partitions holding retired owners or healed
+    * owners; a partition emptied of every owner is dropped explicitly
+    * (the s24 bounded metadata op — degenerate here, possible at a
+    * hot-spot 100 TB layout). Emits the healed owners' ranked lists
+    * read back from the post-delete store — by construction free of
+    * any retired id (ExtSpec pins it). */
+  private def knnGraphDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
+    val basePath = graft.sources.SessionStore.pathOrBuild(
+      s, "s35_base", dir, Seq("v", "w"), Seq("pt")) {
+      knnDescentGraph(all).withColumn("pt", ptCol(col("v")))
+    }
+    val gPath = graft.sources.SessionStore.pathOrBuild(
+      s, "s35_graph", dir, Seq("v", "w"), Seq("pt")) {
+      s.read.parquet(basePath)
+    }
+    val base = s.read.parquet(basePath).select(col("v"), col("w"), col("d"))
+    val fx = graft.ops.Subplan.once(knnFx(all))
+    val delIds = all.filter(annDelVec).select(col("vec_id"))
+    val healed = graft.ops.Subplan.once(knnDeleteHeal(base, fx, delIds))
+    val del = broadcast(delIds)
+    val touched = broadcast(healed.select(col("v")).distinct())
+    // Touched partitions (healed owners' ∪ retired owners') as STATIC
+    // pruning values — the bounded driver-side metadata op.
+    val healedPt = healed.select(ptCol(col("v")).as("pt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val ptVals = (healedPt ++
+      delIds.select(ptCol(col("vec_id")).as("pt")).distinct()
+        .collect().map(_.getInt(0))).distinct
+    val survivors = graft.ops.Subplan.once(
+      s.read.parquet(gPath)
+        .filter(col("pt").isin(ptVals: _*))
+        .join(broadcast(del.select(col("vec_id").as("v"))), Seq("v"), "left_anti")
+        .join(touched, Seq("v"), "left_anti")
+        .select(col("v"), col("w"), col("d"))
+        .unionByName(healed)
+        .withColumn("pt", ptCol(col("v"))))
+    val emptied = ptVals.toSet --
+      survivors.select(col("pt")).distinct().collect().map(_.getInt(0))
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(gPath)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      emptied.foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"pt=$p"), true)
+      }
+    }
+    if (!survivors.isEmpty)
+      graft.sources.Sink.write(survivors, gPath, Seq("v", "w"), Seq("pt"))
+    knnRanked(s.read.parquet(gPath)
+      .filter(col("pt").isin(healedPt: _*))
+      .join(touched, Seq("v"), "left_semi")
+      .select(col("v"), col("w"), col("d")))
   }
 
   /** The s21 body — the IVFADC index in its DEPLOYMENT shape, the
@@ -2865,26 +3203,74 @@ object Similarity {
   /** One NN-descent improvement round as CTEs, n{r−1} → n{r}: capped
     * reverse lists, symmetrized adjacency, neighbor-of-neighbor
     * candidates, exact scoring, k-best merge — the same statements,
-    * in the same (d, id) order, as the engine's round loop. */
-  private def knnRoundCtes(r: Int): String =
-    s"""rev$r AS (SELECT w AS v, v AS w, d FROM (
+    * in the same (d, id) order, as the engine's round loop. ONE
+    * generator for the build chain (s29/s31/s33/s36/d17, defaults)
+    * and s34's restricted insert rounds: `p` prefixes every CTE name
+    * (the insert chain runs beside the build chain in one oracle),
+    * `fx` names the scoring lattice, `restrict` appends the insert
+    * rounds' touched-owner semi-join to the candidate generator —
+    * exactly [[knnInsertDelta]]'s T-restriction. */
+  private def knnRoundCtes(r: Int, fx: String = "fx", p: String = "",
+      restrict: String = ""): String =
+    s"""${p}rev$r AS (SELECT w AS v, v AS w, d FROM (
        |    SELECT v, w, d, ROW_NUMBER() OVER
-       |      (PARTITION BY w ORDER BY d ASC, v ASC) AS rk FROM n${r - 1})
+       |      (PARTITION BY w ORDER BY d ASC, v ASC) AS rk FROM ${p}n${r - 1})
        |  WHERE rk <= $KnnK),
-       |adj$r AS MATERIALIZED (SELECT v AS u, w AS p FROM n${r - 1}
-       |  UNION SELECT v AS u, w AS p FROM rev$r),
-       |cnd$r AS (SELECT DISTINCT a.p AS v, b.p AS w
-       |  FROM adj$r a JOIN adj$r b ON a.u = b.u AND a.p <> b.p),
-       |sc$r AS (SELECT c.v, c.w,
+       |${p}adj$r AS MATERIALIZED (SELECT v AS u, w AS p FROM ${p}n${r - 1}
+       |  UNION SELECT v AS u, w AS p FROM ${p}rev$r),
+       |${p}cnd$r AS (SELECT DISTINCT a.p AS v, b.p AS w
+       |  FROM ${p}adj$r a JOIN ${p}adj$r b ON a.u = b.u AND a.p <> b.p$restrict),
+       |${p}sc$r AS (SELECT c.v, c.w,
        |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
-       |  FROM cnd$r c JOIN fx fa ON fa.vec_id = c.v
-       |  JOIN fx fb ON fb.vec_id = c.w),
-       |mg$r AS (SELECT v, w, d FROM n${r - 1}
-       |  UNION SELECT v, w, d FROM sc$r),
-       |n$r AS MATERIALIZED (SELECT v, w, d FROM (
+       |  FROM ${p}cnd$r c JOIN $fx fa ON fa.vec_id = c.v
+       |  JOIN $fx fb ON fb.vec_id = c.w),
+       |${p}mg$r AS (SELECT v, w, d FROM ${p}n${r - 1}
+       |  UNION SELECT v, w, d FROM ${p}sc$r),
+       |${p}n$r AS MATERIALIZED (SELECT v, w, d FROM (
        |    SELECT v, w, d, ROW_NUMBER() OVER
-       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM mg$r)
+       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM ${p}mg$r)
        |  WHERE rk <= $KnnK)""".stripMargin
+
+  /** The NN-descent chain (init draws + band seeds + k-best init +
+    * [[KnnRounds]] rounds → CTE n[[KnnRounds]]) over a caller-named
+    * corpus/bands/lattice triple — ONE generator for the full-corpus
+    * build (s29/s31/s33/s36/d17/s35: `al`/`bands`/`fx`) and s34's
+    * PRE-BATCH build (the same chain over the !annBatch subset —
+    * subsetting is a WHERE on each frame, never a recomputation).
+    * The draw count n_nat is the source's own natural count, exactly
+    * as [[knnInitDraws]] counts its input frame. */
+  private def knnChainCtes(al: String, bands: String, fx: String): String =
+    s"""knn_cnt AS (SELECT COUNT(*) AS n_nat FROM $al
+       |  WHERE vec_id < 1000000000),
+       |drw AS (SELECT v, CASE WHEN idx < n_nat THEN idx
+       |      ELSE idx - n_nat + 1000000000 END AS w
+       |  FROM (SELECT a.vec_id AS v, c.n_nat,
+       |      ('0x' || substr(md5(a.vec_id || ':knn' || u.j), 1, 8))::BIGINT
+       |        % (2 * c.n_nat) AS idx
+       |    FROM $al a, knn_cnt c,
+       |         unnest(generate_series(1, $KnnInitDraws)) u(j))),
+       |bp AS (SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM $bands a JOIN $bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |c0 AS (SELECT DISTINCT v, w FROM (
+       |    SELECT v, w FROM drw WHERE v <> w
+       |    UNION ALL SELECT v, w FROM bp)),
+       |s0 AS (SELECT c.v, c.w,
+       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
+       |  FROM c0 c JOIN $fx fa ON fa.vec_id = c.v
+       |  JOIN $fx fb ON fb.vec_id = c.w),
+       |n0 AS MATERIALIZED (SELECT v, w, d FROM (
+       |    SELECT v, w, d, ROW_NUMBER() OVER
+       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM s0)
+       |  WHERE rk <= $KnnK),
+       |${(1 to KnnRounds).map(r => knnRoundCtes(r, fx)).mkString(",\n")}""".stripMargin
+
+  /** The fixed-point lattice CTE over a named corpus. */
+  private def knnFxCte(name: String, al: String): String =
+    s"""$name AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+       |     for i in generate_series(1, 64)] AS x
+       |  FROM $al)""".stripMargin
 
   /** The s29/d17 shared oracle front — the d05 planted/banded prefix
     * ([[signBaseCte]] verbatim), the 2²⁰ fixed-point lattice, the md5
@@ -2893,33 +3279,8 @@ object Similarity {
     * improvement rounds ending at CTE n[[KnnRounds]]. */
   private def knnGraphCtes: String =
     s"""$signBaseCte,
-       |fx AS MATERIALIZED (SELECT vec_id,
-       |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
-       |     for i in generate_series(1, 64)] AS x
-       |  FROM al),
-       |knn_cnt AS (SELECT COUNT(*) AS n_nat FROM e),
-       |drw AS (SELECT v, CASE WHEN idx < n_nat THEN idx
-       |      ELSE idx - n_nat + 1000000000 END AS w
-       |  FROM (SELECT a.vec_id AS v, c.n_nat,
-       |      ('0x' || substr(md5(a.vec_id || ':knn' || u.j), 1, 8))::BIGINT
-       |        % (2 * c.n_nat) AS idx
-       |    FROM al a, knn_cnt c,
-       |         unnest(generate_series(1, $KnnInitDraws)) u(j))),
-       |bp AS (SELECT a.vec_id AS v, b.vec_id AS w
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
-       |c0 AS (SELECT DISTINCT v, w FROM (
-       |    SELECT v, w FROM drw WHERE v <> w
-       |    UNION ALL SELECT v, w FROM bp)),
-       |s0 AS (SELECT c.v, c.w,
-       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
-       |  FROM c0 c JOIN fx fa ON fa.vec_id = c.v
-       |  JOIN fx fb ON fb.vec_id = c.w),
-       |n0 AS MATERIALIZED (SELECT v, w, d FROM (
-       |    SELECT v, w, d, ROW_NUMBER() OVER
-       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM s0)
-       |  WHERE rk <= $KnnK),
-       |${(1 to KnnRounds).map(knnRoundCtes).mkString(",\n")}""".stripMargin
+       |${knnFxCte("fx", "al")},
+       |${knnChainCtes("al", "bands", "fx")}""".stripMargin
 
   /** The s31/s33 walk CTEs — entry frame + the hops unrolled, each
     * keeping rank ≤ `beam` per query (greedy = beam 1): candidates =
@@ -3006,10 +3367,120 @@ object Similarity {
        |SELECT c.vec_id, c.cluster_id, k.keep_id, k.n_members
        |FROM comp c JOIN keep k USING (cluster_id)""".stripMargin
 
+  /** The s36 oracle: the SAME walk CTEs at [[KnnBeamWidth]], but the
+    * answer ranks the UNION of every hop's candidate set (each wc$t is
+    * exactly the frame the engine scores at hop t), best
+    * [[KnnEfTopK]] per query by (exact distance, id). */
+  private def knnEfOracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |${knnWalkCtes(KnnBeamWidth)},
+       |vis AS (${(1 to KnnSearchHops)
+          .map(t => s"SELECT qid, cand FROM wc$t").mkString("\n  UNION\n  ")})
+       |SELECT qid, cand AS nn_id, CAST(dd AS BIGINT) AS d,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT h.qid, h.cand,
+       |    ${sqlDist("q.x", "f.x")} AS dd,
+       |    ROW_NUMBER() OVER (PARTITION BY h.qid
+       |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, h.cand ASC) AS rk
+       |  FROM vis h JOIN fx f ON f.vec_id = h.cand
+       |  JOIN fx q ON q.vec_id = h.qid
+       |  WHERE h.cand <> h.qid)
+       |WHERE rk <= $KnnEfTopK""".stripMargin
+
+  /** The s34 oracle — the restricted insert fold unrolled: the
+    * PRE-BATCH graph is the SAME chain generator over the !annBatch
+    * subset (n0..n[[KnnRounds]]), then batch seeds (draws over the
+    * full id space, band collisions touching the batch, stored-graph
+    * expansion of collision partners, symmetrized), the touched set,
+    * the merged init lists, and [[KnnInsRounds]] restricted rounds
+    * (the same round generator with the touched semi-join). Emits the
+    * touched owners' final ranked lists — exactly the rows the engine
+    * upserts and reads back. */
+  private def knnInsertOracleSql: String =
+    s"""WITH $signBaseCte,
+       |${knnFxCte("fx", "al")},
+       |alx AS (SELECT * FROM al WHERE NOT ($annBatchSqlPred)),
+       |bandsx AS (SELECT * FROM bands WHERE NOT ($annBatchSqlPred)),
+       |fxx AS (SELECT * FROM fx WHERE NOT ($annBatchSqlPred)),
+       |${knnChainCtes("alx", "bandsx", "fxx")},
+       |bt AS (SELECT vec_id FROM al WHERE $annBatchSqlPred),
+       |cntf AS (SELECT COUNT(*) AS n_nat FROM al
+       |  WHERE vec_id < 1000000000),
+       |drwb AS (SELECT v, CASE WHEN idx < n_nat THEN idx
+       |      ELSE idx - n_nat + 1000000000 END AS w
+       |  FROM (SELECT a.vec_id AS v, c.n_nat,
+       |      ('0x' || substr(md5(a.vec_id || ':knn' || u.j), 1, 8))::BIGINT
+       |        % (2 * c.n_nat) AS idx
+       |    FROM bt a, cntf c,
+       |         unnest(generate_series(1, $KnnInitDraws)) u(j))),
+       |bpb AS (SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM bands a JOIN bt t ON t.vec_id = a.vec_id
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |    AND b.vec_id <> a.vec_id),
+       |gxb AS (SELECT p.v, g.w FROM bpb p
+       |  JOIN n$KnnRounds g ON g.v = p.w WHERE g.w <> p.v),
+       |sd1 AS (SELECT v, w FROM drwb WHERE v <> w
+       |  UNION ALL SELECT v, w FROM bpb
+       |  UNION ALL SELECT v, w FROM gxb),
+       |seed AS (SELECT DISTINCT v, w FROM (
+       |    SELECT v, w FROM sd1
+       |    UNION ALL SELECT w AS v, v AS w FROM sd1) WHERE v <> w),
+       |ss AS MATERIALIZED (SELECT c.v, c.w,
+       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
+       |  FROM seed c JOIN fx fa ON fa.vec_id = c.v
+       |  JOIN fx fb ON fb.vec_id = c.w),
+       |tch AS MATERIALIZED (SELECT DISTINCT v FROM ss),
+       |in0 AS MATERIALIZED (SELECT v, w, d FROM (
+       |    SELECT v, w, d, ROW_NUMBER() OVER
+       |      (PARTITION BY v ORDER BY d ASC, w ASC) AS rk
+       |    FROM (SELECT g.v, g.w, g.d FROM n$KnnRounds g
+       |        JOIN tch t ON t.v = g.v
+       |      UNION SELECT v, w, d FROM ss))
+       |  WHERE rk <= $KnnK),
+       |${(1 to KnnInsRounds).map(r =>
+          knnRoundCtes(r, "fx", "i", "\n  JOIN tch t ON t.v = a.p"))
+          .mkString(",\n")}
+       |SELECT v AS vec_id, w AS nn_id, d, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT v, w, d, ROW_NUMBER() OVER
+       |    (PARTITION BY v ORDER BY d ASC, w ASC) AS rk
+       |  FROM in$KnnInsRounds) WHERE rk <= $KnnK""".stripMargin
+
+  /** The s35 oracle — the delete heal unrolled over the full-corpus
+    * chain: retired draw, touched survivors, the (surviving own ∪
+    * inherited-from-retired-neighbor) candidate pool, exact rescoring,
+    * k-best ranked — [[knnDeleteHeal]] statement for statement. */
+  private def knnDeleteOracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |dl AS (SELECT vec_id FROM al WHERE ${annDelSqlPredOn("vec_id")}),
+       |dtch AS (SELECT DISTINCT g.v FROM n$KnnRounds g
+       |  JOIN dl d ON d.vec_id = g.w
+       |  WHERE g.v NOT IN (SELECT vec_id FROM dl)),
+       |own AS (SELECT g.v, g.w FROM n$KnnRounds g
+       |  JOIN dtch t ON t.v = g.v
+       |  WHERE g.w NOT IN (SELECT vec_id FROM dl)),
+       |inh AS (SELECT a.v, b.w FROM n$KnnRounds a
+       |  JOIN dtch t ON t.v = a.v
+       |  JOIN dl d ON d.vec_id = a.w
+       |  JOIN n$KnnRounds b ON b.v = a.w
+       |  WHERE b.w NOT IN (SELECT vec_id FROM dl) AND b.w <> a.v),
+       |pool AS (SELECT DISTINCT v, w FROM (
+       |    SELECT v, w FROM own UNION ALL SELECT v, w FROM inh)),
+       |psc AS (SELECT c.v, c.w,
+       |    CAST(${sqlDist("fa.x", "fb.x")} AS BIGINT) AS d
+       |  FROM pool c JOIN fx fa ON fa.vec_id = c.v
+       |  JOIN fx fb ON fb.vec_id = c.w)
+       |SELECT v AS vec_id, w AS nn_id, d, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT v, w, d, ROW_NUMBER() OVER
+       |    (PARTITION BY v ORDER BY d ASC, w ASC) AS rk FROM psc)
+       |WHERE rk <= $KnnK""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s29_knn_graph" -> knnGraphOracleSql,
     "s31_knn_graph_search" -> knnSearchOracleSql,
     "s33_knn_beam_search" -> knnBeamOracleSql,
+    "s34_knn_graph_insert" -> knnInsertOracleSql,
+    "s35_knn_graph_delete" -> knnDeleteOracleSql,
+    "s36_knn_efsearch" -> knnEfOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte

@@ -1751,13 +1751,14 @@ object Text {
     * so round r+1 reads round r's rows (the contraction
     * discipline). */
   private[graft] def uniTrainFull(d: DataFrame,
-      rounds: Int = UniEmRounds): (DataFrame, DataFrame) = {
+      rounds: Int = UniEmRounds,
+      seedK: Int = UniSeedK): (DataFrame, DataFrame) = {
     import graft.ops.Subplan
     val wf = Subplan.once(uniWordFreqs(d))
     val chars = Subplan.once(uniChars(wf))
     var vocab = Subplan.once(chars.unionByName(
       uniSeedMultis(wf)
-        .orderBy(col("pcnt").desc, col("p").asc).limit(UniSeedK)))
+        .orderBy(col("pcnt").desc, col("p").asc).limit(seedK)))
     for (_ <- 1 to rounds) {
       val model = uniModel(vocab)
       val segCounts = Subplan.once(

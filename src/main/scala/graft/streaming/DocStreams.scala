@@ -1291,4 +1291,82 @@ object DocStreams extends Serializable {
       for (pqc <- pqcDf; codes <- codesDf) yield
         graft.ext.Similarity.codeDriftStats(codes, pqc, basePred)
   }
+
+  /** Live maintenance of the k-NN GRAPH index — the streaming twin of
+    * batch s34/s35, completing the symmetry for the graph family
+    * exactly as [[AnnIndexMaintenance]] twins s18/s24: the first
+    * non-empty trigger builds the graph over its rows (full
+    * NN-descent — the [[graft.ext.Similarity.knnDescentGraph]]
+    * bootstrap, the honest construction price paid once); every later
+    * trigger folds its batch through the SAME restricted insert
+    * descent as batch s34 ([[graft.ext.Similarity.knnInsertDelta]] —
+    * ONE definition, so live and landed maintenance can never
+    * disagree): seeds from draws + band collisions + stored-graph
+    * expansion, rounds over the touched neighborhood only, touched
+    * owners' lists replaced. `retire` is s35's heal
+    * ([[graft.ext.Similarity.knnDeleteHeal]]): retired owners' rows
+    * drop and every surviving list that referenced one heals from the
+    * retired vertices' surviving lists. State = (accumulated corpus,
+    * graph lists) localCheckpointed frames — per-trigger work scales
+    * with the batch's touched neighborhood, never the accumulated
+    * corpus; at deploy both live in the s34/s35 stores and the fold
+    * IS the dynamic-partition upsert. */
+  final class KnnGraphMaintenance {
+    @volatile private var allDf: Option[DataFrame] = None
+    @volatile private var graphDf: Option[DataFrame] = None
+
+    /** The accumulated (vec_id, v) corpus — None before bootstrap. */
+    def corpus: Option[DataFrame] = allDf
+
+    /** The maintained directed edge lists (v, w, d). */
+    def graph: Option[DataFrame] = graphDf
+
+    /** The ranked view — s29's (vec_id, nn_id, d, rk) contract over
+      * the maintained lists. */
+    def ranked: Option[DataFrame] =
+      graphDf.map(graft.ext.Similarity.knnRanked)
+
+    /** Fold one microbatch of (vec_id, v) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val b = graft.ops.Subplan.once(
+        batchDs.toDF().select(col("vec_id"), col("v")))
+      if (b.isEmpty) return
+      graphDf match {
+        case None =>
+          allDf = Some(b)
+          graphDf = Some(graft.ops.Subplan.once(
+            graft.ext.Similarity.knnDescentGraph(b)))
+        case Some(g) =>
+          val all = graft.ops.Subplan.once(allDf.get.unionByName(b))
+          allDf = Some(all)
+          val delta = graft.ops.Subplan.once(
+            graft.ext.Similarity.knnInsertDelta(g, all,
+              b.select(col("vec_id"))))
+          graphDf = Some(graft.ops.Subplan.once(
+            g.join(broadcast(delta.select(col("v")).distinct()),
+              Seq("v"), "left_anti")
+              .unionByName(delta)))
+      }
+    }
+
+    /** Fold a retirement batch of vec_ids — the live counterpart of
+      * batch s35: retired owners' rows drop, touched survivors heal
+      * through the ONE [[graft.ext.Similarity.knnDeleteHeal]]
+      * definition. Retiring unknown ids is a no-op. */
+    def retire(ids: DataFrame): Unit =
+      for (g <- graphDf; all <- allDf) {
+        val del = graft.ops.Subplan.once(ids.select(col("vec_id")))
+        val healed = graft.ops.Subplan.once(
+          graft.ext.Similarity.knnDeleteHeal(g,
+            graft.ext.Similarity.knnFx(all), del))
+        allDf = Some(graft.ops.Subplan.once(
+          all.join(broadcast(del), Seq("vec_id"), "left_anti")))
+        graphDf = Some(graft.ops.Subplan.once(
+          g.join(broadcast(del.select(col("vec_id").as("v"))),
+            Seq("v"), "left_anti")
+            .join(broadcast(healed.select(col("v")).distinct()),
+              Seq("v"), "left_anti")
+            .unionByName(healed)))
+      }
+  }
 }

@@ -421,6 +421,29 @@ class PlanSpec extends AnyFunSuite {
       s"stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s34/s35: the maintained-graph read-back prunes to the touched " +
+      "partitions and joins only by broadcast") {
+    // The maintenance answer reads the mutated store restricted to the
+    // touched owners: the bounded pt collect becomes a STATIC
+    // partition filter on the scan (untouched partitions' files never
+    // open — the upsert's locality carried through to the read), and
+    // the owner restriction is a broadcast semi-join of a
+    // batch-bounded frame.
+    Seq("s34_knn_graph_insert", "s35_knn_graph_delete").foreach { name =>
+      val p = plan(name)
+      assert(p.split('\n').exists(l =>
+          l.contains("PartitionFilters:") && l.contains("pt#") &&
+            (l.contains(" IN ") || l.contains("INSET") || l.contains("="))),
+        s"$name: the maintained-graph scan must carry a static pt " +
+          s"partition filter:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the touched-owner restriction must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: the stored graph must stream through the read-back, " +
+          s"not shuffle:\n$p")
+    }
+  }
+
   test("s21: the landed IVFADC probe dynamic-partition-prunes the " +
       "stored code scan") {
     // s15's pin applied to the COMPRESSED index: the stored 8×4-bit
@@ -487,6 +510,21 @@ class PlanSpec extends AnyFunSuite {
       s"the stored corpus scan must use the bucket layout:\n$p")
     assert(!p.contains("Exchange hashpartitioning"),
       s"dedup over the bucketed corpus must not shuffle:\n$p")
+  }
+
+  test("d19: the bucketed band store self-joins with no band exchange") {
+    // d18's prescription for the NEAR-dup ingest: the landed band
+    // signatures are bucketed by (band, sig), so the recurring LSH
+    // candidate self-join must read the bucket layout and never
+    // exchange the banded corpus (at 100 TB that exchange is the
+    // recurring near-dup cost; the verify tail moves only
+    // collision-sized frames).
+    val p = plan("d19_minhash_lsh_bucketed")
+    assert(p.contains("Bucketed: true"),
+      s"the stored band scan must use the bucket layout:\n$p")
+    assert(!p.split('\n').exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("band#")),
+      s"the band self-join must not exchange the banded corpus:\n$p")
   }
 
   test("s32: the rebuilt generation probes under dynamic partition pruning") {

@@ -96,6 +96,63 @@ class SkewSpec extends AnyFunSuite {
       "d12 containment pairs must equal exhaustive pairs under skew")
   }
 
+  test("hub skew: s29's k-capped reverse sample bounds NN-descent " +
+      "candidates where uncapped reverse lists blow up") {
+    // The e-family zipf analogue for embeddings: one point
+    // near-duplicated into 20% of the corpus, every other vector
+    // nearest to that cluster — so the hub members' in-degree is
+    // ~the whole corpus and an UNCAPPED reverse adjacency squares it
+    // (Dong et al.'s reason for the ρK reverse sample). The capped
+    // candidate generator (knnRoundCand — the registered s29 round)
+    // must stay within its N·(2k)² bound and well under the uncapped
+    // blow-up.
+    import spark.implicits._
+    def coord(seed: String, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)).toDouble /
+        (1 << 24).toDouble - 0.5
+    }
+    val n = 500
+    val rows = (0L until n.toLong).map { i =>
+      val v = (0 until 64).map { j =>
+        val hub = coord("hub", j)
+        if (i % 100 == 0) hub + 0.01 * coord(s"h$i", j) // 5 hub copies
+        else hub + 2.0 * coord(s"bg$i", j) // background: hub is every
+        // background's nearest (bg–bg distance ≈ √2 × bg–hub)
+      }
+      (i, v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("s29_hub").toString
+    rows.toDF("vec_id", "v").write.mode("overwrite").parquet(tmp)
+    val all = graft.ops.Subplan.once(spark.read.parquet(tmp)
+      .select(col("vec_id"), col("v").cast("array<double>").as("v")))
+    val fx = graft.ops.Subplan.once(ext.Similarity.knnFx(all))
+    // In-degree skew BUILDS as descent spreads the hub (init draws
+    // alone touch the 5 copies rarely) — measure the round that runs
+    // on near-converged lists, the steady state a maintained graph
+    // lives at.
+    val nbr = graft.ops.Subplan.once(
+      ext.Similarity.knnDescentGraph(all, rounds = 3))
+    val maxIn = nbr.groupBy(col("w")).agg(count(lit(1)).as("ind"))
+      .agg(max(col("ind"))).head().getLong(0)
+    assert(maxIn >= n / 10, s"fixture not hub-skewed: max in-degree $maxIn")
+    val capped = ext.Similarity.knnRoundCand(nbr).count()
+    // The uncapped counterfactual: the same symmetrize/self-join with
+    // EVERY reverse edge kept.
+    val adjU = nbr.select(col("v").as("u"), col("w").as("p"))
+      .unionAll(nbr.select(col("w").as("u"), col("v").as("p")))
+      .distinct()
+    val uncapped = adjU.as("a").join(adjU.as("b"), Seq("u"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .filter(col("x") =!= col("y")).distinct().count()
+    assert(capped <= n.toLong * 8 * 8,
+      s"capped candidates $capped exceed the N·(2k)² bound")
+    assert(uncapped >= 4 * capped,
+      s"fixture too tame to demonstrate the cap: uncapped $uncapped " +
+        s"vs capped $capped")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))

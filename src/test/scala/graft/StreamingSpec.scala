@@ -633,6 +633,87 @@ class StreamingSpec extends AnyFunSuite {
       "retired compressed probe diverges from scored-minus-deleted")
   }
 
+  test("streaming k-NN graph maintenance matches batch s34 insert and s35 " +
+      "delete heal") {
+    import graft.streaming.DocStreams
+    val srcDir = Files.createTempDirectory("graft_knnmaint_stream").toString
+    // The s34 arrival scenario, incrementalized: the planted corpus's
+    // non-batch 7/8 bootstraps the graph (full NN-descent — the
+    // stored generation), then the annBatch 1/8 folds through the
+    // restricted insert descent. Live ≡ batch through two INDEPENDENT
+    // materializations: the twin's in-memory lineage vs s34's landed
+    // base build + store round-trip.
+    val planted = ext.Similarity.plantedTwinCorpus(
+      ext.Similarity.emb(spark, sf).select(col("vec_id"), col("v")))
+    val base = planted.select(col("vec_id"),
+      timestamp_seconds(lit(1700000000L) + col("vec_id") % lit(1000000000L))
+        .as("ts"),
+      col("v"))
+    val cm = new DocStreams.KnnGraphMaintenance
+    val q = spark.readStream.schema(DocStreams.embSchema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => cm.fold(b))
+      .start()
+    try {
+      Seq(!ext.Similarity.annBatchVec, ext.Similarity.annBatchVec).foreach {
+        part =>
+          base.filter(part).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val s34 = SparkEntry.queries("s34_knn_graph_insert")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(s34.nonEmpty)
+    val touched = s34.map(_._1)
+    val ranked = cm.ranked.getOrElse(fail("no graph after replay"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val gotTouched = ranked.filter(t => touched(t._1)).toSet
+    assert(gotTouched == s34,
+      s"live touched lists diverge from batch s34: " +
+        s"missing=${(s34 -- gotTouched).take(3)} " +
+        s"extra=${(gotTouched -- s34).take(3)}")
+    // The untouched remainder is the bootstrap generation verbatim —
+    // the whole maintained graph is pinned, not just the delta.
+    val baseRanked = ext.Similarity.knnRanked(
+        ext.Similarity.knnDescentGraph(graft.ops.Subplan.once(
+          planted.filter(!ext.Similarity.annBatchVec))))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .filterNot(t => touched(t._1)).toSet
+    assert(ranked.filterNot(t => touched(t._1)).toSet == baseRanked,
+      "an untouched owner's list moved during the live fold")
+    // Retirement — the live s35, on a SECOND twin bootstrapped over
+    // the full corpus (s35's base generation): the healed owners'
+    // lists must equal the registered s35 output, and no retired id
+    // survives anywhere; a re-retire changes nothing.
+    val cm2 = new DocStreams.KnnGraphMaintenance
+    cm2.fold(planted.select(col("vec_id"), col("v")))
+    val delIds = planted.filter(ext.Similarity.annDelVec)
+      .select(col("vec_id"))
+    cm2.retire(delIds)
+    val s35 = SparkEntry.queries("s35_knn_graph_delete")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(s35.nonEmpty)
+    val healedIds = s35.map(_._1)
+    val ranked2 = cm2.ranked.getOrElse(fail("no graph after retire"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(ranked2.filter(t => healedIds(t._1)).toSet == s35,
+      "live healed lists diverge from batch s35")
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    ranked2.foreach { case (v, w, _, _) =>
+      assert(!del(v) && !del(w), s"retired id survives live in ($v, $w)")
+    }
+    cm2.retire(delIds)
+    assert(cm2.ranked.get.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet ==
+      ranked2.toSet, "re-retire changed the live graph")
+  }
+
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
     import graft.streaming.DocStreams
     val srcDir = Files.createTempDirectory("graft_lm_stream").toString
