@@ -161,14 +161,27 @@ object Soak {
         .withColumn("blk", explode(array((0 until blocks).map(lit): _*)))
       val bSide = fx.withColumn("blk",
         pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
-      val exact = ops.Subplan.once(aSide.join(bSide, Seq("blk"))
+      val exactScored = aSide.join(bSide, Seq("blk"))
         .filter(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn_id"),
           graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+      val exact = ops.Subplan.once(exactScored
         .groupBy(col("qid"))
         .agg(max(struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
           col("nn_id"))).as("b"))
         .select(col("qid").as("vec_id"), col("b.nn_id").as("nn_id")))
+      // Exact top-5 ground truth for the ef recall@5 column (the
+      // exact NN-1 alone cannot show ef-search's value: if the true
+      // NN-1 is ever VISITED it is visited rank-1 by definition, so
+      // "NN-1 ∈ ef top-5" ≡ walk1 — the monotone theorem; what ef
+      // buys is the 2nd..5th true neighbors).
+      val exact5 = ops.Subplan.once(exactScored
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topK(
+          struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
+            col("nn_id")), 5).as("top"))
+        .select(col("qid").as("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.nn_id").as("nn_id")))
       val n = exact.count()
       val (contain, _) = timed(exact
         .join(g.select(col("v").as("vec_id"), col("w").as("nn_id")),
@@ -191,8 +204,9 @@ object Soak {
       // registered B. For e entries every query starts at vertices
       // {0..e−1} (its own id remapped to e — the s31 entry rule
       // generalized). walk1 = frontier rank-1 IS the exact NN-1;
-      // ef5 = exact NN-1 anywhere in the visited top-5 (s36's
-      // answer).
+      // rec5 = |s36's visited top-5 ∩ exact top-5| / 5n — the metric
+      // ef-search exists for (its NN-1 column would equal walk1 by
+      // the monotone theorem).
       def sweepAt(b: Int, e: Int): String = {
         val qe = fx.select(col("vec_id").as("qid"), col("x").as("qx"))
           .withColumn("cur0",
@@ -206,12 +220,12 @@ object Soak {
         val w = exact.join(frontier.filter(col("rk") === 1)
             .select(col("qid").as("vec_id"), col("nn_id")),
           Seq("vec_id", "nn_id"), "left_semi").count()
-        val ef = exact.join(ext.Similarity.knnEfRank(visited)
+        val ef = exact5.join(ext.Similarity.knnEfRank(visited)
             .select(col("qid").as("vec_id"), col("nn_id")),
           Seq("vec_id", "nn_id"), "left_semi").count()
         val sec = (System.nanoTime() - t0) / 1e9
         s""""b${b}_e$e":{"walk1":${w.toDouble / n},""" +
-          s""""ef5":${ef.toDouble / n},"sec":$sec}"""
+          s""""rec5":${ef.toDouble / (5.0 * n)},"sec":$sec}"""
       }
       val sweep = (Seq(1, 2, 4, 8, 16).map(b => sweepAt(b, 1)) ++
         Seq(2, 4).map(e => sweepAt(4, e))).mkString(",")

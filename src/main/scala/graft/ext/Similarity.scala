@@ -2142,7 +2142,14 @@ object Similarity {
   /** s33's beam width — HNSW's ef knob: the frontier keeps the B
     * best visited vertices instead of one, trading B× hop work
     * (still corpus-independent) for escape from single-path local
-    * minima. */
+    * minima. 4 is chosen BY the `Soak --knn` beam/entry sweep (the
+    * RerankR r-sweep discipline; PLANS.md round-14 curve): on the
+    * uniform natural corpus recall scales ~LINEARLY with B (each
+    * beam slot explores a near-independent descent path — no knee
+    * exists on structureless geometry) while entry count buys almost
+    * nothing, so B is a per-query recall budget, not a plan-shape
+    * choice; 4 ≈ 2.8× greedy's recall at ~flat fixture cost and
+    * keeps the s33/s36 oracle unroll tractable. */
   private[graft] val KnnBeamWidth = 4
 
   /** THE walk loop over a graph `g` for a (qid, qx, cur) query frame
