@@ -286,6 +286,43 @@ object Soak {
       return
     }
 
+    // Refine-fixpoint probe (`Soak <dir> --knn-ref <maxRounds>`): the
+    // s37 warm-start descent over the post-delete graph at every
+    // round budget — the KnnRefineRounds fixpoint measurement (the
+    // --knn-ins discipline; a knob change needs a re-run).
+    if (args.contains("--knn-ref")) {
+      val i = args.indexOf("--knn-ref")
+      require(i + 1 < args.length, "usage: Soak <dir> --knn-ref <maxRounds>")
+      val maxR = args(i + 1).toInt
+      val all = ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+        ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v"))))
+      val fx = ops.Subplan.once(ext.Similarity.knnFx(all))
+      val base = ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
+      val delIds = all.filter(ext.Similarity.annDelVec).select(col("vec_id"))
+      val healed = ops.Subplan.once(
+        ext.Similarity.knnDeleteHeal(base, fx, delIds))
+      val postDel = ops.Subplan.once(
+        base.join(broadcast(delIds.select(col("vec_id").as("v"))),
+            Seq("v"), "left_anti")
+          .join(broadcast(healed.select(col("v")).distinct()),
+            Seq("v"), "left_anti")
+          .unionByName(healed))
+      var prev: Set[(Long, Long, Long)] = null
+      val rows = (0 to maxR).map { r =>
+        val t0 = System.nanoTime()
+        val d = ext.Similarity.knnRefine(postDel, fx, rounds = r)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val changed = if (prev == null) -1L
+          else ((d -- prev).size + (prev -- d).size).toLong
+        prev = d
+        s""""r$r":{"edges":${d.size},"changed":$changed,"sec":$sec}"""
+      }.mkString(",")
+      println(s"""{"dir":"$sfDir","mode":"knn-ref",$rows}""")
+      spark.stop()
+      return
+    }
+
     if (args.contains("--ann-trained")) {
       val all = ops.Subplan.once(
         ext.Similarity.emb(spark, sfDir).select(col("vec_id"), col("v")))

@@ -1314,6 +1314,7 @@ object DocStreams extends Serializable {
   final class KnnGraphMaintenance {
     @volatile private var allDf: Option[DataFrame] = None
     @volatile private var graphDf: Option[DataFrame] = None
+    @volatile private var bootDf: Option[DataFrame] = None
 
     /** The accumulated (vec_id, v) corpus — None before bootstrap. */
     def corpus: Option[DataFrame] = allDf
@@ -1334,8 +1335,10 @@ object DocStreams extends Serializable {
       graphDf match {
         case None =>
           allDf = Some(b)
-          graphDf = Some(graft.ops.Subplan.once(
-            graft.ext.Similarity.knnDescentGraph(b)))
+          val g0 = graft.ops.Subplan.once(
+            graft.ext.Similarity.knnDescentGraph(b))
+          bootDf = Some(g0)
+          graphDf = Some(g0)
         case Some(g) =>
           val all = graft.ops.Subplan.once(allDf.get.unionByName(b))
           allDf = Some(all)
@@ -1368,5 +1371,25 @@ object DocStreams extends Serializable {
               Seq("v"), "left_anti")
             .unionByName(healed)))
       }
+
+    /** The live s37 — warm-start descent rounds over the maintained
+      * lists through the ONE [[graft.ext.Similarity.knnRefine]] loop:
+      * the refresh s38's drift signal schedules, run in place (the
+      * refined state replaces the maintained lists; at deploy it
+      * lands as the new generation exactly as batch s37 does). No-op
+      * before bootstrap. */
+    def refine(): Unit =
+      for (g <- graphDf; all <- allDf)
+        graphDf = Some(graft.ops.Subplan.once(
+          graft.ext.Similarity.knnRefine(g,
+            graft.ext.Similarity.knnFx(all))))
+
+    /** The live s38 — [[graft.ext.Similarity.graphDriftStats]] (ONE
+      * definition) of the maintained lists against the BOOTSTRAP
+      * generation: thin-list counts and edge-energy shift per store
+      * partition, the refine trigger. None before bootstrap. */
+    def driftStats: Option[DataFrame] =
+      for (boot <- bootDf; g <- graphDf) yield
+        graft.ext.Similarity.graphDriftStats(boot, g)
   }
 }

@@ -1129,6 +1129,165 @@ class ExtSpec extends AnyFunSuite {
     assert(got == run2, "re-applying the delete changed the answer")
   }
 
+  test("s37 graph refine: converged at the registered rounds, improves " +
+      "monotonically, and recovers exact rank-1 + full width + >=95% tail " +
+      "agreement vs the exact survivor graph on clusterable geometry") {
+    // The post-delete state on the sf fixture, through the library
+    // pieces the registered query rides.
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val fx = graft.ops.Subplan.once(ext.Similarity.knnFx(all))
+    val base = graft.ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
+    val delIds = all.filter(ext.Similarity.annDelVec).select(col("vec_id"))
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    val healed = graft.ops.Subplan.once(
+      ext.Similarity.knnDeleteHeal(base, fx, delIds))
+    val postDel = graft.ops.Subplan.once(
+      base.join(broadcast(delIds.select(col("vec_id").as("v"))),
+          Seq("v"), "left_anti")
+        .join(broadcast(healed.select(col("v")).distinct()),
+          Seq("v"), "left_anti")
+        .unionByName(healed))
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val atR = edges(ext.Similarity.knnRefine(postDel, fx))
+    assert(atR == edges(ext.Similarity.knnRefine(postDel, fx,
+        ext.Similarity.KnnRefineRounds + 1)),
+      "one more refine round still changed the graph")
+    // Monotone improvement over the post-delete state: per owner, the
+    // refined list is at least as long and position-wise at least as
+    // close; nothing references a retired id.
+    val before = edges(postDel).groupBy(_._1)
+      .map { case (v, rs) => v -> rs.map(_._3).toSeq.sorted }
+    val after = atR.groupBy(_._1)
+      .map { case (v, rs) => v -> rs.map(_._3).toSeq.sorted }
+    assert(before.keySet == after.keySet,
+      "refine changed the owner set")
+    after.foreach { case (v, ds) =>
+      val bs = before(v)
+      assert(ds.size >= bs.size, s"owner $v list shrank in refine")
+      ds.zip(bs).foreach { case (a, b) =>
+        assert(a <= b, s"owner $v distance regressed $b -> $a")
+      }
+    }
+    atR.foreach { case (v, w, _) =>
+      assert(!del(v) && !del(w), s"retired id survives refine in ($v, $w)")
+    }
+    // The theorem case: on clusterable geometry the warm-start refine,
+    // the cold rebuild over the survivors, and the brute-force exact
+    // survivor graph all coincide (the s34 rebuild-identity corpus).
+    import spark.implicits._
+    def coord(seed: String, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:vec".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)).toDouble /
+        (1 << 24).toDouble - 0.5
+    }
+    val nat = (0L until 40L).map { i =>
+      val c = i % 4
+      (i, (0 until 64).map(j =>
+        coord(s"anchor$c", j) + 0.08 * coord(s"m$i", j)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("s37_fixture").toString
+    nat.toDF("vec_id", "v").write.mode("overwrite").parquet(tmp)
+    val cAll = graft.ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+      spark.read.parquet(tmp).select(col("vec_id"),
+        col("v").cast("array<double>").as("v"))))
+    val cFx = graft.ops.Subplan.once(ext.Similarity.knnFx(cAll))
+    val cBase = graft.ops.Subplan.once(ext.Similarity.knnDescentGraph(cAll))
+    val cDelIds = cAll.filter(ext.Similarity.annDelVec).select(col("vec_id"))
+    val cDel = cDelIds.collect().map(_.getLong(0)).toSet
+    val cHealed = graft.ops.Subplan.once(
+      ext.Similarity.knnDeleteHeal(cBase, cFx, cDelIds))
+    val cPostDel = graft.ops.Subplan.once(
+      cBase.join(broadcast(cDelIds.select(col("vec_id").as("v"))),
+          Seq("v"), "left_anti")
+        .join(broadcast(cHealed.select(col("v")).distinct()),
+          Seq("v"), "left_anti")
+        .unionByName(cHealed))
+    val refined = edges(ext.Similarity.knnRefine(cPostDel, cFx))
+    val survivors = graft.ops.Subplan.once(
+      cAll.join(broadcast(cDelIds), Seq("vec_id"), "left_anti"))
+    val sFx = ext.Similarity.knnFx(survivors)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = sFx.keySet.flatMap { v =>
+      sFx.keySet.toSeq.filter(_ != v)
+        .map(w => (w, dist(sFx(v), sFx(w))))
+        .sortBy { case (w, d) => (d, w) }
+        .take(ext.Similarity.KnnK)
+        .map { case (w, d) => (v, w, d) }
+    }
+    // The REPAIR-vs-REBUILD distinction, pinned honestly: warm-start
+    // refine has no fresh exploration draws, so correlated heal damage
+    // can leave a few far-TAIL slots in local minima a cold re-init
+    // escapes (measured: 3 of ~280 edges on this corpus). The
+    // operational content must still be exact — every owner's rank-1
+    // edge IS the exact survivor NN-1, lists are full width, and the
+    // tail agreement stays ≥ 95% (the SkewSpec margin discipline).
+    // The exact reset remains the cold rebuild — s29 over survivors,
+    // the s32 generation story.
+    def rank1Of(g: Set[(Long, Long, Long)]) = g.groupBy(_._1).map {
+      case (v, rows) => v -> rows.toSeq.minBy(t => (t._3, t._2))._2
+    }
+    assert(rank1Of(refined) == rank1Of(exact),
+      "a refined rank-1 edge diverges from the exact survivor NN-1")
+    assert(refined.size == exact.size,
+      s"refined width ${refined.size} != exact ${exact.size}")
+    val agree = (refined intersect exact).size
+    assert(agree >= (exact.size * 0.95).toInt,
+      s"refine tail agreement too low: $agree/${exact.size}")
+  }
+
+  test("s38 graph drift matches a JVM per-partition recompute") {
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val fx = graft.ops.Subplan.once(ext.Similarity.knnFx(all))
+    val base = graft.ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
+    val delIds = all.filter(ext.Similarity.annDelVec).select(col("vec_id"))
+    val healed = graft.ops.Subplan.once(
+      ext.Similarity.knnDeleteHeal(base, fx, delIds))
+    val postDel = base.join(
+        broadcast(delIds.select(col("vec_id").as("v"))), Seq("v"), "left_anti")
+      .join(broadcast(healed.select(col("v")).distinct()),
+        Seq("v"), "left_anti")
+      .unionByName(healed)
+    def sideStats(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      rows.groupBy(_._1).toSeq.map { case (v, es) =>
+        ((v % ext.Similarity.KnnGraphParts).toInt,
+          (es.length.toLong, es.map(_._2).sum))
+      }.groupBy(_._1).map { case (pt, owners) =>
+        pt -> (owners.size.toLong,
+          owners.map(_._2._1).sum,
+          owners.count(_._2._1 < ext.Similarity.KnnK).toLong,
+          owners.map(_._2._2).sum)
+      }
+    }
+    val b = sideStats(base)
+    val nMap = sideStats(postDel)
+    val want = b.map { case (pt, (bo, be, bt, bd)) =>
+      val (no, ne, nt, nd) = nMap.getOrElse(pt, (0L, 0L, 0L, 0L))
+      (pt, bo, be, bt, bd, no, ne, nt, nd,
+        bd.toDouble / be,
+        if (ne > 0) Some(nd.toDouble / ne) else None)
+    }.toSet
+    val got = SparkEntry.queries("s38_knn_graph_drift")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getDouble(9),
+        if (r.isNullAt(10)) None else Some(r.getDouble(10)))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // The heal's scar is visible: some partition reports a thin list.
+    assert(got.exists(_._8 > 0), "fixture delete left no thin list to report")
+  }
+
   test("s36 ef-search: JVM visited-set replay, and the s33 frontier IS the " +
       "visited set's top-B") {
     val all = graft.ops.Subplan.once(

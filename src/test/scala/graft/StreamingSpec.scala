@@ -712,6 +712,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(cm2.ranked.get.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet ==
       ranked2.toSet, "re-retire changed the live graph")
+    // Drift — the live s38: the twin's metric over (bootstrap
+    // generation, post-retire state) IS the registered s38 scenario
+    // (base = full graph, now = post-delete), one graphDriftStats
+    // definition.
+    val gotDrift = cm2.driftStats.getOrElse(fail("no drift before refine"))
+      .collect().map(_.toSeq).toSet
+    val wantDrift = SparkEntry.queries("s38_knn_graph_drift")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(wantDrift.nonEmpty)
+    assert(gotDrift == wantDrift,
+      s"live drift diverges from the batch s38 answer: " +
+        s"missing=${(wantDrift -- gotDrift).take(3)} " +
+        s"extra=${(gotDrift -- wantDrift).take(3)}")
+    // Refine — the live s37: the warm-start rounds over the
+    // maintained state must land exactly the registered s37
+    // generation (one knnRefine loop).
+    cm2.refine()
+    val gotRefined = cm2.ranked.get.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val wantRefined = SparkEntry.queries("s37_knn_graph_refine")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(wantRefined.nonEmpty)
+    assert(gotRefined == wantRefined,
+      s"live refine diverges from the batch s37 generation: " +
+        s"missing=${(wantRefined -- gotRefined).take(3)} " +
+        s"extra=${(gotRefined -- wantRefined).take(3)}")
   }
 
   test("streaming LM scoring against the frozen corpus LM replays batch t22") {
