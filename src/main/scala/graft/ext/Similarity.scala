@@ -1994,15 +1994,20 @@ object Similarity {
       .filter(col("v") =!= col("w"))
   }
 
+  /** The long-form sign-band frame of a (vec_id, v) corpus — ONE
+    * banding text for the descent init, the insert seeds, and s34's
+    * LANDED corpus-band store. */
+  private[graft] def knnBands(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+
   /** The init candidate set — md5 exploration draws ∪ sign-band
     * collisions, both directions. private[graft] so PlanSpec can pin
     * the pre-checkpoint join shapes the registered query runs (the
     * round checkpoints hide them behind ExistingRDD scans). */
   private[graft] def knnInit(all: DataFrame): DataFrame = {
-    val bands = all.select(col("vec_id"),
-      explode(signBandStructs(col("v"))).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"),
-        col("bs.sig").as("sig"))
+    val bands = knnBands(all)
     val bandPairs = bands.as("a").join(bands.as("b"),
       col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -2338,16 +2343,23 @@ object Similarity {
     * vector into its own list — without the flip, inserts could only
     * ever ADD vertices' knowledge of the batch, never the reverse. */
   private def knnBatchSeed(stored: DataFrame, all: DataFrame,
-      batchIds: DataFrame): DataFrame = {
+      batchIds: DataFrame,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
     val bt = broadcast(batchIds.select(col("vec_id")))
     val drw = knnInitDraws(all)
       .join(bt.select(col("vec_id").as("v")), Seq("v"), "left_semi")
-    val bands = all.select(col("vec_id"),
-      explode(signBandStructs(col("v"))).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"),
-        col("bs.sig").as("sig"))
-    val bp = bands.join(bt, Seq("vec_id"), "left_semi").as("a")
-      .join(bands.as("b"),
+    // Batch bands compute batch-side only; the probe side is the
+    // LANDED corpus bands when the caller has them (s34 — at scale
+    // re-banding the corpus per batch would be the fold's only
+    // corpus-sized compute) ∪ the batch's own bands (batch–batch
+    // collisions), else banded in lineage (the twin's in-memory
+    // corpus; ONE knnBands text either way, so the keys can't
+    // drift).
+    val batchBands = knnBands(all.join(bt, Seq("vec_id"), "left_semi"))
+    val probeBands = corpusBands.map(_.unionByName(batchBands))
+      .getOrElse(knnBands(all))
+    val bp = batchBands.as("a")
+      .join(probeBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
@@ -2375,11 +2387,31 @@ object Similarity {
     * owners' stored rows are by construction unchanged. */
   private[graft] def knnInsertDelta(stored: DataFrame, all: DataFrame,
       batchIds: DataFrame, k: Int = KnnK,
-      rounds: Int = KnnInsRounds): DataFrame = {
-    val fx = graft.ops.Subplan.once(knnFx(all))
-    val ss = graft.ops.Subplan.once(
-      knnScore(knnBatchSeed(stored, all, batchIds), fx))
-    val touched = broadcast(ss.select(col("v")).distinct())
+      rounds: Int = KnnInsRounds,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    val seed = graft.ops.Subplan.once(
+      knnBatchSeed(stored, all, batchIds, corpusBands))
+    val touched = broadcast(seed.select(col("v")).distinct())
+    // The scoring lattice restricted to the fold's REACHABLE CLOSURE
+    // — touched owners ∪ the members of their stored lists: every id
+    // any stage can score (induction: L0's members are stored-list
+    // members ∪ seed partners; a round's candidates pair members of
+    // the current lists, and new members only ever enter from scored
+    // candidates). A broadcast-keyed corpus scan (the reference's
+    // keyed-read shape, chip.py:39-51) whose OUTPUT is
+    // neighborhood-sized — never a full-lattice materialization per
+    // batch. (Seed endpoints are raw, pre-scoring: on the full
+    // corpus every referenced id exists; an id with no lattice row
+    // simply never scores and owns no rows — harmless.)
+    val fxKeys = broadcast(
+      seed.select(col("v"))
+        .unionAll(seed.select(col("w").as("v")))
+        .unionAll(stored.join(touched, Seq("v"), "left_semi")
+          .select(col("w").as("v")))
+        .distinct())
+    val fx = graft.ops.Subplan.once(knnFx(all)
+      .join(fxKeys.select(col("v").as("vec_id")), Seq("vec_id"), "left_semi"))
+    val ss = graft.ops.Subplan.once(knnScore(seed, fx))
     var nbr = graft.ops.Subplan.once(knnTopK(
       stored.join(touched, Seq("v"), "left_semi")
         .unionAll(ss).distinct(), k))
@@ -2450,8 +2482,17 @@ object Similarity {
       s.read.parquet(basePath)
     }
     val base = s.read.parquet(basePath).select(col("v"), col("w"), col("d"))
+    // The existing corpus's bands live in a LANDED table (built once
+    // beside the base generation — at scale re-banding the corpus per
+    // batch would be the fold's only corpus-sized compute; the d19
+    // landed-band-store prescription applied to the graph's seeds).
+    val corpusBands = graft.sources.SessionStore.storedOrBuild(
+      s, "s34_bands", dir, Seq("vec_id", "band")) {
+      knnBands(all.filter(!annBatchVec))
+    }
     val delta = graft.ops.Subplan.once(knnInsertDelta(
-      base, all, all.filter(annBatchVec).select(col("vec_id"))))
+      base, all, all.filter(annBatchVec).select(col("vec_id")),
+      corpusBands = Some(corpusBands)))
     val touched = broadcast(delta.select(col("v")).distinct())
     // The touched partitions as STATIC pruning values — a bounded
     // ≤ [[KnnGraphParts]]-entry driver-side collect (deleteFromStore's
