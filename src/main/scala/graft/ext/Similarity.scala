@@ -855,6 +855,13 @@ object Similarity {
     // of band collisions, the decision unchanged.
     "d17_knn_graph_clusters" -> ((s, dir) => knnClustersQuery(s, dir)),
 
+    // RANGE SEARCH over the landed trained index — the radius query
+    // (all vectors with d² ≤ R², FAISS range_search semantics), the
+    // third reader of the ONE s15 index: triangle-inequality cell
+    // pruning via K-row landed stats, exact int64 verify, oracle =
+    // the brute-force statement (completeness checked end to end).
+    "s39_range_search" -> ((s, dir) => rangeSearchQuery(s, dir)),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1289,6 +1296,112 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
     topK(scored, col("qid"), 5)
+  }
+
+  // ---------------------------------------------------------------
+  // s39: RANGE SEARCH over the landed trained index — the third
+  // reader of [[s15Store]] (s15 probes top-k, s23 filters, s39
+  // answers "every vector within distance R"), the vector-DB radius
+  // query (FAISS range_search; Weber et al., VLDB 1998's ε-query):
+  // near-dup mining wants ALL matches under a threshold, not a fixed
+  // k. Pruning is the classic triangle-inequality cell bound: a cell
+  // c with centroid distance d(q,c) > R + rad(c) (rad = max member
+  // distance to its centroid) cannot contain an answer, so only
+  // admitted cells' postings are scanned. Every quantity is exact
+  // int64 in the fixed-point lattice; the square roots the triangle
+  // inequality forces are CEILING integer sqrts ([[isqrtCeil]] —
+  // conservative, so pruning can only over-admit, never drop an
+  // answer; the double-sqrt seed is corrected by exact integer
+  // comparisons, so engine rounding cannot matter), applied only to
+  // K-row cell frames, never the corpus. The exact verify on
+  // admitted postings makes the ANSWER independent of how tight the
+  // bound is — the oracle is therefore the brute-force statement
+  // itself, which checks completeness end to end.
+  // ---------------------------------------------------------------
+
+  /** s39's radius: lattice d² ≤ 1.6·10¹² (real L2² ≈ 1.455, cosine
+    * ≥ ~0.27 on the unit-norm corpus) — measured to sit just above
+    * the fixture's per-query nearest-neighbor band (min natural d²
+    * 1.1–1.5·10¹²), so every query returns a small non-trivial
+    * neighbor set and the count grows linearly with corpus density,
+    * the honest range-query semantics. */
+  private[graft] val RangeR2 = 1600000000000L
+
+  /** Ceiling integer sqrt of a non-negative int64 column: seed from
+    * the double sqrt (correctly rounded, so the true ⌈√x⌉ lies within
+    * ±1 of the floored seed for x ≤ 2⁵⁰), then pick the smallest
+    * candidate whose square covers x by EXACT integer comparison —
+    * the result is engine-rounding-independent by construction.
+    * Applied only to model-sized frames (per-cell radii, the one
+    * radius constant). */
+  private[graft] def isqrtCeil(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when(x <= 0, lit(0L))
+      .when((s0 - 1) * (s0 - 1) >= x, s0 - 1)
+      .when(s0 * s0 >= x, s0)
+      .when((s0 + 1) * (s0 + 1) >= x, s0 + 1)
+      .otherwise(s0 + 2)
+  }
+
+  /** Per-cell pruning stats of a posting store: rad_up(c) =
+    * ⌈√(max member d² to own centroid)⌉ — K rows, one map-side
+    * partial-agg pass over the postings at build time. */
+  private[graft] def rangeCellStats(post: DataFrame,
+      cents: DataFrame): DataFrame =
+    post.select(col("cid"), fixedPoint(col("v")).as("x"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("cid"), kmDist(col("x"), col("m")).as("d2"))
+      .groupBy(col("cid")).agg(max(col("d2")).as("rad2"))
+      .select(col("cid"), isqrtCeil(col("rad2")).as("rad_up"))
+
+  /** The admitted (qid, qx, cid) probe frame: cells surviving the
+    * triangle bound d(q,c)² ≤ (⌈√R²⌉ + rad_up(c))² — the K-row
+    * (centroid ⨝ stats) side rides one ConstKey broadcast against
+    * the query frame; everything stays exact int64. */
+  private[graft] def rangeAdmitted(q: DataFrame, cents: DataFrame,
+      stats: DataFrame, r2: Long): DataFrame = {
+    val cells = cents.join(stats, Seq("cid"))
+      .withColumn("one", graft.ops.ConstKey.one(col("cid")))
+    val bound = isqrtCeil(lit(r2)) + col("rad_up")
+    q.withColumn("one", graft.ops.ConstKey.one(col("qid")))
+      .join(broadcast(cells), "one")
+      .filter(kmDist(col("qx"), col("m")) <= bound * bound)
+      .select(col("qid"), col("qx"), col("cid"))
+  }
+
+  /** The exact tail: admitted cells' postings verified at int64
+    * d² ≤ R² — (qid, vec_id, d2) rows, the range answer. */
+  private[graft] def rangeVerify(post: DataFrame, probes: DataFrame,
+      r2: Long): DataFrame =
+    post.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("d2", kmDist(col("qx"), fixedPoint(col("v"))))
+      .filter(col("d2") <= lit(r2))
+      .select(col("qid"), col("vec_id"), col("d2"))
+
+  /** The registered s39 body: queries vec_id < 10 against the SAME
+    * landed index s15/s23 probe, with the K-row cell stats landed
+    * once beside it (`s39_cellstats` — built FROM the stored
+    * postings, so stats and index can never describe different
+    * corpora). Repeat cost = two K-row reads + the admitted cells'
+    * posting partitions; on the uniform fixture geometry the wide
+    * cells admit everything (the s16 dimension-collapse story — the
+    * bound's effectiveness is pinned on clusterable geometry in
+    * ExtSpec instead, where it provably drops cells while staying
+    * ≡ brute force), and at 100 TB on real, clusterable embedding
+    * mixes the admitted fraction is what turns a corpus scan into a
+    * partition read. */
+  private def rangeSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxOf = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x")))
+    val (cents, post) = s15Store(s, dir, fxOf)
+    val stats = graft.sources.SessionStore.storedOrBuild(
+      s, "s39_cellstats", dir, Seq("cid")) { rangeCellStats(post, cents) }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), fixedPoint(col("v")).as("qx"))
+    rangeVerify(post.select(col("vec_id"), col("v"), col("cid")),
+      rangeAdmitted(q, cents, stats, RangeR2), RangeR2)
   }
 
   /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
@@ -3744,6 +3857,22 @@ object Similarity {
     "s37_knn_graph_refine" -> knnRefineOracleSql,
     "s38_knn_graph_drift" -> graphDriftOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
+    // s39: the BRUTE-FORCE range statement — deliberately not the
+    // pruned plan: the exact verify makes the Spark answer
+    // independent of the bound, so the naive oracle checks pruning
+    // completeness itself (a dropped cell would drop a row and fail
+    // the hash).
+    "s39_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |fx AS (SELECT vec_id, v,
+         |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
+         |     for i in generate_series(1, 64)] AS x
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, x AS qx FROM fx WHERE vec_id < 10),
+         |d AS (SELECT q.qid, s.vec_id,
+         |    CAST(${sqlDist("q.qx", "s.x")} AS BIGINT) AS d2
+         |  FROM q JOIN fx s ON s.vec_id <> q.qid)
+         |SELECT qid, vec_id, d2 FROM d WHERE d2 <= $RangeR2""".stripMargin,
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,

@@ -2679,4 +2679,83 @@ class ExtSpec extends AnyFunSuite {
       "lowest" -> List("lo", "we", "st"),
       "xyz" -> List("x", "y", "z")))
   }
+
+  test("s39 range search: isqrtCeil exact on a sweep; on clusterable " +
+      "geometry pruning drops cells while the answer stays brute-force " +
+      "exact; fixture answer equals the JVM range scan") {
+    import spark.implicits._
+    // isqrtCeil ≡ ⌈√x⌉ by BigInt, across small values, near-squares,
+    // and the lattice magnitudes the pruning bound actually sees.
+    val probe = ((0L to 2000L) ++
+      (1L to 40L).map(k => k * k * 100000000L) ++
+      (1L to 40L).flatMap(k => Seq(k * k * 100000000L - 1,
+        k * k * 100000000L + 1)) ++
+      Seq(1L << 48, (1L << 48) - 1, (1L << 50) - 3)).distinct
+    val gotS = probe.toDF("x")
+      .select(col("x"), ext.Similarity.isqrtCeil(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probe.foreach { x =>
+      val want = {
+        var s = math.max(0L, math.sqrt(x.toDouble).toLong - 2)
+        while (s * s < x) s += 1
+        s
+      }
+      assert(gotS(x) == want, s"isqrtCeil($x) = ${gotS(x)}, want $want")
+    }
+    // Clusterable geometry (the s34 fixture shape): 4 well-separated
+    // clusters of 10. With r2 inside the cluster diameter the bound
+    // must PRUNE (admitted (q, cell) pairs < queries × K) and the
+    // pruned answer must equal the JVM brute-force range scan.
+    def coord(seed: String, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:vec".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)).toDouble /
+        (1 << 24).toDouble - 0.5
+    }
+    val nat = (0L until 40L).map { i =>
+      val c = i % 4
+      (i, (0 until 64).map(j =>
+        coord(s"anchor$c", j) + 0.08 * coord(s"m$i", j)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("s39_fixture").toString
+    nat.toDF("vec_id", "v").write.mode("overwrite").parquet(tmp)
+    val corpus = spark.read.parquet(tmp)
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val fxDf = graft.ops.Subplan.once(corpus.select(col("vec_id"), col("v"),
+      ext.Similarity.fixedPoint(col("v")).as("x")))
+    val cents = ext.Similarity.kmeansCentroids(fxDf)
+    val post = ext.Similarity.kmAssign(fxDf, cents)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val stats = ext.Similarity.rangeCellStats(post, cents)
+    val q = fxDf.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("x").as("qx"))
+    // r2 sized to the cluster: within-cluster d² ≈ 0.07 real ≈ 8·10¹⁰
+    // lattice; inter-cluster ≈ 10 real — three orders apart.
+    val r2 = 200000000000L
+    val admitted = ext.Similarity.rangeAdmitted(q, cents, stats, r2)
+    assert(admitted.count() < 10L * ext.Similarity.KmK,
+      "triangle bound admitted every cell on clusterable geometry")
+    val got = ext.Similarity.rangeVerify(post, admitted, r2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fx = fxDf.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Long]](2).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (for {
+      qi <- 0L until 10L
+      v <- fx.keys if v != qi
+      d = dist(fx(qi), fx(v)) if d <= r2
+    } yield (qi, v, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && want.size < 10 * 39,
+      "fixture r2 degenerate (empty or all-pairs)")
+    // The registered query is self-consistent across invocations (the
+    // stored stats path) and non-empty on the sf fixture.
+    val run1 = SparkEntry.queries("s39_range_search")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val run2 = SparkEntry.queries("s39_range_search")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(run1.nonEmpty && run1 == run2)
+  }
 }

@@ -404,6 +404,24 @@ class PlanSpec extends AnyFunSuite {
       s"the stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("s39: the range probe dynamic-partition-prunes the postings scan " +
+      "and broadcasts every model-sized side") {
+    // s15's pin applied to the RANGE read path: the admitted-cell
+    // probe frame (queries × surviving cells) must reach the
+    // cid-partitioned postings scan as a dynamic partition-pruning
+    // filter — on clusterable geometry the triangle bound admits few
+    // cells, and without the filter the landed index regresses to a
+    // full scan regardless of how tight the bound is. The centroid
+    // and cell-stat sides are K-row stores: broadcast only.
+    val p = plan("s39_range_search")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the postings scan must carry a dynamic partition-pruning filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the admitted-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the stored postings must stream through the probe join, not shuffle:\n$p")
+  }
+
   test("s18: the upserted landed index probes under dynamic partition " +
       "pruning; the batch assignment never shuffles the store") {
     // s15's probe pin holds ACROSS the upsert: the probe must read
