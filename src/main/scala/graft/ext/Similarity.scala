@@ -862,6 +862,15 @@ object Similarity {
     // the brute-force statement (completeness checked end to end).
     "s39_range_search" -> ((s, dir) => rangeSearchQuery(s, dir)),
 
+    // SemDeDup — semantic dedup by trained-cell blocking: pairs
+    // compared only within a k-means cell, each near-dup pair keeps
+    // the member FARTHER from its centroid (exact int64 distance to
+    // the exact-integer centroid — the float-mean objection recorded
+    // in d13's Scaladoc, dissolved by s13's lattice Lloyd). Same
+    // planted-twin corpus as d05/d13.
+    "d20_semdedup" -> ((s, dir) =>
+      semDedup(withPlantedTwins(emb(s, dir)))),
+
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
     // downstream; this corpus is random so a fixed 0.95 cut is empty).
@@ -1402,6 +1411,76 @@ object Similarity {
       .select(col("vec_id").as("qid"), fixedPoint(col("v")).as("qx"))
     rangeVerify(post.select(col("vec_id"), col("v"), col("cid")),
       rangeAdmitted(q, cents, stats, RangeR2), RangeR2)
+  }
+
+  // ---------------------------------------------------------------
+  // d20: SemDeDup — semantic dedup by trained-cell blocking (Abbas
+  // et al., "SemDeDup", 2023): k-means the embeddings, compare pairs
+  // ONLY within a cell, and for every near-dup pair keep the member
+  // FARTHER from its centroid (the paper's keep-the-outlier rule —
+  // the duplicate nearer the cluster center is the redundant one).
+  // The d13 Scaladoc records why this slot stayed empty: a float
+  // centroid MEAN is an order-dependent sum no cross-engine hash
+  // survives. s13's exact-integer Lloyd dissolved that objection —
+  // the centroid is an integer lattice point and the keep rule's
+  // score is [[kmDist]]'s exact int64, so the SemDeDup decision is
+  // deterministic and oracle-able. Scale: the within-cell all-pairs
+  // compare is the algorithm's actual cost model (the paper sizes K
+  // so cells stay ~constant: K ~ N/cellsize); the pair join is
+  // s03's block-grid INSIDE cells — key (cid, blk), per-task state
+  // one cell-block regardless of N, no broadcast of the corpus, no
+  // BNLJ. Cross-cell near-dups are missed BY DESIGN (the paper's
+  // documented approximation; d05/d13 are the band-complete
+  // alternatives on the same corpus).
+  // ---------------------------------------------------------------
+
+  /** d20's block count — the s03 grid knob applied inside cells:
+    * replication factor B on the probe side buys per-task state
+    * cell/B on the build side. */
+  private val SemBlocks = 8
+
+  /** THE SemDeDup decision over a (vec_id, v) corpus: assignment +
+    * exact centroid distance, within-cell verified pairs, the
+    * keep-farther rule. One definition for the registered query and
+    * ExtSpec's JVM replay. Emits (vec_id, cid, dc2, kept). */
+  private[graft] def semDedup(all: DataFrame): DataFrame = {
+    val fx = graft.ops.Subplan.once(
+      all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = kmeansCentroids(fx)
+    // Assignment + the keep rule's score in one pass: dc2 = exact
+    // int64 distance to the OWN centroid (the K-row table broadcasts).
+    val asg = graft.ops.Subplan.once(
+      kmAssign(fx, cents)
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("v"), col("cid"),
+          kmDist(col("x"), col("m")).as("dc2")))
+    val corpus = asg.select(col("cid"),
+      pmod(col("vec_id"), lit(SemBlocks.toLong)).cast("int").as("blk"),
+      col("vec_id").as("vb"), col("v").as("bv"), col("dc2").as("dc2_b"))
+    val probes = asg.select(col("cid"), col("vec_id").as("va"),
+        col("v").as("av"), col("dc2").as("dc2_a"))
+      .withColumn("blk", explode(array((0 until SemBlocks).map(lit): _*)))
+    // SHUFFLE_HASH for the s03 reason: the corpus side must never
+    // become a broadcast build under AQE size misestimates.
+    val pairs = probes.join(corpus.hint("shuffle_hash"), Seq("cid", "blk"))
+      .filter(col("va") < col("vb"))
+      .filter(cosine(col("av"), col("bv")) >= 0.99)
+    // The pair's LOSER: nearer its centroid (smaller dc2); the exact
+    // tie keeps the smaller id (drop the larger — d01's keep-lowest).
+    val losers = pairs.select(
+        when(col("dc2_a") < col("dc2_b"), col("va"))
+          .when(col("dc2_b") < col("dc2_a"), col("vb"))
+          .otherwise(greatest(col("va"), col("vb"))).as("vec_id"))
+      .distinct()
+      .select(col("vec_id"), lit(true).as("lost"))
+    // Deliberately NOT force-broadcast: SemDeDup routinely drops a
+    // large corpus fraction, so the loser set is corpus-PROPORTIONAL
+    // — the flag-attach is an honest vec_id-keyed equi-join (one
+    // linear shuffle; AQE broadcasts it when a gentle threshold
+    // leaves the set small).
+    asg.join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dc2"),
+        col("lost").isNull.as("kept"))
   }
 
   /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
@@ -3242,7 +3321,18 @@ object Similarity {
     * train-then-apply split. */
   private def kmeansChainCtes: String = kmeansChainCtesOver(None)
 
-  private def kmeansChainCtesOver(trainPred: Option[String]): String = {
+  private def kmeansChainCtesOver(trainPred: Option[String]): String =
+    kmeansChainCtesFrom(
+      "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+      "e", trainPred)
+
+  /** The SAME chain over an arbitrary corpus: `head` is the leading
+    * CTE block and must define `$eName`(vec_id, v) — d20 trains the
+    * coarse quantizer over the planted-twin union ([[twinCorpusCte]])
+    * through this one generator, so the twin-corpus Lloyd loop and
+    * the raw-corpus one can never state different arithmetic. */
+  private def kmeansChainCtesFrom(head: String, eName: String,
+      trainPred: Option[String]): String = {
     val src = if (trainPred.isDefined) "tr" else "fx"
     val trCte = trainPred
       .map(p => s"tr AS (SELECT * FROM fx WHERE $p),\n").getOrElse("")
@@ -3261,11 +3351,11 @@ object Similarity {
          |    GROUP BY cid, u.i) GROUP BY cid) n
          |  ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""$head,
        |fx AS (SELECT vec_id, v,
        |    [CAST(floor(v[i] * 1048576.0) AS BIGINT)
        |     for i in generate_series(1, 64)] AS x
-       |  FROM e),
+       |  FROM $eName),
        |${trCte}cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, x AS m FROM (
        |  SELECT x, ROW_NUMBER() OVER (ORDER BY
        |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
@@ -3479,13 +3569,22 @@ object Similarity {
   /** The planted-twin corpus + sign-band CTE prefix (e/pert/al/bands)
     * shared by every sign-LSH oracle — one SQL statement of the
     * banding so no oracle can drift from another. */
-  private val signBaseCte =
+  /** The planted-twin corpus as SQL ([[withPlantedTwins]] verbatim):
+    * `e` (the raw read), `pert` (the 1.01-scaled twins), `al` (the
+    * union) — ONE statement shared by [[signBaseCte]] (the sign-band
+    * family) and the d20 oracle (which trains the coarse quantizer
+    * over the same union). */
+  private val twinCorpusCte =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |pert AS (SELECT vec_id + 1000000000 AS vec_id,
       |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
       |     for i in generate_series(1, len(v))] AS v
       |  FROM e),
-      |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+      |al AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert)"""
+      .stripMargin
+
+  private val signBaseCte =
+    s"""$twinCorpusCte,
       |${bandsCteOver("bands", "al")}""".stripMargin
 
   /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
@@ -3876,6 +3975,30 @@ object Similarity {
     "d05_embedding_neardup" ->
       s"""WITH $signPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.99""".stripMargin,
+    // d20: the SAME Lloyd chain ([[kmeansChainCtesFrom]]) trained
+    // over the planted-twin union, then the SemDeDup decision stated
+    // relationally: within-cell pairs at exact cosine ≥ 0.99, the
+    // keep-farther-from-centroid rule, one LEFT JOIN for the flag.
+    "d20_semdedup" ->
+      s"""WITH ${kmeansChainCtesFrom(twinCorpusCte, "al", None)},
+         |dc AS (SELECT p.vec_id, p.cid,
+         |    CAST(${sqlDist("p.x", "c.m")} AS BIGINT) AS dc2
+         |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid),
+         |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    a.dc2 AS dc2_a, b.dc2 AS dc2_b
+         |  FROM dc a JOIN dc b ON b.cid = a.cid AND a.vec_id < b.vec_id
+         |  JOIN al ea ON ea.vec_id = a.vec_id
+         |  JOIN al eb ON eb.vec_id = b.vec_id
+         |  WHERE list_dot_product(ea.v, eb.v)
+         |      / (sqrt(list_dot_product(ea.v, ea.v))
+         |         * sqrt(list_dot_product(eb.v, eb.v))) >= 0.99),
+         |losers AS (SELECT DISTINCT CASE
+         |    WHEN dc2_a < dc2_b THEN va
+         |    WHEN dc2_b < dc2_a THEN vb
+         |    ELSE greatest(va, vb) END AS vec_id
+         |  FROM prs)
+         |SELECT d.vec_id, d.cid, d.dc2, l.vec_id IS NULL AS kept
+         |FROM dc d LEFT JOIN losers l ON l.vec_id = d.vec_id""".stripMargin,
     // The corpus-side × eval-side restatement of the band join (same
     // signBaseCte banding; the eval flag is the t08/t13 md5 draw).
     "s09_semantic_decontam" ->

@@ -2758,4 +2758,62 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(run1.nonEmpty && run1 == run2)
   }
+
+  test("d20 semdedup: bit-exact JVM replay of the cell-blocked decision; " +
+      "every same-cell planted twin pair drops exactly one member") {
+    val all = graft.ops.Subplan.once(ext.Similarity.plantedTwinCorpus(
+      Tables(spark, sf, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))))
+    val got = SparkEntry.queries("d20_semdedup")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // JVM replay: trained centroids collected, argmin assignment with
+    // the lowest-cid tie-break, exact int64 dc2, within-cell pairs at
+    // the SAME left-to-right double-fold cosine, the keep-farther rule.
+    val fxDf = graft.ops.Subplan.once(all.select(col("vec_id"), col("v"),
+      ext.Similarity.fixedPoint(col("v")).as("x")))
+    val cents = ext.Similarity.kmeansCentroids(fxDf)
+      .collect().map(r => r.getInt(0) -> r.getAs[Seq[Long]](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rows = fxDf.collect().map(r => (r.getLong(0),
+      r.getAs[Seq[Double]](1).toArray, r.getAs[Seq[Long]](2).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(p: Array[Double], q: Array[Double]) =
+        p.zip(q).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val asg = rows.map { case (id, v, x) =>
+      val cid = cents.indices.minBy(c => (d2(x, cents(c)), c))
+      (id, v, cid, d2(x, cents(cid)))
+    }
+    val pairs = for {
+      (ia, va, ca, da) <- asg
+      (ib, vb, cb, db) <- asg
+      if ia < ib && ca == cb && cos(va, vb) >= 0.99
+    } yield (ia, ib, da, db)
+    val losers = pairs.map { case (a, b, da, db) =>
+      if (da < db) a else if (db < da) b else math.max(a, b)
+    }.toSet
+    val want = asg.map { case (id, _, cid, dc) =>
+      id -> ((cid, dc, !losers(id)))
+    }.toMap
+    assert(pairs.nonEmpty, "fixture produced no same-cell twin pair")
+    assert(got == want,
+      s"diverges at ${want.collect { case (k, w) if got.get(k) != Some(w) =>
+        (k, w, got.get(k)) }.take(3)}")
+    // The decision semantics on the planted fixture: every twin pair
+    // that lands in ONE cell decides exactly one member.
+    val cellOf = asg.map(t => t._1 -> t._3).toMap
+    val keptOf = want.map { case (k, (_, _, kp)) => k -> kp }
+    val sameCellTwins = asg.map(_._1).filter(id =>
+      id < 1000000000L && cellOf.get(id + 1000000000L) == cellOf.get(id))
+    assert(sameCellTwins.nonEmpty)
+    sameCellTwins.foreach { o =>
+      assert(keptOf(o) ^ keptOf(o + 1000000000L),
+        s"twin pair ($o, ${o + 1000000000L}) kept ${keptOf(o)}/" +
+          s"${keptOf(o + 1000000000L)} — must decide exactly one")
+    }
+  }
 }
