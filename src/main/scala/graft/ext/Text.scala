@@ -1061,7 +1061,17 @@ object Text {
           min(col("counter")).as("n_est"))
         .select(col("tok"), col("n_exact"), col("n_est"),
           (col("n_est") - col("n_exact")).as("n_over"))
-    })
+    }),
+
+    // DSIR — data selection via importance resampling: hashed-unigram
+    // likelihood-ratio weights against the ':tgt' curated sample
+    // (quantized-integer logs, the t29 discipline on a
+    // two-distribution model), then the exact top quarter of the pool
+    // by histogram threshold + boundary-bin rank. Emits every pool
+    // doc with its weight and kept flag (t31's provenance rule).
+    "t37_dsir_select" -> ((s, dir) =>
+      dsirSelect(dsirWeights(docs(s, dir)
+        .select(col("doc_id"), isTgtCol.as("is_tgt"), col("text")))))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -1261,6 +1271,117 @@ object Text {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
         col("qsurp"), (col("q2") - col("qsurp")).as("qmargin"))
+  }
+
+  // ---------------------------------------------------------------
+  // t37: DSIR — data selection via importance resampling (Xie et
+  // al., NeurIPS 2023): score every pool document by the quantized
+  // log likelihood ratio of a hashed-unigram bag model fit on a
+  // small curated TARGET sample vs the pool itself, then keep the
+  // exact top quarter. The weights are t29's integer discipline
+  // applied to a two-distribution model: features hash into
+  // [[DsirB]] buckets, counts Laplace-smooth, every log₂ is
+  // [[graft.functions.QLog2]] on MODEL-sized frames, so
+  //   qw(d) = Σ_b tf·(ql(n_t[b]+1) − ql(n_p[b]+1)
+  //                   + ql(N_p+B) − ql(N_t+B))
+  // is a sum of exact integers (the per-token normalizer folds into
+  // each bucket's coefficient). Selection is an EXACT distributed
+  // top-K: a histogram on qw's high bits finds the threshold bin
+  // (bin frame is bounded by qw's RANGE — corpus-independent), bins
+  // above it are kept wholesale, and one window ranks only the
+  // boundary bin (a frame spanning 1/16 of a log₂ unit of likelihood
+  // ratio). The oracle states top-K directly (ROW_NUMBER over the
+  // same total order), so the two-phase selection is hash-checked
+  // against the naive form end to end — the s39 oracle philosophy.
+  // ---------------------------------------------------------------
+
+  /** The t37 target draw — the ':eval' md5 discipline under its own
+    * salt, so target membership is independent of every other split. */
+  private[graft] def isTgtCol: Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":tgt"))), 1, 8), 16, 10).cast("long") % 8 === 0
+
+  private val tgtDrawSql =
+    "('0x' || substr(md5(doc_id || ':tgt'), 1, 8))::BIGINT % 8 = 0"
+
+  /** Hashed-feature bucket count — DSIR's 10⁴ buckets scaled to the
+    * fixture vocabulary; the model is 2·B+2 integers regardless of
+    * corpus size. */
+  private[graft] val DsirB = 256L
+
+  /** Histogram bin width for the top-K threshold: qw >> 12 ≈ 1/16 of
+    * a log₂ unit of likelihood ratio per bin — narrow enough that the
+    * boundary bin stays window-able, coarse enough that the bin frame
+    * is small. */
+  private val DsirBinShift = 12
+
+  /** DSIR importance weights over a (doc_id, is_tgt, text) frame:
+    * (doc_id, qw) for every POOL doc with ≥ 1 token. ONE definition
+    * for the registered query and ExtSpec's planted-corpus/JVM-replay
+    * pins. Scale: one (doc, bucket)-grain count shuffle + one
+    * doc-grain sum; the model (B rows + totals) broadcasts; qlog2
+    * never touches the corpus. */
+  private[graft] def dsirWeights(d: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val tf = graft.ops.Subplan.once(
+      d.select(col("doc_id"), col("is_tgt"), toks.as("tk"))
+        .select(col("doc_id"), col("is_tgt"),
+          explode(Dedup.ngramIdCol(1)).as("t"))
+        .select(col("doc_id"), col("is_tgt"),
+          pmod(col("t"), lit(DsirB)).as("b"))
+        .groupBy(col("doc_id"), col("is_tgt"), col("b"))
+        .agg(count(lit(1)).as("tf")))
+    val nb = tf.groupBy(col("b")).agg(
+      sum(when(col("is_tgt"), col("tf")).otherwise(0L)).as("n_t"),
+      sum(when(!col("is_tgt"), col("tf")).otherwise(0L)).as("n_p"))
+    val tot = nb.agg(sum(col("n_t")).as("ntt"), sum(col("n_p")).as("npt"))
+      .withColumn("one", graft.ops.ConstKey.one(col("ntt")))
+    val coef = nb.withColumn("one", graft.ops.ConstKey.one(col("b")))
+      .join(broadcast(tot), "one")
+      .select(col("b"),
+        (qlog2(col("n_t") + 1) - qlog2(col("n_p") + 1)
+          + qlog2(col("npt") + lit(DsirB))
+          - qlog2(col("ntt") + lit(DsirB))).as("c"))
+    tf.filter(!col("is_tgt"))
+      .join(broadcast(coef), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("c")).as("qw"))
+  }
+
+  /** Exact top-(n>>2) selection over a (doc_id, qw) frame by
+    * histogram threshold + boundary-bin rank: every doc in a bin
+    * above the threshold bin is kept wholesale; the one boundary bin
+    * ranks under (qw desc, doc_id asc) for the remaining slots — the
+    * classic two-phase distributed top-K, exact because bins are
+    * monotone in qw. Emits (doc_id, qw, kept) for every pool doc —
+    * t31's provenance discipline. Defined for n ≥ 4 (k ≥ 1). */
+  private[graft] def dsirSelect(wts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val q = graft.ops.Subplan.once(
+      wts.withColumn("bin", shiftright(col("qw"), DsirBinShift)))
+    val k = q.agg(count(lit(1)).as("n"))
+      .select(shiftright(col("n"), 2).as("k"))
+      .withColumn("one", graft.ops.ConstKey.one(col("k")))
+    val bins = q.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = bins.withColumn("above",
+      coalesce(sum(col("cnt")).over(w.orderBy(col("bin").desc)
+        .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    val boundary = cum.withColumn("one", graft.ops.ConstKey.one(col("bin")))
+      .join(broadcast(k), "one")
+      .filter(col("above") < col("k") &&
+        col("above") + col("cnt") >= col("k"))
+      .select(col("bin").as("bstar"), (col("k") - col("above")).as("r"))
+      .withColumn("one", graft.ops.ConstKey.one(col("bstar")))
+    val qq = q.withColumn("one", graft.ops.ConstKey.one(col("doc_id")))
+      .join(broadcast(boundary), "one")
+    val rnk = qq.filter(col("bin") === col("bstar"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("bstar")).orderBy(col("qw").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    qq.join(rnk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("qw"),
+        (col("bin") > col("bstar") ||
+          (col("bin") === col("bstar") && col("rn") <= col("r"))).as("kept"))
   }
 
   /** First-8-hex-digits-of-md5(source) as a long — the per-source
@@ -2284,6 +2405,47 @@ object Text {
     "t28_bpe_batch_train" -> bpeBatchOracleSql(BpeBatchRounds, BpeBatchSize),
     "t35_unigram_lm_train" -> uniTrainOracleSql,
     "t36_unigram_lm_segment" -> uniSegmentOracleSql,
+    // t37: weights restated over the same hashed buckets with every
+    // log read from the ONE qlog chain; selection stated as the NAIVE
+    // exact top-K (ROW_NUMBER over (qw desc, doc_id)) — the engine's
+    // two-phase histogram pick must equal it row for row.
+    "t37_dsir_select" ->
+      s"""WITH d AS (SELECT doc_id, $tgtDrawSql AS is_tgt,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |tok AS (SELECT doc_id, is_tgt,
+         |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
+         |  FROM (SELECT doc_id, is_tgt, unnest(tk) AS w FROM d)),
+         |tf AS (SELECT doc_id, is_tgt, b, COUNT(*) AS tf
+         |  FROM tok GROUP BY 1, 2, 3),
+         |nb AS (SELECT b,
+         |    CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(SUM(CASE WHEN NOT is_tgt THEN tf ELSE 0 END) AS BIGINT)
+         |      AS n_p
+         |  FROM tf GROUP BY b),
+         |tots AS (SELECT CAST(SUM(n_t) AS BIGINT) AS ntt,
+         |    CAST(SUM(n_p) AS BIGINT) AS npt FROM nb),
+         |vals AS (SELECT DISTINCT x FROM (
+         |    SELECT n_t + 1 AS x FROM nb
+         |    UNION ALL SELECT n_p + 1 FROM nb
+         |    UNION ALL SELECT ntt + $DsirB FROM tots
+         |    UNION ALL SELECT npt + $DsirB FROM tots)),
+         |${qlogChainCte("vals")},
+         |coef AS (SELECT nb.b,
+         |    (SELECT ql FROM ql WHERE x = nb.n_t + 1)
+         |    - (SELECT ql FROM ql WHERE x = nb.n_p + 1)
+         |    + (SELECT ql FROM ql WHERE x = (SELECT npt + $DsirB FROM tots))
+         |    - (SELECT ql FROM ql WHERE x = (SELECT ntt + $DsirB FROM tots))
+         |      AS c
+         |  FROM nb),
+         |qw AS (SELECT tf.doc_id, CAST(SUM(tf.tf * coef.c) AS BIGINT) AS qw
+         |  FROM tf JOIN coef ON coef.b = tf.b WHERE NOT tf.is_tgt
+         |  GROUP BY 1),
+         |kk AS (SELECT COUNT(*) // 4 AS k FROM qw),
+         |rnk AS (SELECT doc_id, qw,
+         |    ROW_NUMBER() OVER (ORDER BY qw DESC, doc_id) AS rn FROM qw)
+         |SELECT doc_id, qw, rn <= (SELECT k FROM kk) AS kept
+         |FROM rnk""".stripMargin,
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),
     "t01_token_stats" ->

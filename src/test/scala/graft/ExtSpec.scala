@@ -2816,4 +2816,69 @@ class ExtSpec extends AnyFunSuite {
           s"${keptOf(o + 1000000000L)} — must decide exactly one")
     }
   }
+
+  test("t37 DSIR: bit-exact JVM replay of weights and exact top-K on the " +
+      "fixture; a planted target vocabulary keeps only target-like pool docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isTgt(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"$id:tgt").take(8), 16) % 8 == 0
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(9), 16) % 256
+    def ql(x: Long): Long = graft.functions.QLog2.ref(x)
+    // The full replay: hashed-bucket tf, two-distribution Laplace
+    // model, QLog2.ref coefficients, exact top-(pool>>2).
+    def replay(ds: Seq[(Long, String)]): Map[Long, (Long, Boolean)] = {
+      val toks = ds.map { case (id, tx) =>
+        (id, isTgt(id), tx.trim.split("\\s+").toSeq.filter(_.nonEmpty)) }
+      val tf = toks.filter(_._3.nonEmpty).map { case (id, tgt, tk) =>
+        (id, tgt, tk.groupBy(bucket).map { case (b, ws) =>
+          b -> ws.size.toLong }) }
+      val nT = new scala.collection.mutable.HashMap[Long, Long]()
+      val nP = new scala.collection.mutable.HashMap[Long, Long]()
+      tf.foreach { case (_, tgt, m) => m.foreach { case (b, c) =>
+        val t = if (tgt) nT else nP
+        t(b) = t.getOrElse(b, 0L) + c } }
+      val (ntt, npt) = (nT.values.sum, nP.values.sum)
+      def coef(b: Long): Long =
+        ql(nT.getOrElse(b, 0L) + 1) - ql(nP.getOrElse(b, 0L) + 1) +
+          ql(npt + 256) - ql(ntt + 256)
+      val qw = tf.filter(!_._2).map { case (id, _, m) =>
+        id -> m.map { case (b, c) => c * coef(b) }.sum }
+      val k = qw.size >> 2
+      val ranked = qw.sortBy { case (id, q) => (-q, id) }.zipWithIndex
+      ranked.map { case ((id, q), i) => id -> ((q, i < k)) }.toMap
+    }
+    val fixture = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = replay(fixture)
+    val got = SparkEntry.queries("t37_dsir_select")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.nonEmpty && got == want,
+      s"diverges at ${want.collect { case (k2, w) if got.get(k2) != Some(w) =>
+        (k2, w, got.get(k2)) }.take(3)}")
+    // The learning pin: target docs speak vocabulary A; half the pool
+    // is A-like, half B-like — the kept quarter must be all A-like.
+    val planted = (0L until 80L).map { id =>
+      val alike = isTgt(id) || id % 2 == 0
+      (id, if (alike) "alpha beta gamma delta epsilon"
+           else "omega sigma tau rho chi")
+    }
+    val sel = ext.Text.dsirSelect(ext.Text.dsirWeights(
+      planted.toDF("doc_id", "text")
+        .select(col("doc_id"), ext.Text.isTgtCol.as("is_tgt"), col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val kept = sel.filter(_._3).map(_._1)
+    assert(kept.nonEmpty)
+    kept.foreach(id =>
+      assert(id % 2 == 0, s"kept a B-vocabulary pool doc $id"))
+    val aQw = sel.filter(t => t._1 % 2 == 0).map(_._2)
+    val bQw = sel.filter(t => t._1 % 2 != 0).map(_._2)
+    assert(aQw.min > bQw.max,
+      "every A-like pool doc must outweigh every B-like one")
+  }
 }

@@ -422,6 +422,19 @@ class PlanSpec extends AnyFunSuite {
       s"the stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
+  test("t37: the DSIR model rides broadcasts; the corpus never " +
+      "sort-merge-joins") {
+    // The B-row coefficient table and the single-row K/boundary
+    // frames must all reach the corpus as broadcast builds — a
+    // shuffle join on the bucket id would exchange the (doc, bucket)
+    // frame a second time for a 256-row dimension.
+    val p = plan("t37_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the model/boundary sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join belongs in the scoring plan:\n$p")
+  }
+
   test("s18: the upserted landed index probes under dynamic partition " +
       "pruning; the batch assignment never shuffles the store") {
     // s15's probe pin holds ACROSS the upsert: the probe must read
