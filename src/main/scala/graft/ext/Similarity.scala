@@ -831,6 +831,14 @@ object Similarity {
     // exceed the beam width, which the frontier never can.
     "s36_knn_efsearch" -> ((s, dir) => knnEfSearchQuery(s, dir)),
 
+    // FILTERED graph search — s23/s26's query-time label predicate on
+    // the GRAPH read path (every index family now has its filtered
+    // read): the UNfiltered s36 walk, answer = best k of the visited
+    // set WITHIN the query's label class; the filter costs one label
+    // fetch restricted to the bounded visited frame.
+    "s40_filtered_knn_search" -> ((s, dir) =>
+      knnFilteredSearchQuery(s, dir)),
+
     // GRAPH REFINE — the s32-rebuild analogue closing the graph
     // lifecycle (build s29 → land → search s31/s33/s36 → insert s34 →
     // delete s35 → drift-detect s38 → refine s37): the post-delete
@@ -2454,6 +2462,42 @@ object Similarity {
     knnEfRank(visited)
   }
 
+  /** The s40 body — FILTERED graph search: s36's ef-search answering
+    * only within the query's label class (the ann-benchmarks filtered
+    * track, s23/s26's semantics on the GRAPH path — every index
+    * family now has its filtered read: trained s23, compressed s26,
+    * graph s40). The walk itself is UNfiltered (ONE
+    * [[knnBeamWalkFull]] loop — edges don't carry labels, and
+    * restricting expansion would disconnect the walk, the documented
+    * failure mode of naive filtered graph search); the predicate
+    * applies to the VISITED set, which the loop scores exactly
+    * anyway, so filtering costs one label fetch restricted to the
+    * bounded visited frame (≤ hops·(k+1)·B rows per query broadcast
+    * against the label scan — the s17 restricted-fetch shape). Twins
+    * inherit their original's label (a planted twin is the same
+    * item; the oracle's lb CTE states the same union). Post-filter
+    * semantics stated honestly: a query whose visited set holds < k
+    * same-label vertices returns fewer rows — s23's documented trade,
+    * now symmetric across all three index families. */
+  private def knnFilteredSearchQuery(s: SparkSession,
+      dir: String): DataFrame = {
+    val (fx, q) = knnQueryFrame(s, dir)
+    val (_, visited) =
+      knnBeamWalkFull(q, fx, knnGraphStore(s, dir), KnnBeamWidth)
+    val labOf = emb(s, dir).select(col("vec_id"), col("label"))
+    val lab = labOf.unionAll(labOf.select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"), col("label")))
+    val qlab = broadcast(labOf.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel")))
+    val want = visited.distinct().join(qlab, Seq("qid"))
+      .select(col("qid"), col("cand").as("vec_id"), col("d"),
+        col("qlabel"))
+    val matched = lab.join(broadcast(want), Seq("vec_id"))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id").as("cand"), col("d"))
+    knnEfRank(matched)
+  }
+
   /** The ef ranking tail over a visited (qid, cand, d) frame — ONE
     * definition for the registered s36 and the `Soak --knn`
     * beam/entry sweep, so the measured ef recall is the registered
@@ -3796,6 +3840,30 @@ object Similarity {
        |  WHERE h.cand <> h.qid)
        |WHERE rk <= $KnnEfTopK""".stripMargin
 
+  /** The s40 oracle: the SAME walk + visited union as s36, answer
+    * restricted to the query's label class (lb = labels with the
+    * twin inheritance union — one statement of the engine's lab
+    * frame), re-ranked within the filtered set. */
+  private def knnFilteredOracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |${knnWalkCtes(KnnBeamWidth)},
+       |vis AS (${(1 to KnnSearchHops)
+          .map(t => s"SELECT qid, cand FROM wc$t").mkString("\n  UNION\n  ")}),
+       |lb AS (SELECT vec_id, label FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000000, label FROM embeddings)
+       |SELECT qid, cand AS nn_id, CAST(dd AS BIGINT) AS d,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT h.qid, h.cand,
+       |    ${sqlDist("q.x", "f.x")} AS dd,
+       |    ROW_NUMBER() OVER (PARTITION BY h.qid
+       |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, h.cand ASC) AS rk
+       |  FROM vis h JOIN fx f ON f.vec_id = h.cand
+       |  JOIN fx q ON q.vec_id = h.qid
+       |  JOIN lb cl ON cl.vec_id = h.cand
+       |  JOIN lb ql ON ql.vec_id = h.qid
+       |  WHERE h.cand <> h.qid AND cl.label = ql.label)
+       |WHERE rk <= $KnnEfTopK""".stripMargin
+
   /** The s34 oracle — the restricted insert fold unrolled: the
     * PRE-BATCH graph is the SAME chain generator over the !annBatch
     * subset (n0..n[[KnnRounds]]), then batch seeds (draws over the
@@ -3955,6 +4023,7 @@ object Similarity {
     "s36_knn_efsearch" -> knnEfOracleSql,
     "s37_knn_graph_refine" -> knnRefineOracleSql,
     "s38_knn_graph_drift" -> graphDriftOracleSql,
+    "s40_filtered_knn_search" -> knnFilteredOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
     // s39: the BRUTE-FORCE range statement — deliberately not the
     // pruned plan: the exact verify makes the Spark answer

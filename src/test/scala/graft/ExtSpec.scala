@@ -2817,6 +2817,60 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s40 filtered graph search: JVM visited-set replay within the " +
+      "label class; every answer row matches the query's label") {
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val g = ext.Similarity.knnDescentGraph(all)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rows) => v -> rows.map(_.getLong(1)).toList }
+    val fx = ext.Similarity.knnFx(all)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1).toArray).toMap
+    val labBase = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def lab(id: Long): Int =
+      labBase.getOrElse(id, labBase(id - 1000000000L))
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // The s36 reference walk with the label filter on the answer.
+    def filteredWalk(q: Long, b: Int, k: Int): List[(Long, Long, Int)] = {
+      var frontier = List(if (q == 0L) 1L else 0L)
+      var visited = Set.empty[Long]
+      for (_ <- 1 to ext.Similarity.KnnSearchHops) {
+        val cands = (frontier ++ frontier.flatMap(c => g.getOrElse(c, Nil)))
+          .distinct.filter(_ != q)
+        visited ++= cands
+        frontier = cands.sortBy(c => (dist(fx(q), fx(c)), c)).take(b)
+      }
+      visited.toList.filter(c => lab(c) == lab(q))
+        .sortBy(c => (dist(fx(q), fx(c)), c)).take(k)
+        .zipWithIndex.map { case (c, i) => (c, dist(fx(q), fx(c)), i + 1) }
+    }
+    val got = SparkEntry.queries("s40_filtered_knn_search")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getInt(3)))).groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._2).sortBy(_._3).toList }
+    assert(got.nonEmpty)
+    got.foreach { case (q, rows) =>
+      rows.foreach { case (nn, _, _) =>
+        assert(lab(nn) == lab(q),
+          s"query $q (label ${lab(q)}) answered $nn (label ${lab(nn)})")
+      }
+      val want = filteredWalk(q, ext.Similarity.KnnBeamWidth,
+        ext.Similarity.KnnEfTopK)
+      assert(rows == want, s"query $q: engine $rows != JVM replay $want")
+    }
+    // Queries whose replay is empty must be ABSENT, not zero-row noise.
+    (0L until 10L).filterNot(got.contains).foreach { q =>
+      assert(filteredWalk(q, ext.Similarity.KnnBeamWidth,
+        ext.Similarity.KnnEfTopK).isEmpty,
+        s"query $q missing from the answer but its replay is non-empty")
+    }
+  }
+
   test("t37 DSIR: bit-exact JVM replay of weights and exact top-K on the " +
       "fixture; a planted target vocabulary keeps only target-like pool docs") {
     import spark.implicits._
