@@ -1071,7 +1071,19 @@ object Text {
     // doc with its weight and kept flag (t31's provenance rule).
     "t37_dsir_select" -> ((s, dir) =>
       dsirSelect(dsirWeights(docs(s, dir)
-        .select(col("doc_id"), isTgtCol.as("is_tgt"), col("text")))))
+        .select(col("doc_id"), isTgtCol.as("is_tgt"), col("text"))))),
+
+    // CORPUS-DRIFT monitoring — per-bucket quantized PSI between the
+    // ingest batch (d11/t21's doc_id % 8 draw) and the existing
+    // corpus over t37's hashed feature buckets: counts and the
+    // 2¹⁶-quantized log-ratio exact int64, psi_term the ONE final
+    // double step per row. The drift signal a recurring ingest
+    // thresholds before a batch poisons the mix (s30/s38's
+    // discipline for the text family).
+    "t38_corpus_drift" -> ((s, dir) =>
+      corpusDrift(docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8 === 0).as("is_batch"),
+          col("text"))))
   )
 
   /** GPT-style sequence packing via a two-level (source, shard)
@@ -1321,14 +1333,21 @@ object Text {
     * pins. Scale: one (doc, bucket)-grain count shuffle + one
     * doc-grain sum; the model (B rows + totals) broadcasts; qlog2
     * never touches the corpus. */
+  /** The hashed-feature bucket rows of a (doc_id, <flag>, text)
+    * frame: one (doc_id, <flag>, b) row per token occurrence — ONE
+    * bucket statement for t37's per-doc tf and t38's per-side
+    * histograms, so the two operators' feature spaces can never
+    * drift apart. */
+  private def bucketRows(d: DataFrame, flag: String): DataFrame =
+    d.select(col("doc_id"), col(flag), toks.as("tk"))
+      .select(col("doc_id"), col(flag),
+        explode(Dedup.ngramIdCol(1)).as("t"))
+      .select(col("doc_id"), col(flag), pmod(col("t"), lit(DsirB)).as("b"))
+
   private[graft] def dsirWeights(d: DataFrame): DataFrame = {
     import graft.functions.QLog2.qlog2
     val tf = graft.ops.Subplan.once(
-      d.select(col("doc_id"), col("is_tgt"), toks.as("tk"))
-        .select(col("doc_id"), col("is_tgt"),
-          explode(Dedup.ngramIdCol(1)).as("t"))
-        .select(col("doc_id"), col("is_tgt"),
-          pmod(col("t"), lit(DsirB)).as("b"))
+      bucketRows(d, "is_tgt")
         .groupBy(col("doc_id"), col("is_tgt"), col("b"))
         .agg(count(lit(1)).as("tf")))
     val nb = tf.groupBy(col("b")).agg(
@@ -1346,6 +1365,51 @@ object Text {
       .join(broadcast(coef), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("c")).as("qw"))
+  }
+
+  /** t38 — CORPUS-DRIFT monitoring: the population-stability report
+    * an ingest pipeline runs per batch (PSI over hashed-unigram
+    * buckets, the feature-drift metric model-monitoring uses; Taplin
+    * & Hunt 2019 survey it). Per bucket b, with add-one smoothing
+    * over [[DsirB]] buckets (ONE [[bucketRows]] feature statement
+    * with t37):
+    *   p = (n_new+1)/(N_new+B), q = (n_old+1)/(N_old+B),
+    *   qdiff = ql(n_new+1) + ql(N_old+B) − ql(n_old+1) − ql(N_new+B)
+    *         (= 2¹⁶·log₂(p/q), exact integers via [[QLog2]]),
+    *   psi_term = (p − q) · qdiff / 2¹⁶.
+    * Counts and qdiff are exact int64 end to end; psi_term is the
+    * t22 discipline's ONE final double step PER ROW (two exact-int
+    * divisions, a subtraction, one multiply, one power-of-two scale
+    * — identical IEEE ops in both engines; there is deliberately NO
+    * double aggregate: the report is per-bucket, and a consumer
+    * thresholds or sums at whatever grain it wants). Emits
+    * (b, n_new, n_old, qdiff, psi_term), B rows. Scale: the corpus
+    * appears in one explode + map-side partial count to 2·B rows;
+    * qlog2 runs on ≤ 2B+2 values. Like [[quantizedInvP]], the int64
+    * products hold to ~2⁴⁶-token corpora per side; past that the
+    * DECIMAL(38,0) restatement is the drop-in (stated loudly, not
+    * silently). */
+  private[graft] def corpusDrift(d: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val nb = bucketRows(d, "is_batch")
+      .groupBy(col("b")).agg(
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_old"))
+    val tot = nb.agg(sum(col("n_new")).as("ntn"), sum(col("n_old")).as("nto"))
+      .withColumn("one", graft.ops.ConstKey.one(col("ntn")))
+    nb.withColumn("one", graft.ops.ConstKey.one(col("b")))
+      .join(broadcast(tot), "one")
+      .select(col("b"), col("n_new"), col("n_old"),
+        (qlog2(col("n_new") + 1) + qlog2(col("nto") + lit(DsirB))
+          - qlog2(col("n_old") + 1)
+          - qlog2(col("ntn") + lit(DsirB))).as("qdiff"),
+        col("ntn"), col("nto"))
+      .select(col("b"), col("n_new"), col("n_old"), col("qdiff"),
+        (((col("n_new") + 1).cast("double")
+            / (col("ntn") + lit(DsirB)).cast("double")
+          - (col("n_old") + 1).cast("double")
+            / (col("nto") + lit(DsirB)).cast("double"))
+          * col("qdiff").cast("double") / lit(65536.0)).as("psi_term"))
   }
 
   /** Exact top-(n>>2) selection over a (doc_id, qw) frame by
@@ -2446,6 +2510,42 @@ object Text {
          |    ROW_NUMBER() OVER (ORDER BY qw DESC, doc_id) AS rn FROM qw)
          |SELECT doc_id, qw, rn <= (SELECT k FROM kk) AS kept
          |FROM rnk""".stripMargin,
+    // t38: the same bucket histograms with every log from the ONE
+    // qlog chain; psi_term restates the identical IEEE expression
+    // (two exact-int divisions, subtract, multiply, power-of-two
+    // scale — per row, never aggregated).
+    "t38_corpus_drift" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 = 0 AS is_batch,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |tok AS (SELECT doc_id, is_batch,
+         |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
+         |  FROM (SELECT doc_id, is_batch, unnest(tk) AS w FROM d)),
+         |nb AS (SELECT b,
+         |    CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new,
+         |    CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_old
+         |  FROM tok GROUP BY b),
+         |tots AS (SELECT CAST(SUM(n_new) AS BIGINT) AS ntn,
+         |    CAST(SUM(n_old) AS BIGINT) AS nto FROM nb),
+         |vals AS (SELECT DISTINCT x FROM (
+         |    SELECT n_new + 1 AS x FROM nb
+         |    UNION ALL SELECT n_old + 1 FROM nb
+         |    UNION ALL SELECT ntn + $DsirB FROM tots
+         |    UNION ALL SELECT nto + $DsirB FROM tots)),
+         |${qlogChainCte("vals")},
+         |qd AS (SELECT nb.b, nb.n_new, nb.n_old, t.ntn, t.nto,
+         |    (SELECT ql FROM ql WHERE x = nb.n_new + 1)
+         |    + (SELECT ql FROM ql WHERE x = t.nto + $DsirB)
+         |    - (SELECT ql FROM ql WHERE x = nb.n_old + 1)
+         |    - (SELECT ql FROM ql WHERE x = t.ntn + $DsirB) AS qdiff
+         |  FROM nb, tots t)
+         |SELECT b, n_new, n_old, qdiff,
+         |  (CAST(n_new + 1 AS DOUBLE) / CAST(ntn + $DsirB AS DOUBLE)
+         |   - CAST(n_old + 1 AS DOUBLE) / CAST(nto + $DsirB AS DOUBLE))
+         |  * CAST(qdiff AS DOUBLE) / 65536.0 AS psi_term
+         |FROM qd""".stripMargin,
     "t25_bpe_segment" -> bpeSegmentOracleSql(BpeMergeRounds),
     "t26_bpe_apply" -> bpeApplyOracleSql(BpeMergeRounds),
     "t01_token_stats" ->

@@ -2935,4 +2935,67 @@ class ExtSpec extends AnyFunSuite {
     assert(aQw.min > bQw.max,
       "every A-like pool doc must outweigh every B-like one")
   }
+
+  test("t38 corpus drift: bit-exact JVM replay; a planted batch-only " +
+      "vocabulary dominates the per-bucket PSI report") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(9), 16) % 256
+    def ql(x: Long): Long = graft.functions.QLog2.ref(x)
+    def replay(ds: Seq[(Long, String)])
+        : Map[Long, (Long, Long, Long, Double)] = {
+      val rows = ds.map { case (id, tx) =>
+        (id % 8 == 0, tx.trim.split("\\s+").toSeq.filter(_.nonEmpty)) }
+      val nNew = new scala.collection.mutable.HashMap[Long, Long]()
+      val nOld = new scala.collection.mutable.HashMap[Long, Long]()
+      rows.foreach { case (batch, tk) => tk.foreach { w =>
+        val t = if (batch) nNew else nOld
+        val b = bucket(w)
+        t(b) = t.getOrElse(b, 0L) + 1 } }
+      val (ntn, nto) = (nNew.values.sum, nOld.values.sum)
+      (nNew.keySet ++ nOld.keySet).map { b =>
+        val (n1, n0) = (nNew.getOrElse(b, 0L), nOld.getOrElse(b, 0L))
+        val qdiff = ql(n1 + 1) + ql(nto + 256) - ql(n0 + 1) - ql(ntn + 256)
+        val term = ((n1 + 1).toDouble / (ntn + 256).toDouble
+          - (n0 + 1).toDouble / (nto + 256).toDouble) *
+          qdiff.toDouble / 65536.0
+        b -> ((n1, n0, qdiff, term))
+      }.toMap
+    }
+    val fixture = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = replay(fixture)
+    val got = SparkEntry.queries("t38_corpus_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty && got == want,
+      s"diverges at ${want.collect { case (k, w) if got.get(k) != Some(w) =>
+        (k, w, got.get(k)) }.take(3)}")
+    // Planted drift: batch docs keep the steady vocabulary AND
+    // introduce words the existing corpus never uses. PSI is
+    // symmetric (vocabulary that DISAPPEARS drifts too — a batch of
+    // nothing-but-new-words flags the steady buckets hardest, which
+    // is correct), so the fixture keeps the steady share comparable
+    // and the NEW buckets must then carry the top psi_term rows. The
+    // corpus must dwarf the B=256 add-one mass (tokens >> B) or the
+    // smoothing denominators swamp the proportions — 512 docs do.
+    val planted = (0L until 512L).map { id =>
+      (id, if (id % 8 == 0)
+             "steady common regular text flow driftword poison anomaly"
+           else "steady common regular text flow")
+    }
+    val rep = ext.Text.corpusDrift(planted.toDF("doc_id", "text")
+        .select(col("doc_id"), (col("doc_id") % 8 === 0).as("is_batch"),
+          col("text")))
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    val driftBuckets =
+      Set("driftword", "poison", "anomaly").map(bucket)
+    val top = rep.sortBy(-_._2).take(driftBuckets.size).map(_._1).toSet
+    assert(top == driftBuckets,
+      s"top PSI buckets $top != planted drift buckets $driftBuckets")
+  }
 }
