@@ -1389,12 +1389,27 @@ object Text {
     * products hold to ~2⁴⁶-token corpora per side; past that the
     * DECIMAL(38,0) restatement is the drop-in (stated loudly, not
     * silently). */
-  private[graft] def corpusDrift(d: DataFrame): DataFrame = {
-    import graft.functions.QLog2.qlog2
-    val nb = bucketRows(d, "is_batch")
+  private[graft] def corpusDrift(d: DataFrame): DataFrame =
+    corpusDriftFrom(bucketRows(d, "is_batch")
       .groupBy(col("b")).agg(
         sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_new"),
-        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_old"))
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_old")))
+
+  /** The per-corpus bucket histogram (b, n) — the twin's side-at-a-
+    * time form of [[bucketRows]]' flagged union (ONE feature
+    * statement: this routes through bucketRows, so the live and
+    * batch feature spaces are the same expression). */
+  private[graft] def bucketHist(d: DataFrame): DataFrame =
+    bucketRows(d.select(col("doc_id"), lit(true).as("_f"), col("text")),
+      "_f")
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+
+  /** THE drift metric over a (b, n_new, n_old) histogram frame — ONE
+    * definition for batch t38 and the streaming twin's live report
+    * ([[graft.streaming.DocStreams.CorpusDriftMaintenance]]), so the
+    * two can never disagree about what drift IS. */
+  private[graft] def corpusDriftFrom(nb: DataFrame): DataFrame = {
+    import graft.functions.QLog2.qlog2
     val tot = nb.agg(sum(col("n_new")).as("ntn"), sum(col("n_old")).as("nto"))
       .withColumn("one", graft.ops.ConstKey.one(col("ntn")))
     nb.withColumn("one", graft.ops.ConstKey.one(col("b")))

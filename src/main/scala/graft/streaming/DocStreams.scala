@@ -1392,4 +1392,48 @@ object DocStreams extends Serializable {
       for (boot <- bootDf; g <- graphDf) yield
         graft.ext.Similarity.graphDriftStats(boot, g)
   }
+
+  /** Live ingest-drift monitoring — the streaming twin of batch t38,
+    * the text family's s30/s38 sibling: the FIRST non-empty trigger's
+    * rows are the existing corpus (the bootstrap histogram — a
+    * deployment reads this from its lake); every later trigger's
+    * hashed-bucket counts fold ADDITIVELY into the maintained batch
+    * histogram (the t30 rule: counts are additive, so the converged
+    * stream equals one batch recount — StreamingSpec pins live ≡
+    * batch t38). Both sides route through the ONE
+    * [[graft.ext.Text.bucketHist]] feature statement, and
+    * `driftStats` is THE [[graft.ext.Text.corpusDriftFrom]] metric
+    * over (maintained batch side, bootstrap side) — live and batch
+    * can never disagree about what drift IS. State = two ≤ B-row
+    * histograms, corpus-size-independent. */
+  final class CorpusDriftMaintenance {
+    @volatile private var exHist: Option[DataFrame] = None
+    @volatile private var batchHist: Option[DataFrame] = None
+
+    /** Fold one microbatch of (doc_id, text) rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val b = batchDs.toDF().select(col("doc_id"), col("text"))
+      if (b.isEmpty) return
+      val h = graft.ops.Subplan.once(graft.ext.Text.bucketHist(b))
+      if (exHist.isEmpty) exHist = Some(h)
+      else batchHist = Some(graft.ops.Subplan.once(
+        batchHist.map(_.unionByName(h)
+            .groupBy(col("b")).agg(sum(col("n")).as("n")))
+          .getOrElse(h)))
+    }
+
+    /** The live t38 report — None before the first post-bootstrap
+      * trigger. Buckets seen by only one side appear with the other
+      * side zeroed (batch t38's union semantics, stated by the full
+      * outer join + COALESCE). */
+    def driftStats: Option[DataFrame] =
+      for (ex <- exHist; bh <- batchHist) yield
+        graft.ext.Text.corpusDriftFrom(
+          bh.select(col("b"), col("n").as("n_new"))
+            .join(ex.select(col("b"), col("n").as("n_old")),
+              Seq("b"), "full_outer")
+            .select(col("b"),
+              coalesce(col("n_new"), lit(0L)).as("n_new"),
+              coalesce(col("n_old"), lit(0L)).as("n_old")))
+  }
 }

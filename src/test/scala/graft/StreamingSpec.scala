@@ -1270,4 +1270,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.n_events == b.getAs[Long]("n_events"))
     }
   }
+
+  test("live corpus drift equals batch t38 once the stream converges " +
+      "(counts additive across triggers)") {
+    val d = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val cm = new graft.streaming.DocStreams.CorpusDriftMaintenance
+    // Bootstrap = the existing corpus; the batch then arrives over
+    // two triggers — additivity must make the split invisible.
+    cm.fold(d.filter(col("doc_id") % 8 =!= 0))
+    cm.fold(d.filter(col("doc_id") % 8 === 0 && col("doc_id") % 16 === 0))
+    cm.fold(d.filter(col("doc_id") % 8 === 0 && col("doc_id") % 16 =!= 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val live = rows(cm.driftStats.getOrElse(fail("no drift after replay")))
+    val batch = rows(SparkEntry.queries("t38_corpus_drift")(spark, sf))
+    assert(live.nonEmpty && live == batch,
+      s"live drift diverges from batch t38: " +
+        s"missing=${(batch -- live).take(3)} extra=${(live -- batch).take(3)}")
+  }
 }
