@@ -553,6 +553,52 @@ object Dedup {
       verifyJaccard(bandCollisionCands(bands), sets, 0.5)
     }),
 
+    // BLOOM-pruned incremental exact dedup — d11's batch-vs-existing
+    // question in the regime d11's broadcast gate excludes: when the
+    // day's batch is too large to ship to every executor, the batch
+    // fingerprint set travels instead as Spark's own bloom filter
+    // (functions/Bloom — the expressions AQE's runtime filtering
+    // injects, here stated explicitly). The EXISTING corpus scan
+    // drops non-members as a pure map BEFORE any exchange — the
+    // shuffle then carries only probable matches (true dups + the
+    // filter's false-positive allowance) against the batch side, and
+    // an exact fp equi-join removes the false positives, so the
+    // ANSWER never depends on the filter's contents (s39's
+    // verify-exact discipline; the oracle is the naive join). Emits
+    // every batch doc that duplicates existing content:
+    // (batch_id, fp, n_existing). Same PressPlant planting as d11 so
+    // cross-split exact dups exist by construction. Scale: corpus
+    // side exchanges ~nothing, batch side exchanges once — vs d11's
+    // per-executor batch copy; the bit budget (8 bits/key here) is
+    // the knob, and a saturated filter degrades to more verify
+    // traffic, never to a wrong answer.
+    "d21_bloom_incremental" -> ((s, dir) => {
+      val f = graft.ops.Subplan.once(docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8 === 0).as("is_batch"),
+          when(col("doc_id") % 20 === 4, lit(PressPlant))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), col("is_batch"), fingerprintCol.as("fp")))
+      val batch = f.filter(col("is_batch"))
+      // Bounded driver-side collect (the P9 pattern): ONE binary row
+      // holding the fixed bit-budget filter (~100 KB at these knobs),
+      // embedded as a literal because might_contain requires a
+      // constant/scalar-subquery filter — exactly the shape Spark's
+      // own runtime-filter injection produces.
+      val bf: Array[Byte] = batch
+        .agg(graft.functions.Bloom.bloomAgg(
+          xxhash64(col("fp")), 100000L, 800000L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val survivors = f.filter(!col("is_batch"))
+        .filter(graft.functions.Bloom.mightContain(lit(bf),
+          xxhash64(col("fp"))))
+        .select(col("fp"))
+      survivors.hint("shuffle_hash")
+        .join(batch.select(col("doc_id").as("batch_id"), col("fp")),
+          Seq("fp"))
+        .groupBy(col("batch_id"), col("fp"))
+        .agg(count(lit(1)).as("n_existing"))
+    }),
+
     // SimHash signatures: 60-bit (15 md5 hex chars — the widest prefix
     // that stays inside signed 64-bit in both engines), per-bit
     // majority vote. 60 bits de-saturates the single shared vocabulary
@@ -1158,6 +1204,21 @@ object Dedup {
     // Same answer over the landed bucketed band store — storage
     // layout is not oracle-visible (the d18 rule), ONE oracle text.
     "d19_minhash_lsh_bucketed" -> minhashLshOracleSql,
+    // d21: the NAIVE batch×existing fp join — the bloom is plan-side
+    // pruning the exact verify erases from the answer, so the naive
+    // statement checks the whole pruned pipeline (the s39 oracle
+    // philosophy).
+    "d21_bloom_incremental" ->
+      s"""WITH p AS (SELECT doc_id, doc_id % 8 = 0 AS is_batch,
+         |    CASE WHEN doc_id % 20 = 4 THEN '$PressPlant'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |f AS (SELECT doc_id, is_batch,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM p)
+         |SELECT b.doc_id AS batch_id, b.fp, COUNT(*) AS n_existing
+         |FROM f b JOIN f e ON e.fp = b.fp AND NOT e.is_batch
+         |WHERE b.is_batch GROUP BY 1, 2""".stripMargin,
     "d04_simhash" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

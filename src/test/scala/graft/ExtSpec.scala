@@ -2936,6 +2936,47 @@ class ExtSpec extends AnyFunSuite {
       "every A-like pool doc must outweigh every B-like one")
   }
 
+  test("d21 bloom-pruned incremental dedup: JVM replay of the naive " +
+      "answer; the bloom genuinely prunes the existing-corpus scan") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fp(text: String): String =
+      md5hex(text.trim.replaceAll("\\s+", " ").toLowerCase)
+    val fixture = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val tx = if (id % 20 == 4) ext.Dedup.PressPlant else r.getString(1)
+        (id, id % 8 == 0, fp(tx))
+      }
+    val existingByFp = fixture.filterNot(_._2).groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    val want = fixture.filter(_._2).flatMap { case (id, _, f) =>
+      existingByFp.get(f).map(n => (id, f, n)) }.toSet
+    val got = SparkEntry.queries("d21_bloom_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // The prune is real: the existing rows surviving might_contain are
+    // a small fraction of the corpus (true dups + the bloom's bounded
+    // false-positive allowance), never the whole scan.
+    import spark.implicits._
+    val fdf = fixture.toSeq.toDF("doc_id", "is_batch", "fp")
+    val bf = fdf.filter(col("is_batch"))
+      .agg(graft.functions.Bloom.bloomAgg(
+        xxhash64(col("fp")), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val nExisting = fixture.count(!_._2)
+    val nSurvive = fdf.filter(!col("is_batch"))
+      .filter(graft.functions.Bloom.mightContain(lit(bf),
+        xxhash64(col("fp")))).count()
+    val nTrue = want.map(_._3).sum
+    assert(nSurvive >= nTrue, "the bloom dropped a true duplicate")
+    assert(nSurvive < nExisting / 4,
+      s"bloom pruned nothing: $nSurvive of $nExisting existing rows survive")
+  }
+
   test("t38 corpus drift: bit-exact JVM replay; a planted batch-only " +
       "vocabulary dominates the per-bucket PSI report") {
     import spark.implicits._
