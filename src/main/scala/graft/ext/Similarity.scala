@@ -870,6 +870,12 @@ object Similarity {
     // the brute-force statement (completeness checked end to end).
     "s39_range_search" -> ((s, dir) => rangeSearchQuery(s, dir)),
 
+    // RECALL ESTIMATION — answer-quality monitoring beside s30's
+    // model-health drift: a deterministic 1/64 query sample, exact
+    // NN-1 by the s03 block-grid as ground truth, the SAME landed
+    // s15 probe the production path serves, per-query hit flags.
+    "s41_recall_probe" -> ((s, dir) => recallProbeQuery(s, dir)),
+
     // SemDeDup — semantic dedup by trained-cell blocking: pairs
     // compared only within a k-means cell, each near-dup pair keeps
     // the member FARTHER from its centroid (exact int64 distance to
@@ -920,15 +926,23 @@ object Similarity {
     * s03 entry for the plan rationale. ONE definition for the
     * registered query and the recall soak's ground truth
     * (graft.Soak). */
-  private[graft] def exactNn1(e: DataFrame): DataFrame = {
+  private[graft] def exactNn1(e: DataFrame): DataFrame =
+    exactNn1Between(e, e)
+
+  /** The two-frame form of the block-grid exact NN-1: each PROBE
+    * row's nearest corpus vector — ONE statement for s03 (probes =
+    * corpus) and s41's sampled ground truth (probes = the recall
+    * draw), so the measured recall's truth side is s03's operator. */
+  private[graft] def exactNn1Between(probes: DataFrame,
+      corpus: DataFrame): DataFrame = {
     // Corpus keyed by its block, probes exploded to every partner
     // block, SHUFFLE_HASH so neither AQE nor size estimates ever turn
     // the corpus side into a broadcast build.
-    val corpus = e.select(col("vec_id").as("nn_id"), col("v").as("bv"),
+    val c = corpus.select(col("vec_id").as("nn_id"), col("v").as("bv"),
       pmod(col("vec_id"), lit(Nn1Blocks.toLong)).cast("int").as("blk"))
-    val probes = e.select(col("vec_id"), col("v"))
+    val p = probes.select(col("vec_id"), col("v"))
       .withColumn("blk", explode(array((0 until Nn1Blocks).map(lit): _*)))
-    best1(probes.join(corpus.hint("shuffle_hash"), Seq("blk"))
+    best1(p.join(c.hint("shuffle_hash"), Seq("blk"))
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         cosine(col("v"), col("bv")).as("cos_sim")))
@@ -1489,6 +1503,56 @@ object Similarity {
     asg.join(losers, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dc2"),
         col("lost").isNull.as("kept"))
+  }
+
+  // ---------------------------------------------------------------
+  // s41: RECALL ESTIMATION — answer-quality monitoring for the landed
+  // index, the missing half of the diagnostics pair (s30 watches the
+  // MODEL drift; nothing watched whether the ANSWERS are still good).
+  // "Measure, don't guess" as an operator: draw a deterministic 1/64
+  // query sample, compute each sampled query's EXACT NN-1 by the s03
+  // block-grid (ONE exactNn1Between statement — the truth side IS
+  // s03's operator), probe the SAME landed s15 index the production
+  // path serves, and emit per-query hit flags (probe rank-1 = exact;
+  // exact ∈ probe top-5). Cost: the exact side is |sample|·N scored
+  // pairs — the 1/64 draw is the knob that keeps ground truth
+  // affordable at any corpus (recall estimates need dozens of
+  // queries, not the corpus). Emitting per-query BOOLEANS (not a
+  // double mean) keeps the row hash-portable and lets the consumer
+  // aggregate at its own grain — the t38 report discipline.
+  // ---------------------------------------------------------------
+
+  /** s41's query sample — the md5 draw discipline under its own
+    * ':rq' salt: ~1/64 of vectors. */
+  private[graft] def recallDraw: Column =
+    conv(substring(md5(concat(col("vec_id").cast("string"), lit(":rq"))),
+      1, 8), 16, 10).cast("long") % 64 === 0
+
+  private val recallDrawSql =
+    "('0x' || substr(md5(s.vec_id || ':rq'), 1, 8))::BIGINT % 64 = 0"
+
+  private def recallProbeQuery(s: SparkSession, dir: String): DataFrame = {
+    lazy val fxOf = graft.ops.Subplan.once(
+      emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        fixedPoint(col("v")).as("x")))
+    val (cents, post) = s15Store(s, dir, fxOf)
+    val e = emb(s, dir)
+    val qs = graft.ops.Subplan.once(e.filter(recallDraw)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val exact = exactNn1Between(qs.select(col("vec_id"), col("v")), e)
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    val probed = kmProbedTop5(
+      post.select(col("vec_id"), col("v"), col("cid")),
+      kmProbeCells(qs, cents))
+    exact.join(probed, Seq("qid"), "left")
+      .groupBy(col("qid"), col("nn_exact"))
+      .agg(
+        sum(when(col("rk") === 1 && col("nn_id") === col("nn_exact"), 1L)
+          .otherwise(0L)).as("h1"),
+        sum(when(col("nn_id") === col("nn_exact"), 1L)
+          .otherwise(0L)).as("h5"))
+      .select(col("qid"), col("nn_exact"),
+        (col("h1") > 0).as("hit1"), (col("h5") > 0).as("hit5"))
   }
 
   /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
@@ -3374,9 +3438,12 @@ object Similarity {
     * CTE block and must define `$eName`(vec_id, v) — d20 trains the
     * coarse quantizer over the planted-twin union ([[twinCorpusCte]])
     * through this one generator, so the twin-corpus Lloyd loop and
-    * the raw-corpus one can never state different arithmetic. */
+    * the raw-corpus one can never state different arithmetic.
+    * `probeWhere` names the probe set (default the registered
+    * 10-query frame; s41 probes the recall draw instead). */
   private def kmeansChainCtesFrom(head: String, eName: String,
-      trainPred: Option[String]): String = {
+      trainPred: Option[String],
+      probeWhere: String = "s.vec_id < 10"): String = {
     val src = if (trainPred.isDefined) "tr" else "fx"
     val trCte = trainPred
       .map(p => s"tr AS (SELECT * FROM fx WHERE $p),\n").getOrElse("")
@@ -3412,7 +3479,7 @@ object Similarity {
        |pr AS (SELECT qid, cid FROM (
        |  SELECT s.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${sqlDist("s.x", "c.m")}, c.cid) AS rn
-       |  FROM fx s, cent$KmIters c WHERE s.vec_id < 10) WHERE rn <= 2)"""
+       |  FROM fx s, cent$KmIters c WHERE $probeWhere) WHERE rn <= 2)"""
       .stripMargin
   }
 
@@ -4025,6 +4092,43 @@ object Similarity {
     "s38_knn_graph_drift" -> graphDriftOracleSql,
     "s40_filtered_knn_search" -> knnFilteredOracleSql,
     "d17_knn_graph_clusters" -> knnClustersOracleSql,
+    // s41: the ONE Lloyd chain with the probe set re-pointed at the
+    // recall draw, the probe top-5 restated relationally, and the
+    // exact side as the naive per-query full-corpus ROW_NUMBER — the
+    // engine's block-grid truth and bounded-heap probe must both
+    // match the naive statements.
+    "s41_recall_probe" ->
+      s"""WITH ${kmeansChainCtesFrom(
+             "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+             "e", None, recallDrawSql)},
+         |cand AS (SELECT p.qid, g.vec_id AS nn_id
+         |  FROM pr p JOIN post g ON g.cid = p.cid WHERE g.vec_id <> p.qid),
+         |scored AS (SELECT c.qid, c.nn_id,
+         |    list_dot_product(qe.v, ge.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |  JOIN e ge ON ge.vec_id = c.nn_id),
+         |top5 AS (SELECT qid, nn_id, rk FROM (
+         |  SELECT qid, nn_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5),
+         |ex AS (SELECT qid, nn_id AS nn_exact FROM (
+         |  SELECT s.vec_id AS qid, t.vec_id AS nn_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |      list_dot_product(s.v, t.v)
+         |        / (sqrt(list_dot_product(s.v, s.v))
+         |           * sqrt(list_dot_product(t.v, t.v))) DESC,
+         |      t.vec_id ASC) AS rn
+         |  FROM e s JOIN e t ON t.vec_id <> s.vec_id
+         |  WHERE $recallDrawSql) WHERE rn = 1)
+         |SELECT ex.qid, ex.nn_exact,
+         |  SUM(CASE WHEN t.rk = 1 AND t.nn_id = ex.nn_exact
+         |      THEN 1 ELSE 0 END) > 0 AS hit1,
+         |  SUM(CASE WHEN t.nn_id = ex.nn_exact THEN 1 ELSE 0 END) > 0
+         |    AS hit5
+         |FROM ex LEFT JOIN top5 t ON t.qid = ex.qid
+         |GROUP BY 1, 2""".stripMargin,
     // s39: the BRUTE-FORCE range statement — deliberately not the
     // pruned plan: the exact verify makes the Spark answer
     // independent of the bound, so the naive oracle checks pruning

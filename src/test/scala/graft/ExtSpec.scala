@@ -2936,6 +2936,27 @@ class ExtSpec extends AnyFunSuite {
       "every A-like pool doc must outweigh every B-like one")
   }
 
+  test("s41 recall probe: the truth side IS s03's exact NN-1 on the " +
+      "sampled queries; hit1 implies hit5; the draw is the row set") {
+    val got = SparkEntry.queries("s41_recall_probe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, h1, h5) =>
+      assert(!h1 || h5, s"query $q: hit1 without hit5") }
+    // One-definition check: the ground-truth column must equal the
+    // registered s03 operator's answer for every sampled query.
+    val s03 = SparkEntry.queries("s03_embedding_nn1")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (q, ex, _, _) =>
+      assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
+    // The row set is exactly the ':rq' draw.
+    val drawIds = Tables(spark, sf, "embeddings")
+      .filter(ext.Similarity.recallDraw)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == drawIds)
+  }
+
   test("d21 bloom-pruned incremental dedup: JVM replay of the naive " +
       "answer; the bloom genuinely prunes the existing-corpus scan") {
     def md5hex(s: String): String =
