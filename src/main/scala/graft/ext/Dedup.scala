@@ -31,6 +31,18 @@ object Dedup {
   private[graft] val NumHashes = 32
   private val BandRows = 4 // 8 bands × 4 rows
 
+  /** d21's bloom bit budget — THE documented knob of the bloom-pruned
+    * incremental dedup. Sized for the expected BATCH fingerprint
+    * count at the largest tested fixture (sf1zipf ≈ 62k batch docs)
+    * at 8 bits/key (~2% fp): a batch beyond [[D21BloomItems]]
+    * saturates the filter, which degrades PRUNING (more verify
+    * traffic through the exact fp join) but never the ANSWER — at a
+    * genuinely larger deployment scale, resize both together keeping
+    * the bits/key ratio (bits = 8 × expected batch keys; the filter
+    * still travels as ONE bounded binary row, ~bits/8 bytes). */
+  private[graft] val D21BloomItems = 100000L
+  private[graft] val D21BloomBits = 8L * D21BloomItems
+
   /** The (a, b) constants of the i-th MinHash in the (a·x + b) mod P
     * family — exposed so PropertySpec pins the signed-64 headroom over
     * the REAL constants (a drifted copy in the test would pin
@@ -580,13 +592,14 @@ object Dedup {
         .select(col("doc_id"), col("is_batch"), fingerprintCol.as("fp")))
       val batch = f.filter(col("is_batch"))
       // Bounded driver-side collect (the P9 pattern): ONE binary row
-      // holding the fixed bit-budget filter (~100 KB at these knobs),
-      // embedded as a literal because might_contain requires a
-      // constant/scalar-subquery filter — exactly the shape Spark's
-      // own runtime-filter injection produces.
+      // holding the fixed bit-budget filter (~100 KB at the
+      // D21BloomItems/D21BloomBits knobs — sizing rules at their
+      // definition), embedded as a literal because might_contain
+      // requires a constant/scalar-subquery filter — exactly the
+      // shape Spark's own runtime-filter injection produces.
       val bf: Array[Byte] = batch
         .agg(graft.functions.Bloom.bloomAgg(
-          xxhash64(col("fp")), 100000L, 800000L).as("bf"))
+          xxhash64(col("fp")), D21BloomItems, D21BloomBits).as("bf"))
         .head().getAs[Array[Byte]]("bf")
       val survivors = f.filter(!col("is_batch"))
         .filter(graft.functions.Bloom.mightContain(lit(bf),

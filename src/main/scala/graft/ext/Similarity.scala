@@ -1523,7 +1523,18 @@ object Similarity {
   // ---------------------------------------------------------------
 
   /** s41's query sample — the md5 draw discipline under its own
-    * ':rq' salt: ~1/64 of vectors. */
+    * ':rq' salt: ~1/64 of vectors. THE rate is the scale knob, and it
+    * bounds TWO corpus-proportional costs downstream: the probe side
+    * broadcasts the sampled query frame (|sample| × nprobe rows, each
+    * carrying the full 64-dim vector) and the exact truth side scores
+    * |sample| × N pairs — so "affordable at any corpus" holds only
+    * while the proportional sample stays within broadcast/driver
+    * limits (~10⁶ sampled queries). A recall ESTIMATE needs dozens of
+    * queries, not a fixed fraction: at extreme scale tighten the
+    * modulus (the draw family supports any % m = 0) toward an
+    * absolute sample size instead of riding the 1/64 rate. The same
+    * draw (and the same bound) feeds s42/s43, the compressed- and
+    * graph-family recall probes. */
   private[graft] def recallDraw: Column =
     conv(substring(md5(concat(col("vec_id").cast("string"), lit(":rq"))),
       1, 8), 16, 10).cast("long") % 64 === 0

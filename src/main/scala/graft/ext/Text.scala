@@ -1433,7 +1433,11 @@ object Text {
     * ranks under (qw desc, doc_id asc) for the remaining slots — the
     * classic two-phase distributed top-K, exact because bins are
     * monotone in qw. Emits (doc_id, qw, kept) for every pool doc —
-    * t31's provenance discipline. Defined for n ≥ 4 (k ≥ 1). */
+    * t31's provenance discipline. A degenerate pool (n < 4 ⇒ k = 0)
+    * has NO boundary bin; the boundary frame attaches by LEFT join so
+    * the empty selection still emits every row with kept = false
+    * (the provenance contract) instead of silently returning zero
+    * rows. */
   private[graft] def dsirSelect(wts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val q = graft.ops.Subplan.once(
@@ -1452,15 +1456,16 @@ object Text {
       .select(col("bin").as("bstar"), (col("k") - col("above")).as("r"))
       .withColumn("one", graft.ops.ConstKey.one(col("bstar")))
     val qq = q.withColumn("one", graft.ops.ConstKey.one(col("doc_id")))
-      .join(broadcast(boundary), "one")
+      .join(broadcast(boundary), Seq("one"), "left")
     val rnk = qq.filter(col("bin") === col("bstar"))
       .withColumn("rn", row_number().over(
         w.partitionBy(col("bstar")).orderBy(col("qw").desc, col("doc_id"))))
       .select(col("doc_id"), col("rn"))
     qq.join(rnk, Seq("doc_id"), "left")
       .select(col("doc_id"), col("qw"),
-        (col("bin") > col("bstar") ||
-          (col("bin") === col("bstar") && col("rn") <= col("r"))).as("kept"))
+        coalesce(col("bin") > col("bstar") ||
+          (col("bin") === col("bstar") && col("rn") <= col("r")),
+          lit(false)).as("kept"))
   }
 
   /** First-8-hex-digits-of-md5(source) as a long — the per-source

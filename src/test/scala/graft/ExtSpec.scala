@@ -2934,6 +2934,14 @@ class ExtSpec extends AnyFunSuite {
     val bQw = sel.filter(t => t._1 % 2 != 0).map(_._2)
     assert(aQw.min > bQw.max,
       "every A-like pool doc must outweigh every B-like one")
+    // Degenerate pool (n < 4 ⇒ k = 0): no boundary bin exists; the
+    // provenance contract still emits every row, all kept = false —
+    // never a silent zero-row result.
+    val tiny = ext.Text.dsirSelect(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "qw"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(tiny.length == 3 && tiny.forall(!_._2),
+      s"degenerate pool must emit all rows unkept, got ${tiny.toSeq}")
   }
 
   test("s41 recall probe: the truth side IS s03's exact NN-1 on the " +
