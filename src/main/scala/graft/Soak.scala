@@ -153,35 +153,19 @@ object Soak {
       val t0 = System.nanoTime()
       val g = ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
       val tBuild = (System.nanoTime() - t0) / 1e9
-      // Exact L2 NN-1 by the s03 block-grid shape (never a corpus
-      // broadcast): probe side replicated over blocks, corpus side
-      // salted by id.
-      val blocks = 32
-      val aSide = fx.select(col("vec_id").as("qid"), col("x").as("qx"))
-        .withColumn("blk", explode(array((0 until blocks).map(lit): _*)))
-      val bSide = fx.withColumn("blk",
-        pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
-      val exactScored = aSide.join(bSide, Seq("blk"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
-      val exact = ops.Subplan.once(exactScored
-        .groupBy(col("qid"))
-        .agg(max(struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
-          col("nn_id"))).as("b"))
-        .select(col("qid").as("vec_id"), col("b.nn_id").as("nn_id")))
-      // Exact top-5 ground truth for the ef recall@5 column (the
-      // exact NN-1 alone cannot show ef-search's value: if the true
-      // NN-1 is ever VISITED it is visited rank-1 by definition, so
-      // "NN-1 ∈ ef top-5" ≡ walk1 — the monotone theorem; what ef
-      // buys is the 2nd..5th true neighbors).
-      val exact5 = ops.Subplan.once(exactScored
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg.topK(
-          struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
-            col("nn_id")), 5).as("top"))
-        .select(col("qid").as("vec_id"), explode(col("top")).as("t"))
-        .select(col("vec_id"), col("t.nn_id").as("nn_id")))
+      // Exact L2 ground truth by the ONE shared block-grid statement
+      // (Similarity.exactNnKSqBetween — also s43's truth side, so the
+      // soak's recall and the registered monitor's cannot diverge):
+      // one pass computes the top-5, NN-1 is its rank-1 slice.
+      // The exact NN-1 alone cannot show ef-search's value: if the
+      // true NN-1 is ever VISITED it is visited rank-1 by definition,
+      // so "NN-1 ∈ ef top-5" ≡ walk1 — the monotone theorem; what ef
+      // buys is the 2nd..5th true neighbors.
+      val exactK = ops.Subplan.once(
+        ext.Similarity.exactNnKSqBetween(fx, fx, 5))
+      val exact = ops.Subplan.once(exactK.filter(col("rk") === 1)
+        .select(col("vec_id"), col("nn_id")))
+      val exact5 = exactK.select(col("vec_id"), col("nn_id"))
       val n = exact.count()
       val (contain, _) = timed(exact
         .join(g.select(col("v").as("vec_id"), col("w").as("nn_id")),

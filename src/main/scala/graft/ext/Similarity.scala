@@ -876,6 +876,17 @@ object Similarity {
     // s15 probe the production path serves, per-query hit flags.
     "s41_recall_probe" -> ((s, dir) => recallProbeQuery(s, dir)),
 
+    // RECALL ESTIMATION for the compressed family — the SAME draw,
+    // the SAME cosine truth statement, probe = the s28 stored-index
+    // read path (ADC shortlist + the ONE exact-rerank tail).
+    "s42_recall_adc_probe" -> ((s, dir) => recallProbeAdcQuery(s, dir)),
+
+    // RECALL ESTIMATION for the graph family — the SAME draw, truth
+    // in the walk's own exact-int64 metric over the twin lattice
+    // (exactNn1SqBetween — the Soak --knn discipline), probe = the
+    // s36 ef-search body over the landed graph.
+    "s43_recall_graph_probe" -> ((s, dir) => recallProbeKnnQuery(s, dir)),
+
     // SemDeDup — semantic dedup by trained-cell blocking: pairs
     // compared only within a k-means cell, each near-dup pair keeps
     // the member FARTHER from its centroid (exact int64 distance to
@@ -947,6 +958,38 @@ object Similarity {
       .select(col("vec_id"), col("nn_id"),
         cosine(col("v"), col("bv")).as("cos_sim")))
   }
+
+  /** The SAME block-grid exact NN-1 in the GRAPH family's metric —
+    * int64 squared distance on (vec_id, x) fixed-point frames, NN by
+    * (d asc, id asc). ONE statement for s43's sampled ground truth
+    * (probes = the recall draw over the twin lattice) and the
+    * `Soak --knn` natural-corpus truth (probes = corpus), so the
+    * graph monitors' truth side is one definition — the
+    * [[exactNn1Between]] discipline with the cosine family's metric
+    * swapped for the walk's own exact-integer one. */
+  private[graft] def exactNnKSqBetween(probes: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("x").as("cx"),
+      pmod(col("vec_id"), lit(Nn1Blocks.toLong)).cast("int").as("blk"))
+    val p = probes.select(col("vec_id"), col("x"))
+      .withColumn("blk", explode(array((0 until Nn1Blocks).map(lit): _*)))
+    p.join(c.hint("shuffle_hash"), Seq("blk"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        graft.functions.SqDistLong.sqDist(col("x"), col("cx")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-col("d")).as("nd"), (-col("nn_id")).as("ni"),
+          col("nn_id")), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.nn_id").as("nn_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  private[graft] def exactNn1SqBetween(probes: DataFrame,
+      corpus: DataFrame): DataFrame =
+    exactNnKSqBetween(probes, corpus, 1)
+      .select(col("vec_id"), col("nn_id"))
 
   /** s05's construction over an already-materialized (vec_id, v)
     * corpus: each vector's nearest neighbor AMONG ITS SIGN-BAND
@@ -1539,8 +1582,32 @@ object Similarity {
     conv(substring(md5(concat(col("vec_id").cast("string"), lit(":rq"))),
       1, 8), 16, 10).cast("long") % 64 === 0
 
-  private val recallDrawSql =
-    "('0x' || substr(md5(s.vec_id || ':rq'), 1, 8))::BIGINT % 64 = 0"
+  /** [[recallDraw]] as SQL over a named id column — ONE text for the
+    * s41/s42 probe predicate (`s.vec_id`), s43's walk entry
+    * (`vec_id` over the twin corpus) and its lattice truth side. */
+  private def recallDrawSqlOn(idCol: String): String =
+    s"('0x' || substr(md5($idCol || ':rq'), 1, 8))::BIGINT % 64 = 0"
+
+  private val recallDrawSql = recallDrawSqlOn("s.vec_id")
+
+  /** THE hit-flag fold of a recall probe — the sampled exact truth
+    * (qid, nn_exact) LEFT-joined to a ranked probe frame carrying
+    * (qid, nn_id, rk ≤ 5), per-query BOOLEANS out (hit1: the probe's
+    * rank-1 IS the exact NN; hit5: the exact NN appears in the
+    * top-5). ONE statement for all three index families' monitors
+    * (s41 trained, s42 compressed, s43 graph), so they cannot
+    * disagree about what a hit IS; the t38 report rule keeps the
+    * rows hash-portable and the aggregation grain the consumer's. */
+  private def recallFlags(exact: DataFrame, probed: DataFrame): DataFrame =
+    exact.join(probed, Seq("qid"), "left")
+      .groupBy(col("qid"), col("nn_exact"))
+      .agg(
+        sum(when(col("rk") === 1 && col("nn_id") === col("nn_exact"), 1L)
+          .otherwise(0L)).as("h1"),
+        sum(when(col("nn_id") === col("nn_exact"), 1L)
+          .otherwise(0L)).as("h5"))
+      .select(col("qid"), col("nn_exact"),
+        (col("h1") > 0).as("hit1"), (col("h5") > 0).as("hit5"))
 
   private def recallProbeQuery(s: SparkSession, dir: String): DataFrame = {
     lazy val fxOf = graft.ops.Subplan.once(
@@ -1555,15 +1622,51 @@ object Similarity {
     val probed = kmProbedTop5(
       post.select(col("vec_id"), col("v"), col("cid")),
       kmProbeCells(qs, cents))
-    exact.join(probed, Seq("qid"), "left")
-      .groupBy(col("qid"), col("nn_exact"))
-      .agg(
-        sum(when(col("rk") === 1 && col("nn_id") === col("nn_exact"), 1L)
-          .otherwise(0L)).as("h1"),
-        sum(when(col("nn_id") === col("nn_exact"), 1L)
-          .otherwise(0L)).as("h5"))
-      .select(col("qid"), col("nn_exact"),
-        (col("h1") > 0).as("hit1"), (col("h5") > 0).as("hit5"))
+    recallFlags(exact, probed)
+  }
+
+  /** The s42 body — RECALL ESTIMATION for the COMPRESSED family: the
+    * monitor symmetry s41 started, completed for the second of the
+    * three production read paths. Probe = the registered s28 body on
+    * the ':rq' draw (the stored s21 index probed under partition
+    * pruning, ADC shortlist, the ONE [[exactRerankTail]]); truth =
+    * the ONE [[exactNn1Between]] statement (cosine — the rerank's own
+    * answer metric, so a perfect read path scores 1.0). Costs: truth
+    * |sample|·N scored pairs, probe |sample| rerank fetches — both
+    * governed by the [[recallDraw]] rate knob and its documented
+    * bound. */
+  private def recallProbeAdcQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, pqc, codes) = s21Store(s, dir)
+    val e = emb(s, dir)
+    val qs = graft.ops.Subplan.once(e.filter(recallDraw)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val exact = exactNn1Between(qs.select(col("vec_id"), col("v")), e)
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    val probed = exactRerankTail(s, dir,
+      adcScored(codes, qs, cents, pqc), recallDraw)
+    recallFlags(exact, probed)
+  }
+
+  /** The s43 body — RECALL ESTIMATION for the GRAPH family, closing
+    * the monitor symmetry (s41 trained / s42 compressed / s43 graph —
+    * every production read path now has an answer-quality monitor
+    * beside its model-health drift watcher). Probe = the registered
+    * s36 body on the ':rq' draw (ONE [[knnBeamWalkFull]] loop over
+    * the landed [[knnGraphStore]], visited set ranked by
+    * [[knnEfRank]]); truth = [[exactNn1SqBetween]] over the SAME
+    * twin-extended lattice the graph indexes, in the WALK'S OWN
+    * metric (exact int64 squared distance — the `Soak --knn`
+    * discipline: a perfect walk scores 1.0; a cosine truth would cap
+    * the monitor below 1 by metric mismatch, making drift unreadable).
+    * On the planted corpus the exact NN of every natural vector is
+    * its twin, so hit1 is the operational twin_rank1 number. */
+  private def recallProbeKnnQuery(s: SparkSession, dir: String): DataFrame = {
+    val (fx, q) = knnQueryFrame(s, dir, recallDraw)
+    val (_, visited) =
+      knnBeamWalkFull(q, fx, knnGraphStore(s, dir), KnnBeamWidth)
+    val exact = exactNn1SqBetween(fx.filter(recallDraw), fx)
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    recallFlags(exact, knnEfRank(visited))
   }
 
   /** The s24 deletion draw — the md5 discipline read as a RETIREMENT
@@ -2166,12 +2269,15 @@ object Similarity {
     * embeddings table (broadcast-restricted scan — the reference's
     * keyed-read shape, chip.py:39-51) and ranked by exact cosine.
     * ONE definition for s17 (candidates from the in-lineage
-    * [[ivfadcScored]]) and s28 (candidates from the stored s21
-    * probe), so the deployment read path and the in-lineage form can
-    * only differ by where their ADC candidates came from — never by
-    * the rerank itself. `scored` carries (qid, nn_id, adc). */
+    * [[ivfadcScored]]), s28 (candidates from the stored s21 probe)
+    * and s42 (the compressed family's recall probe — the SAME tail
+    * over the ':rq' draw via `qFilter`), so the deployment read path,
+    * the in-lineage form and the monitor can only differ by where
+    * their ADC candidates came from — never by the rerank itself.
+    * `scored` carries (qid, nn_id, adc). */
   private def exactRerankTail(s: SparkSession, dir: String,
-      scored: DataFrame): DataFrame = {
+      scored: DataFrame,
+      qFilter: Column = col("vec_id") < 10): DataFrame = {
     val cand = scored
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
@@ -2180,7 +2286,7 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.nn_id").as("nn_id"))
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(qFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val rescored = e.join(broadcast(cand), e("vec_id") === cand("nn_id"))
       .join(broadcast(q), Seq("qid"))
@@ -2422,15 +2528,18 @@ object Similarity {
     knnBeamWalk(q, fx, knnGraphStore(s, dir), beam)
   }
 
-  /** The shared s31/s33/s36 query front: the checkpointed fixed-point
-    * corpus and the registered 10-query entry frame (vertex 0 enters
-    * at 1, everyone else at 0). */
-  private def knnQueryFrame(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  /** The shared s31/s33/s36/s40/s43 query front: the checkpointed
+    * fixed-point corpus and the entry frame over `qFilter` (default
+    * the registered 10-query frame; s43 passes the ':rq' recall
+    * draw). Entry rule: vertex 0 enters at 1, everyone else at 0 —
+    * the walk drops the query itself from candidates, so a query may
+    * never enter at its own id. */
+  private def knnQueryFrame(s: SparkSession, dir: String,
+      qFilter: Column = col("vec_id") < 10): (DataFrame, DataFrame) = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
     val q = graft.ops.Subplan.once(
-      fx.filter(col("vec_id") < 10)
+      fx.filter(qFilter)
         .select(col("vec_id").as("qid"), col("x").as("qx"),
           when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
     (fx, q)
@@ -3440,10 +3549,11 @@ object Similarity {
     * train-then-apply split. */
   private def kmeansChainCtes: String = kmeansChainCtesOver(None)
 
-  private def kmeansChainCtesOver(trainPred: Option[String]): String =
+  private def kmeansChainCtesOver(trainPred: Option[String],
+      probeWhere: String = "s.vec_id < 10"): String =
     kmeansChainCtesFrom(
       "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
-      "e", trainPred)
+      "e", trainPred, probeWhere)
 
   /** The SAME chain over an arbitrary corpus: `head` is the leading
     * CTE block and must define `$eName`(vec_id, v) — d20 trains the
@@ -3598,10 +3708,11 @@ object Similarity {
     * one statement of the candidate scoring for both. */
   private def ivfadcAdcCtes: String = ivfadcAdcCtesOver(None)
 
-  private def ivfadcAdcCtesOver(trainPred: Option[String]): String = {
+  private def ivfadcAdcCtesOver(trainPred: Option[String],
+      probeWhere: String = "s.vec_id < 10"): String = {
     val rtrCte = trainPred
       .map(p => s"rtr AS (SELECT * FROM rsv WHERE $p),\n").getOrElse("")
-    s"""${kmeansChainCtesOver(trainPred)},
+    s"""${kmeansChainCtesOver(trainPred, probeWhere)},
        |rsv AS (SELECT p.vec_id, u.sub,
        |    [p.x[u.sub * $PqSubDim + i] - c.m[u.sub * $PqSubDim + i]
        |     for i in generate_series(1, $PqSubDim)] AS xs
@@ -3816,9 +3927,11 @@ object Similarity {
   /** The s31/s33 walk CTEs — entry frame + the hops unrolled, each
     * keeping rank ≤ `beam` per query (greedy = beam 1): candidates =
     * frontier ∪ the graph rows' neighbors, ranked by (exact distance,
-    * id). ONE generator for both widths, the knnRoundCtes
-    * discipline. */
-  private def knnWalkCtes(beam: Int): String = {
+    * id). ONE generator for both widths AND both query sets (`qWhere`
+    * defaults to the registered 10-query frame; s43 walks the recall
+    * draw), the knnRoundCtes discipline. */
+  private def knnWalkCtes(beam: Int,
+      qWhere: String = "vec_id < 10"): String = {
     val hops = (1 to KnnSearchHops).map { t =>
       s"""wc$t AS (SELECT h.qid, h.cur AS cand FROM wh${t - 1} h
          |  UNION SELECT h.qid, g.w FROM wh${t - 1} h
@@ -3832,7 +3945,7 @@ object Similarity {
     }.mkString(",\n")
     s"""wh0 AS (SELECT vec_id AS qid,
        |    CAST(CASE WHEN vec_id = 0 THEN 1 ELSE 0 END AS BIGINT) AS cur
-       |  FROM al WHERE vec_id < 10),
+       |  FROM al WHERE $qWhere),
        |$hops""".stripMargin
   }
 
@@ -4092,6 +4205,33 @@ object Similarity {
        |    THEN CAST(n.now_sum_d AS DOUBLE) / n.now_edges END AS mean_d_now
        |FROM bst b LEFT JOIN nst n USING (pt)""".stripMargin
 
+  /** The cosine-family exact-NN-1 truth CTE of the recall monitors —
+    * the naive per-query full-corpus ROW_NUMBER over `e`, restricted
+    * to the ':rq' draw. ONE text for s41 and s42 (their truth IS the
+    * same statement; only the probe side differs). */
+  private def recallExCosCte: String =
+    s"""ex AS (SELECT qid, nn_id AS nn_exact FROM (
+       |  SELECT s.vec_id AS qid, t.vec_id AS nn_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |      list_dot_product(s.v, t.v)
+       |        / (sqrt(list_dot_product(s.v, s.v))
+       |           * sqrt(list_dot_product(t.v, t.v))) DESC,
+       |      t.vec_id ASC) AS rn
+       |  FROM e s JOIN e t ON t.vec_id <> s.vec_id
+       |  WHERE $recallDrawSql) WHERE rn = 1)""".stripMargin
+
+  /** The hit-flag tail of every recall-monitor oracle — the SQL
+    * statement of [[recallFlags]], assuming CTEs `ex`(qid, nn_exact)
+    * and `top5`(qid, nn_id, rk). ONE text for s41/s42/s43. */
+  private def recallHitsSql: String =
+    s"""SELECT ex.qid, ex.nn_exact,
+       |  SUM(CASE WHEN t.rk = 1 AND t.nn_id = ex.nn_exact
+       |      THEN 1 ELSE 0 END) > 0 AS hit1,
+       |  SUM(CASE WHEN t.nn_id = ex.nn_exact THEN 1 ELSE 0 END) > 0
+       |    AS hit5
+       |FROM ex LEFT JOIN top5 t ON t.qid = ex.qid
+       |GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s29_knn_graph" -> knnGraphOracleSql,
     "s31_knn_graph_search" -> knnSearchOracleSql,
@@ -4124,22 +4264,56 @@ object Similarity {
          |  SELECT qid, nn_id, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cos_sim DESC, nn_id ASC) AS rk
          |  FROM scored) WHERE rk <= 5),
+         |$recallExCosCte
+         |$recallHitsSql""".stripMargin,
+
+    // s42: the SAME truth and hit statements as s41; the probe side
+    // is the s17/s28 ADC + rerank chain with its probe set re-pointed
+    // at the recall draw (one chain, one rerank text — the engine's
+    // stored-index read path must match the naive statements end to
+    // end).
+    "s42_recall_adc_probe" ->
+      s"""WITH ${ivfadcAdcCtesOver(None, recallDrawSql)},
+         |cr AS (SELECT qid, nn_id FROM (
+         |  SELECT qid, nn_id, ROW_NUMBER() OVER
+         |      (PARTITION BY qid ORDER BY adc ASC, nn_id ASC) AS crk
+         |    FROM adc) WHERE crk <= $RerankR),
+         |rescored AS (SELECT c.qid, c.nn_id,
+         |    list_dot_product(qe.v, ge.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+         |  FROM cr c JOIN e qe ON qe.vec_id = c.qid
+         |  JOIN e ge ON ge.vec_id = c.nn_id),
+         |top5 AS (SELECT qid, nn_id, rk FROM (
+         |  SELECT qid, nn_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM rescored) WHERE rk <= 5),
+         |$recallExCosCte
+         |$recallHitsSql""".stripMargin,
+
+    // s43: the unrolled graph chain + the SAME walk CTEs re-pointed
+    // at the recall draw, visited union ranked to top-5; truth = the
+    // naive per-query exact-int64 NN-1 over the twin lattice (the
+    // walk's own metric); the SAME hit statement.
+    "s43_recall_graph_probe" ->
+      s"""WITH $knnGraphCtes,
+         |${knnWalkCtes(KnnBeamWidth, recallDrawSqlOn("vec_id"))},
+         |vis AS (${(1 to KnnSearchHops)
+            .map(t => s"SELECT qid, cand FROM wc$t").mkString("\n  UNION\n  ")}),
+         |top5 AS (SELECT qid, cand AS nn_id, rk FROM (
+         |  SELECT h.qid, h.cand, ROW_NUMBER() OVER (PARTITION BY h.qid
+         |      ORDER BY ${sqlDist("q.x", "f.x")} ASC, h.cand ASC) AS rk
+         |    FROM vis h JOIN fx f ON f.vec_id = h.cand
+         |    JOIN fx q ON q.vec_id = h.qid
+         |    WHERE h.cand <> h.qid) WHERE rk <= $KnnEfTopK),
          |ex AS (SELECT qid, nn_id AS nn_exact FROM (
          |  SELECT s.vec_id AS qid, t.vec_id AS nn_id,
          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-         |      list_dot_product(s.v, t.v)
-         |        / (sqrt(list_dot_product(s.v, s.v))
-         |           * sqrt(list_dot_product(t.v, t.v))) DESC,
+         |      CAST(${sqlDist("s.x", "t.x")} AS BIGINT) ASC,
          |      t.vec_id ASC) AS rn
-         |  FROM e s JOIN e t ON t.vec_id <> s.vec_id
-         |  WHERE $recallDrawSql) WHERE rn = 1)
-         |SELECT ex.qid, ex.nn_exact,
-         |  SUM(CASE WHEN t.rk = 1 AND t.nn_id = ex.nn_exact
-         |      THEN 1 ELSE 0 END) > 0 AS hit1,
-         |  SUM(CASE WHEN t.nn_id = ex.nn_exact THEN 1 ELSE 0 END) > 0
-         |    AS hit5
-         |FROM ex LEFT JOIN top5 t ON t.qid = ex.qid
-         |GROUP BY 1, 2""".stripMargin,
+         |  FROM fx s JOIN fx t ON t.vec_id <> s.vec_id
+         |  WHERE ${recallDrawSqlOn("s.vec_id")}) WHERE rn = 1)
+         |$recallHitsSql""".stripMargin,
     // s39: the BRUTE-FORCE range statement — deliberately not the
     // pruned plan: the exact verify makes the Spark answer
     // independent of the bound, so the naive oracle checks pruning

@@ -2965,6 +2965,62 @@ class ExtSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == drawIds)
   }
 
+  test("s42 compressed-family recall probe: the truth side IS s03's exact " +
+      "NN-1; hit1 implies hit5; the draw is the row set") {
+    val got = SparkEntry.queries("s42_recall_adc_probe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, h1, h5) =>
+      assert(!h1 || h5, s"query $q: hit1 without hit5") }
+    // ONE truth statement across the cosine-family monitors: the
+    // ground-truth column equals the registered s03 answer per query.
+    val s03 = SparkEntry.queries("s03_embedding_nn1")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (q, ex, _, _) =>
+      assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
+    val drawIds = Tables(spark, sf, "embeddings")
+      .filter(ext.Similarity.recallDraw)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == drawIds)
+  }
+
+  test("s43 graph-family recall probe: truth is the exact int64 NN-1 over " +
+      "the twin lattice (JVM replay); hit1 implies hit5; the draw over the " +
+      "twin corpus is the row set") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def drawn(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"$id:rq").take(8), 16) % 64 == 0
+    // The twin-extended fixed-point lattice, replayed exactly: dim 0
+    // scaled 1.01 BEFORE the 2^20 floor, ids offset by 1e9.
+    val raw = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lattice = (raw.map { case (id, v) =>
+        (id, v.map(x => math.floor(x * 1048576.0).toLong)) } ++
+      raw.map { case (id, v) =>
+        (id + 1000000000L, v.zipWithIndex.map { case (x, i) =>
+          math.floor((if (i == 0) x * 1.01 else x) * 1048576.0).toLong }) })
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = lattice.filter(t => drawn(t._1)).map { case (qid, qx) =>
+      qid -> lattice.filter(_._1 != qid)
+        .map { case (id, x) => (sq(qx, x), id) }.min._2
+    }.toMap
+    val got = SparkEntry.queries("s43_recall_graph_probe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, h1, h5) =>
+      assert(!h1 || h5, s"query $q: hit1 without hit5") }
+    assert(got.map(_._1).toSet == want.keySet,
+      "row set must be the ':rq' draw over the twin corpus")
+    got.foreach { case (q, ex, _, _) =>
+      assert(want(q) == ex, s"query $q: truth $ex != replay ${want(q)}") }
+  }
+
   test("d21 bloom-pruned incremental dedup: JVM replay of the naive " +
       "answer; the bloom genuinely prunes the existing-corpus scan") {
     def md5hex(s: String): String =
