@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.CcdQueries.queries ++
       ext.Text.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Events.queries ++ ext.Multimodal.queries
+      ext.Similarity.queries ++ ext.Events.queries ++ ext.Multimodal.queries ++
+      ext.Hybrid.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.CcdQueries.oracle ++
       ext.Text.oracle ++ ext.Dedup.oracle ++
-      ext.Similarity.oracle ++ ext.Events.oracle ++ ext.Multimodal.oracle
+      ext.Similarity.oracle ++ ext.Events.oracle ++ ext.Multimodal.oracle ++
+      ext.Hybrid.oracle
 }

@@ -1,0 +1,204 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid (lexical + vector) retrieval — reciprocal-rank fusion of
+  * the engine's two ranker families: the blocked inverted index
+  * (t19's layout, [[Text.blockedEntries]] — ONE build statement with
+  * t19/t21) scores a term query, the landed trained-IVF index
+  * ([[Similarity.s15Store]] — the s15/s23/s39/s41 store, now with a
+  * fifth reader) scores the query's embedding, and each item's fused
+  * score is RRF (Cormack, Clarke & Buettcher, SIGIR 2009):
+  * score(i) = Σ_lists 1/(K + rank_i). The composition shape is the
+  * reference's keyed-read join of two result families on the query
+  * key (segment.py:103-116).
+  *
+  * Query model: the registered 10-query frame — query qid's TERMS are
+  * document qid's text, its VECTOR is embedding qid (the hybrid-item
+  * premise: one id space, items carrying both modalities; items with
+  * one modality still rank in that modality's list — RRF fuses
+  * whatever each ranker returns, so doc-only ids can win lexically).
+  *
+  * Exact-integer discipline: ranks are ints, so RRF rides ONE
+  * rational-sum statement — every contribution is [[RrfC]] div
+  * (K + rank) with C = Π (K+1 .. K+TopK), which each denominator
+  * divides EXACTLY; fused scores are integer sums, hash-portable,
+  * and order-equal to the textbook 1/(K+r) sum scaled by C. The
+  * lexical ranker's term weights are exact integers too:
+  * tf · qtf · (qlog2(N+1) − qlog2(df+1)) — the t29 quantized-log
+  * idf, nonnegative because df ≤ N.
+  *
+  * Scale stance (100 TB): the query side (terms, idf weights, probe
+  * cells) is bounded by |queries| and broadcasts; the postings scan
+  * streams map-side through the broadcast term join and aggregates
+  * (qid, item) partials; the vector side is the s15 pruned probe.
+  * Nothing corpus-sized ever shuffles on an unbounded key, and the
+  * fusion operates on ≤ 2·TopK·|queries| rows. A doc ranked top-5 by
+  * BOTH lists always outranks any single-list doc: min two-list
+  * score 2C/(K+TopK) > max one-list score C/(K+1) at these knobs
+  * (ExtSpec pins the property and a JVM fusion replay).
+  */
+object Hybrid {
+
+  /** RRF smoothing constant — the paper's K = 60. */
+  private[graft] val RrfK = 60L
+
+  /** Per-list depth and fused answer depth. */
+  private[graft] val RrfTopK = 5
+
+  /** The exact-rational scale: Π (K+1 .. K+TopK), divisible by every
+    * possible denominator, so `RrfC div (K + rank)` is EXACT and the
+    * integer fused score orders identically to Σ 1/(K+rank). */
+  private[graft] val RrfC: Long =
+    (RrfK + 1 to RrfK + RrfTopK).product
+
+  /** THE landed full-corpus retrieval index — t19's blocked-postings
+    * layout in a stored table (the knnGraphStore economics: built
+    * once, probed per query). Deliberately its OWN namespace: the
+    * t21_index store's contract is the PRE-batch corpus (t21
+    * maintains it); a retrieval operator answers over the whole
+    * corpus. */
+  private def t39Index(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SessionStore.storedOrBuild(s, "t39_index", dir,
+      Seq("term", "block")) {
+      Text.blockedEntries(Text.docs(s, dir)
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** The t39 body — see the object Scaladoc. Emits the fused
+    * (qid, item_id, rrf, rk ≤ [[RrfTopK]]). */
+  private def hybridRrfQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val d = Text.docs(s, dir)
+    // Query terms: bounded (10 docs' vocabulary) — checkpointed once,
+    // broadcast into every probe.
+    val qterms = graft.ops.Subplan.once(
+      d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), explode(Text.toks).as("term"))
+        .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("qtf")))
+    val idx = t39Index(s, dir)
+    // Integer idf per QUERY term (semi-restricted before the df agg —
+    // only the bounded query vocabulary aggregates): df = Σ blocks'
+    // entry counts; the corpus count rides a ConstKey single-row
+    // broadcast (the knnInitDraws rule).
+    val nd = d.agg(count(lit(1)).as("n"))
+      .withColumn("one", graft.ops.ConstKey.one(col("n")))
+    val df = idx
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(size(col("entries")).cast("long")).as("df"))
+    val w = df.withColumn("one", graft.ops.ConstKey.one(col("df")))
+      .join(broadcast(nd), "one")
+      .select(col("term"),
+        (qlog2(col("n") + 1) - qlog2(col("df") + 1)).as("idfq"))
+    val qw = graft.ops.Subplan.once(qterms.join(w, Seq("term")))
+    // Lexical scores: the postings scan streams through the broadcast
+    // query-term join; contributions partial-aggregate on (qid, item).
+    val lexScore = idx.join(broadcast(qw), Seq("term"))
+      .select(col("qid"), explode(col("entries")).as("e"),
+        (col("qtf") * col("idfq")).as("wt"))
+      .filter(col("e.doc_id") =!= col("qid"))
+      .select(col("qid"), col("e.doc_id").as("item_id"),
+        (col("e.tf") * col("wt")).as("c"))
+      .groupBy(col("qid"), col("item_id")).agg(sum(col("c")).as("score"))
+    val lex = lexScore.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("score"), (-col("item_id")).as("ni"), col("item_id")),
+        RrfTopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item_id").as("item_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+    // Vector list: the s15 landed-store probe verbatim (the s15 read
+    // path — kmProbeCells' 2-cell broadcast + kmProbedTop5).
+    lazy val fxOf = graft.ops.Subplan.once(
+      Similarity.emb(s, dir).select(col("vec_id"), col("label"), col("v"),
+        Similarity.fixedPoint(col("v")).as("x")))
+    val (cents, post) = Similarity.s15Store(s, dir, fxOf)
+    val q = Similarity.emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), Similarity.fixedPoint(col("v")).as("x"))
+    val vec = Similarity.kmProbedTop5(
+        post.select(col("vec_id"), col("v"), col("cid")),
+        Similarity.kmProbeCells(q, cents))
+      .select(col("qid"), col("nn_id").as("item_id"), col("rk"))
+    // Fusion: ONE rational-sum statement over both ranked lists.
+    val fused = lex.unionByName(vec)
+      .select(col("qid"), col("item_id"),
+        expr(s"${RrfC}L div (${RrfK}L + rk)").as("c"))
+      .groupBy(col("qid"), col("item_id")).agg(sum(col("c")).as("rrf"))
+    fused.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("rrf"), (-col("item_id")).as("ni"), col("item_id")),
+        RrfTopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item_id").as("item_id"),
+        col("col.rrf").as("rrf"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HYBRID RETRIEVAL — RRF fusion of the inverted-index term top-5
+    // and the landed trained-IVF vector top-5, per query; see the
+    // object Scaladoc.
+    "t39_hybrid_rrf" -> ((s, dir) => hybridRrfQuery(s, dir))
+  )
+
+  // The oracle: the lexical ranker restated naively (tokenize → tf →
+  // df → quantized-log idf from the ONE qlog recurrence → scores →
+  // ROW_NUMBER top-5), the vector ranker as the s13/s15 probe chain
+  // (the ONE kmeansChainCtes text), and the fusion as the naive
+  // integer rational-sum + ROW_NUMBER — the engine's landed stores
+  // and bounded-heap ranks must match the naive statements end to
+  // end (storage topology is PlanSpec's to pin, never the oracle's).
+  val oracle: Map[String, String] = Map(
+    "t39_hybrid_rrf" ->
+      s"""WITH ${Similarity.kmeansChainCtes},
+         |vcand AS (SELECT p.qid, g.vec_id AS nn_id
+         |  FROM pr p JOIN post g ON g.cid = p.cid WHERE g.vec_id <> p.qid),
+         |vscored AS (SELECT c.qid, c.nn_id,
+         |    list_dot_product(qe.v, ge.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(ge.v, ge.v))) AS cos_sim
+         |  FROM vcand c JOIN e qe ON qe.vec_id = c.qid
+         |  JOIN e ge ON ge.vec_id = c.nn_id),
+         |vtop AS (SELECT qid, nn_id AS item_id, rk FROM (
+         |  SELECT qid, nn_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM vscored) WHERE rk <= $RrfTopK),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tfq AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |qt AS (SELECT doc_id AS qid, term, tf AS qtf FROM tfq
+         |  WHERE doc_id < 10),
+         |qv AS (SELECT DISTINCT term FROM qt),
+         |dfx AS (SELECT t.term, COUNT(*) AS df FROM tfq t
+         |  JOIN qv ON qv.term = t.term GROUP BY 1),
+         |ndx AS (SELECT COUNT(*) AS n FROM documents),
+         |vals AS (SELECT DISTINCT x FROM (
+         |    SELECT df + 1 AS x FROM dfx
+         |    UNION ALL SELECT n + 1 FROM ndx)),
+         |${Text.qlogChainCte("vals")},
+         |w AS (SELECT d.term, qn.ql - qd.ql AS idfq
+         |  FROM dfx d CROSS JOIN ndx n
+         |  JOIN ql qd ON qd.x = d.df + 1
+         |  JOIN ql qn ON qn.x = n.n + 1),
+         |lsc AS (SELECT q.qid, t.doc_id AS item_id,
+         |    SUM(q.qtf * w.idfq * t.tf) AS score
+         |  FROM qt q JOIN w ON w.term = q.term
+         |  JOIN tfq t ON t.term = q.term
+         |  WHERE t.doc_id <> q.qid GROUP BY 1, 2),
+         |ltop AS (SELECT qid, item_id, rk FROM (
+         |  SELECT qid, item_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM lsc) WHERE rk <= $RrfTopK),
+         |fused AS (SELECT qid, item_id, CAST(SUM(c) AS BIGINT) AS rrf FROM (
+         |    SELECT qid, item_id, $RrfC // ($RrfK + rk) AS c FROM ltop
+         |    UNION ALL
+         |    SELECT qid, item_id, $RrfC // ($RrfK + rk) AS c FROM vtop)
+         |  GROUP BY 1, 2)
+         |SELECT qid, item_id, rrf, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT qid, item_id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf DESC, item_id ASC) AS rk
+         |  FROM fused) WHERE rk <= $RrfTopK""".stripMargin
+  )
+}

@@ -1325,7 +1325,7 @@ object Similarity {
     * production store avoids. Postings rows carry (vec_id, v, label,
     * cid). `fxOf` must be lazy at the caller so a fully-stored repeat
     * run never evaluates it. */
-  private def s15Store(s: SparkSession, dir: String,
+  private[graft] def s15Store(s: SparkSession, dir: String,
       fxOf: => DataFrame): (DataFrame, DataFrame) = {
     lazy val fx = fxOf
     val cents = graft.sources.SessionStore.storedOrBuild(
@@ -3547,7 +3547,7 @@ object Similarity {
     * Lloyd rounds run over the training subset; `post` (the index)
     * and `pr` (the probes) always assign over the FULL corpus — the
     * train-then-apply split. */
-  private def kmeansChainCtes: String = kmeansChainCtesOver(None)
+  private[graft] def kmeansChainCtes: String = kmeansChainCtesOver(None)
 
   private def kmeansChainCtesOver(trainPred: Option[String],
       probeWhere: String = "s.vec_id < 10"): String =

@@ -16,11 +16,35 @@ import graft.Tables
   */
 object Text {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
   /** Whitespace tokens of `text`, after trim. */
   private[graft] def toks: Column = split(trim(col("text")), "\\s+")
+
+  /** The inverted index's doc_id block width — bounds postings-row
+    * size at 100 TB (a hot term shards across blocks instead of one
+    * unbounded row). */
+  private[graft] val PostingsBlock = 128
+
+  /** (term, doc_id, tf, block) frequency rows of a (doc_id, text)
+    * frame — the first shuffle of every inverted-index statement. */
+  private[graft] def blockedTf(side: DataFrame): DataFrame = side
+    .select(col("doc_id"), explode(toks).as("term"))
+    .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    .withColumn("block", expr(s"doc_id div $PostingsBlock"))
+
+  /** THE blocked-postings build — (term, block, entries:
+    * array<struct<doc_id, tf>>), the (term, block) gather over
+    * [[blockedTf]]. ONE statement for the t19 emit (which formats
+    * it), the t21 maintained store, and t39's retrieval index, so no
+    * index build can drift from another. Entry order within a row is
+    * collect_list's (consumers needing doc order sort explicitly —
+    * t19/t21 do; t39's probe explodes, order-free). */
+  private[graft] def blockedEntries(side: DataFrame): DataFrame =
+    blockedTf(side)
+      .groupBy(col("term"), col("block"))
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries"))
 
   /** 36-bit md5-derived word-8-gram hashes of a tokens column named
     * `tk` — the [[Dedup.ngramIdCol]] template at width 8, ONE
@@ -423,21 +447,18 @@ object Text {
     // anyway (a hot term's postings can exceed any single row/task;
     // blocking bounds row size by construction and makes the gather
     // partial-agg-friendly). Exactly two shuffles: (term, doc) tf
-    // counts, then (term, block) gathers; both content-keyed.
-    "t19_inverted_index" -> ((s, dir) => {
-      val b = 128
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      tf.withColumn("block", expr(s"doc_id div $b"))
-        .groupBy(col("term"), col("block"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tf")).cast("long").as("n_occ"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+    // counts, then (term, block) gathers; both content-keyed. ONE
+    // build statement ([[blockedEntries]]) with the t21 maintained
+    // store and t39's retrieval index; this emit formats it.
+    "t19_inverted_index" -> ((s, dir) =>
+      blockedEntries(docs(s, dir))
+        .select(col("term"), col("block"),
+          size(col("entries")).cast("long").as("n_docs"),
+          aggregate(col("entries"), lit(0L),
+            (acc, e) => acc + e.getField("tf")).as("n_occ"),
+          array_join(transform(array_sort(col("entries")),
             e => concat(e.getField("doc_id").cast("string"), lit(":"),
-              e.getField("tf").cast("string"))), ",").as("postings"))
-    }),
+              e.getField("tf").cast("string"))), ",").as("postings"))),
 
     // N-gram LM "perplexity" quality filter — the count-based LM cut
     // (CCNet-style) a pre-training pipeline runs after the cheap
@@ -621,31 +642,24 @@ object Text {
     // exchanges in it). Emits (term, block, n_docs, n_occ, postings,
     // n_new).
     "t21_index_delta" -> ((s, dir) => {
-      val b = 128
       val base = docs(s, dir).select(col("doc_id"),
         (col("doc_id") % 8 === 0).as("is_batch"), col("text"))
-      def tfOf(side: DataFrame): DataFrame = side
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .withColumn("block", expr(s"doc_id div $b"))
       // The existing index rides the session store (the d14_sets
       // discipline): a deployed index IS a stored table (t19 built
       // it; this query maintains it), so a repeat invocation reads
       // the landed postings and times the touched-key probe + merge
-      // — the per-batch work — not the full corpus re-index.
+      // — the per-batch work — not the full corpus re-index. ONE
+      // build statement (blockedEntries) with t19 and t39.
       val existing = graft.ops.Subplan.once(
         graft.sources.SessionStore.storedOrBuild(s, "t21_index", dir,
           Seq("term", "block"))(
-          tfOf(base.filter(!col("is_batch")))
-            .groupBy(col("term"), col("block"))
-            .agg(collect_list(struct(col("doc_id"), col("tf"))).as("entries"))))
+          blockedEntries(base.filter(!col("is_batch")))))
       // The batch slice feeds BOTH the touched-key probe and the merge
       // — materialize once (the `existing` discipline three lines up)
       // so the tokenize + double aggregation doesn't run twice.
       val delta = graft.ops.Subplan.once(
-        tfOf(base.filter(col("is_batch")))
-          .groupBy(col("term"), col("block"))
-          .agg(collect_list(struct(col("doc_id"), col("tf"))).as("new_entries")))
+        blockedEntries(base.filter(col("is_batch")))
+          .withColumnRenamed("entries", "new_entries"))
       // The broadcast gate: delta is already checkpointed, so this
       // count scans the materialized rows (never a recompute) and the
       // decision is made on the REAL batch size, not the contract's
@@ -2259,7 +2273,7 @@ object Text {
     * mantissa normalization with the same truncating shift, then
     * FracBits square-and-shift rounds referencing each step's
     * PREVIOUS y exactly as the JVM loop does. */
-  private def qlogChainCte(valsCte: String): String =
+  private[graft] def qlogChainCte(valsCte: String): String =
     qlogChainCteNamed(valsCte, "")
 
   /** The suffixed form — oracles whose chain needs MORE than one ql

@@ -2985,6 +2985,79 @@ class ExtSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == drawIds)
   }
 
+  test("t39 hybrid RRF: JVM fusion replay (lexical ranker from scratch, " +
+      "vector list = the registered s15 answer); an item ranked by BOTH " +
+      "lists outranks every single-list item") {
+    // Lexical ranker replay: tokenize, tf, df, QLog2.ref idf, exact
+    // top-5 under (score desc, id asc), self excluded.
+    val docsF = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def tk(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val tf: Map[(Long, String), Long] = docsF.flatMap { case (id, t) =>
+      tk(t).groupBy(identity).map { case (w, ws) => ((id, w), ws.size.toLong) }
+    }.toMap
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val n = docsF.length.toLong
+    def ql(x: Long): Long = graft.functions.QLog2.ref(x)
+    val lexLists: Map[Long, Seq[Long]] = docsF.filter(_._1 < 10).map {
+      case (qid, qt) =>
+        val qtf = tk(qt).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+        // Every doc sharing a query term participates — a shared
+        // ubiquitous term has idf 0 but IS a match (score 0).
+        val scores = docsF.filter(_._1 != qid).flatMap { case (id, _) =>
+          if (!qtf.keys.exists(w => tf.contains((id, w)))) None
+          else Some(id -> qtf.map { case (w, c) =>
+            c * tf.getOrElse((id, w), 0L) * (ql(n + 1) - ql(dfm(w) + 1))
+          }.sum)
+        }
+        qid -> scores.sortBy { case (id, sc) => (-sc, id) }
+          .take(5).map(_._1).toSeq
+    }.toMap
+    val vecLists: Map[Long, Seq[Long]] = SparkEntry
+      .queries("s15_ivf_kmeans_stored")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._3).map(_._2).toSeq }
+    val C = ext.Hybrid.RrfC
+    val K = ext.Hybrid.RrfK
+    val want: Map[Long, Seq[(Long, Long)]] =
+      (lexLists.keySet ++ vecLists.keySet).map { qid =>
+        val contrib = scala.collection.mutable.HashMap[Long, Long]()
+        for (lst <- Seq(lexLists.getOrElse(qid, Nil), vecLists.getOrElse(qid, Nil));
+             (id, i) <- lst.zipWithIndex)
+          contrib(id) = contrib.getOrElse(id, 0L) + C / (K + i + 1)
+        qid -> contrib.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(5)
+      }.toMap
+    val got = SparkEntry.queries("t39_hybrid_rrf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val gotBy = got.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    assert(gotBy == want, s"fusion replay diverges: " +
+      s"${want.collect { case (k, w) if gotBy.get(k) != Some(w) =>
+        (k, w, gotBy.get(k)) }.take(2)}")
+    // Dominance: any item in BOTH top-5 lists must outrank every
+    // single-list item (min 2C/(K+5) > max C/(K+1) — the RRF fusion
+    // property the operator exists for). The knob-level guarantee is
+    // pinned unconditionally; the per-query check fires whenever the
+    // fixture's lists overlap.
+    assert(2L * C / (K + ext.Hybrid.RrfTopK) > C / (K + 1),
+      "RRF knobs must guarantee both-lists dominance")
+    var dominanceSeen = false
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val both = lexLists.getOrElse(qid, Nil).toSet
+        .intersect(vecLists.getOrElse(qid, Nil).toSet)
+      if (both.nonEmpty) dominanceSeen = true
+      val ranked = rows.sortBy(_._4).map(_._2)
+      val lastBoth = ranked.zipWithIndex.filter(r => both(r._1)).map(_._2)
+      val firstSingle = ranked.zipWithIndex.filter(r => !both(r._1)).map(_._2)
+      if (lastBoth.nonEmpty && firstSingle.nonEmpty)
+        assert(lastBoth.max < firstSingle.min,
+          s"query $qid: single-list item outranks a both-lists item")
+    }
+  }
+
   test("s43 graph-family recall probe: truth is the exact int64 NN-1 over " +
       "the twin lattice (JVM replay); hit1 implies hit5; the draw over the " +
       "twin corpus is the row set") {
