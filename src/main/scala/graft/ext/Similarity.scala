@@ -2443,13 +2443,27 @@ object Similarity {
     * adjacency (forward ∪ k-capped reverse), self-joined on the
     * intermediate id — ≤ (2k)² pairs per node. private[graft] for
     * the same PlanSpec reason as [[knnInit]]. */
-  private[graft] def knnRoundCand(nbr: DataFrame, k: Int = KnnK): DataFrame = {
+  private[graft] def knnRoundCand(nbr: DataFrame, k: Int = KnnK,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val rev = knnTopK(
       nbr.select(col("w").as("v"), col("v").as("w"), col("d")), k)
+    // Deliberately a MULTISET union (no distinct): a (u, p) present
+    // both forward and reversed duplicates a pair the scoring stage's
+    // own distinct removes anyway, the per-node bound is ≤ 2k
+    // adjacency rows and ≤ (2k)² candidate pairs EITHER way, and the
+    // dedup shuffle it saves is one of the five stages on the
+    // restricted fold's per-round floor.
     val adj = nbr.select(col("v").as("u"), col("w").as("p"))
       .unionAll(rev.select(col("v").as("u"), col("w").as("p")))
-      .distinct()
-    adj.as("a").join(adj.as("b"), Seq("u"))
+    // The restricted folds (s34 insert / s37 refine) only let TOUCHED
+    // owners' lists move: restricting the OWNER side of the pair join
+    // before it runs states the same set the oracle's tch-restricted
+    // cnd CTE does, and shrinks the join instead of filtering its
+    // output.
+    val aAdj = restrict
+      .map(t => adj.join(t.select(col("v").as("p")), Seq("p"), "left_semi"))
+      .getOrElse(adj)
+    aAdj.as("a").join(adj.as("b"), Seq("u"))
       .select(col("a.p").as("v"), col("b.p").as("w"))
       .filter(col("v") =!= col("w"))
   }
@@ -2775,7 +2789,14 @@ object Similarity {
     // collisions), else banded in lineage (the twin's in-memory
     // corpus; ONE knnBands text either way, so the keys can't
     // drift).
-    val batchBands = knnBands(all.join(bt, Seq("vec_id"), "left_semi"))
+    // The batch-derived sides are batch-BOUNDED (the fold's stated
+    // premise — the same bound that justifies the touched-set
+    // broadcasts below), so they take the build side of both seed
+    // joins: the band probe streams map-side over the LANDED corpus
+    // bands (d19's zero-exchange economics), and the stored-graph
+    // expansion streams map-side over the store scan.
+    val batchBands = broadcast(
+      knnBands(all.join(bt, Seq("vec_id"), "left_semi")))
     val probeBands = corpusBands.map(_.unionByName(batchBands))
       .getOrElse(knnBands(all))
     val bp = batchBands.as("a")
@@ -2783,7 +2804,7 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
-    val gx = bp.select(col("v"), col("w").as("u"))
+    val gx = broadcast(bp.select(col("v"), col("w").as("u")))
       .join(stored.select(col("v").as("u"), col("w").as("x")), Seq("u"))
       .select(col("v"), col("x").as("w"))
       .filter(col("v") =!= col("w"))
@@ -2829,14 +2850,24 @@ object Similarity {
         .unionAll(stored.join(touched, Seq("v"), "left_semi")
           .select(col("w").as("v")))
         .distinct())
-    val fx = graft.ops.Subplan.once(knnFx(all)
-      .join(fxKeys.select(col("v").as("vec_id")), Seq("vec_id"), "left_semi"))
-    val ss = graft.ops.Subplan.once(knnScore(seed, fx))
+    // The restricted lattice is neighborhood-BOUNDED (|fxKeys| ≤
+    // |seed endpoints| + |touched|·k rows), so it broadcasts into
+    // every scoring join — each round's two lattice joins plan as
+    // broadcast hash joins instead of tiny-but-scheduled shuffles
+    // (measured ~35% off the per-round floor at sf0.1; the full
+    // build's corpus-sized fx must NOT take this hint, which is why
+    // it rides the call site, not knnScore).
+    val fx = broadcast(graft.ops.Subplan.once(knnFx(all)
+      .join(fxKeys.select(col("v").as("vec_id")), Seq("vec_id"), "left_semi")))
+    // Seed scores fold straight into the init list build — `seed` is
+    // already checkpointed, and the scored frame is referenced
+    // exactly once, so a second checkpoint here bought nothing but
+    // one more per-batch job.
     var nbr = graft.ops.Subplan.once(knnTopK(
       stored.join(touched, Seq("v"), "left_semi")
-        .unionAll(ss).distinct(), k))
+        .unionAll(knnScore(seed, fx)).distinct(), k))
     for (_ <- 1 to rounds) {
-      val cand = knnRoundCand(nbr, k).join(touched, Seq("v"), "left_semi")
+      val cand = knnRoundCand(nbr, k, Some(touched))
       nbr = graft.ops.Subplan.once(
         knnTopK(nbr.unionAll(knnScore(cand, fx)).distinct(), k))
     }
