@@ -2776,7 +2776,7 @@ object Similarity {
     * existing vertex a seed reaches gets the chance to adopt the new
     * vector into its own list — without the flip, inserts could only
     * ever ADD vertices' knowledge of the batch, never the reverse. */
-  private def knnBatchSeed(stored: DataFrame, all: DataFrame,
+  private[graft] def knnBatchSeed(stored: DataFrame, all: DataFrame,
       batchIds: DataFrame,
       corpusBands: Option[DataFrame] = None): DataFrame = {
     val bt = broadcast(batchIds.select(col("vec_id")))

@@ -153,6 +153,104 @@ class SkewSpec extends AnyFunSuite {
         s"vs capped $capped")
   }
 
+  test("hub-batch skew: s34's restricted insert fold and s35's heal stay " +
+      "bounded when every insert/delete lands on one hub") {
+    // The graph-maintenance worst case the round-14 soaks didn't
+    // cover: a batch arriving ENTIRELY in one neighborhood (all
+    // inserts near the hub), and the symmetric delete (the hub
+    // cluster retired — every background list references it).
+    import spark.implicits._
+    def coord(seed: String, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)).toDouble /
+        (1 << 24).toDouble - 0.5
+    }
+    val nBase = 400
+    val nBatch = 80 // 20% of the grown corpus — every one a hub copy
+    def rowOf(i: Long, hubCopy: Boolean): (Long, Seq[Double]) =
+      (i, (0 until 64).map { j =>
+        val hub = coord("hub", j)
+        if (hubCopy) hub + 0.01 * coord(s"h$i", j)
+        else hub + 2.0 * coord(s"bg$i", j)
+      })
+    val baseRows = (0L until nBase.toLong).map(i => rowOf(i, i % 100 == 0))
+    val batchRows = (nBase.toLong until (nBase + nBatch).toLong)
+      .map(i => rowOf(i, hubCopy = true))
+    val tmp = java.nio.file.Files.createTempDirectory("s34_hub").toString
+    (baseRows ++ batchRows).toDF("vec_id", "v")
+      .write.mode("overwrite").parquet(tmp)
+    val all = graft.ops.Subplan.once(spark.read.parquet(tmp)
+      .select(col("vec_id"), col("v").cast("array<double>").as("v")))
+    val baseCorpus = graft.ops.Subplan.once(all.filter(col("vec_id") < nBase))
+    val batchIds = all.filter(col("vec_id") >= nBase).select(col("vec_id"))
+    val g = graft.ops.Subplan.once(ext.Similarity.knnDescentGraph(baseCorpus))
+    // Seed volume: band collisions of a one-neighborhood batch are
+    // quadratic in the BATCH (all copies share all 4 band signatures)
+    // plus batch×(hub occupants + their k-lists) — never in the
+    // corpus. Pin the batch-quadratic bound with headroom for the
+    // draw/graph-expansion terms.
+    val seed = ext.Similarity.knnBatchSeed(g, all, batchIds).count()
+    val hubOcc = nBatch + nBase / 100 // band-bucket occupants near the hub
+    assert(seed <= 16L * hubOcc * hubOcc,
+      s"hub-batch seed $seed exceeds the batch-quadratic band bound")
+    // The restricted fold: the touched set is the seed's endpoints —
+    // batch + the hub neighborhood — NOT the corpus; every descent
+    // round's candidates stay within |T|·(2k)² and well under a full
+    // rebuild's N·(2k)² round (the d02/d12 margin discipline).
+    val delta = graft.ops.Subplan.once(
+      ext.Similarity.knnInsertDelta(g, all, batchIds))
+    val touched = delta.select(col("v")).distinct()
+    val tCnt = touched.count()
+    val k = ext.Similarity.KnnK
+    val cand = ext.Similarity.knnRoundCand(delta, k,
+      Some(broadcast(touched))).count()
+    assert(cand <= tCnt * (2L * k) * (2L * k),
+      s"restricted round candidates $cand exceed |T|·(2k)² = " +
+        s"${tCnt * 4L * k * k}")
+    val fullRound = ext.Similarity.knnRoundCand(
+      g.unionByName(delta).select(col("v"), col("w"), col("d"))).count()
+    assert(cand * 2 < fullRound,
+      s"restricted round $cand not under the full-rebuild round $fullRound")
+    // The touched-pt histogram: pt = v mod KnnGraphParts is an ID
+    // hash, not a geometric key — a geometric hub therefore SPREADS
+    // across partitions and the whole-key-group rewrite stays
+    // parallel (the layout's point; an id-adversarial batch would
+    // serialize the write into one partition but never change the
+    // fold's bounds).
+    val parts = ext.Similarity.KnnGraphParts
+    val ptHist = touched
+      .select(pmod(col("v"), lit(parts.toLong)).cast("int").as("pt"))
+      .groupBy(col("pt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(ptHist.length == parts,
+      s"hub batch should touch every pt partition, got ${ptHist.length}")
+    assert(ptHist.map(_._2).max * 4 <= tCnt,
+      "one pt partition holds over a quarter of the touched owners")
+    // Hub DELETE: the touched set is the retired cluster's graph
+    // in-degree — which the k-capped reverse sample BOUNDS during
+    // construction (measured 27 here, not the ~400 an uncapped hub
+    // embedding would force): the same ρK cap that bounds descent
+    // candidates bounds the heal's blast radius. The candidate pool
+    // stays ≤ |touched|·k own edges + |touched|·k·k inherited —
+    // linear in the touched set, never pairwise in the corpus.
+    val grown = graft.ops.Subplan.once(ext.Similarity.knnTopK(
+      g.unionByName(delta).select(col("v"), col("w"), col("d")), k))
+    val fx = graft.ops.Subplan.once(ext.Similarity.knnFx(all))
+    val hubIds = all.filter(col("vec_id") >= nBase ||
+      col("vec_id") % 100 === 0).select(col("vec_id"))
+    val healed = ext.Similarity.knnDeleteHeal(grown, fx, hubIds)
+    val healTouched = healed.select(col("v")).distinct().count()
+    val healRows = healed.count()
+    assert(healRows <= healTouched * k,
+      s"healed lists $healRows exceed k per touched owner")
+    assert(healTouched <= nBase.toLong,
+      "heal touched more owners than survivors exist")
+    info(s"hub-batch: seed=$seed touched=$tCnt cand=$cand " +
+      s"fullRound=$fullRound ptMax=${ptHist.map(_._2).max} " +
+      s"healTouched=$healTouched")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val li = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
