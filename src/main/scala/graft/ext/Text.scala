@@ -1358,27 +1358,64 @@ object Text {
         explode(Dedup.ngramIdCol(1)).as("t"))
       .select(col("doc_id"), col(flag), pmod(col("t"), lit(DsirB)).as("b"))
 
-  private[graft] def dsirWeights(d: DataFrame): DataFrame = {
+  /** THE per-bucket DSIR coefficient model over a flagged
+    * (doc_id, is_tgt, b, tf) frame — the normalizer folded into the
+    * [[DsirB]] bucket coefficients (one broadcast join downstream).
+    * ONE statement for the batch t37 training and the streaming
+    * twin's fixed model ([[graft.streaming.DocStreams
+    * .DsirScoreMaintenance]] — the t29-model discipline: the model
+    * trains in batch, the stream scores against it). */
+  private[graft] def dsirCoef(tf: DataFrame): DataFrame = {
     import graft.functions.QLog2.qlog2
-    val tf = graft.ops.Subplan.once(
-      bucketRows(d, "is_tgt")
-        .groupBy(col("doc_id"), col("is_tgt"), col("b"))
-        .agg(count(lit(1)).as("tf")))
     val nb = tf.groupBy(col("b")).agg(
       sum(when(col("is_tgt"), col("tf")).otherwise(0L)).as("n_t"),
       sum(when(!col("is_tgt"), col("tf")).otherwise(0L)).as("n_p"))
     val tot = nb.agg(sum(col("n_t")).as("ntt"), sum(col("n_p")).as("npt"))
       .withColumn("one", graft.ops.ConstKey.one(col("ntt")))
-    val coef = nb.withColumn("one", graft.ops.ConstKey.one(col("b")))
+    nb.withColumn("one", graft.ops.ConstKey.one(col("b")))
       .join(broadcast(tot), "one")
       .select(col("b"),
         (qlog2(col("n_t") + 1) - qlog2(col("n_p") + 1)
           + qlog2(col("npt") + lit(DsirB))
           - qlog2(col("ntt") + lit(DsirB))).as("c"))
-    tf.filter(!col("is_tgt"))
-      .join(broadcast(coef), Seq("b"))
+  }
+
+  /** THE DSIR scoring statement — a (doc_id, b, tf) pool frame
+    * against a broadcast (b, c) model: qw = Σ_b tf·c, exact int64.
+    * ONE statement for batch t37 and the streaming twin's per-trigger
+    * score, so live and batch weights can never drift. */
+  private[graft] def dsirScore(poolTf: DataFrame, coef: DataFrame): DataFrame =
+    poolTf.join(broadcast(coef), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("c")).as("qw"))
+
+  /** The flagged (doc_id, is_tgt, b, tf) frequency frame of a
+    * (doc_id, is_tgt, text) corpus — [[bucketRows]] counted; the
+    * input to both the coefficient training and the pool scoring. */
+  private[graft] def dsirTf(d: DataFrame): DataFrame =
+    bucketRows(d, "is_tgt")
+      .groupBy(col("doc_id"), col("is_tgt"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The trained DSIR model of a flagged corpus — what the streaming
+    * twin broadcasts as its FIXED scorer. */
+  private[graft] def dsirModel(d: DataFrame): DataFrame =
+    dsirCoef(dsirTf(d))
+
+  /** Score an unflagged (doc_id, text) pool batch against a trained
+    * (b, c) model — the streaming twin's per-trigger statement:
+    * [[bucketRows]]' feature space (ONE statement with training) and
+    * [[dsirScore]]'s fold. */
+  private[graft] def dsirScoreOf(pool: DataFrame, coef: DataFrame): DataFrame =
+    dsirScore(
+      bucketRows(pool.select(col("doc_id"), lit(false).as("is_tgt"),
+          col("text")), "is_tgt")
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf")),
+      coef)
+
+  private[graft] def dsirWeights(d: DataFrame): DataFrame = {
+    val tf = graft.ops.Subplan.once(dsirTf(d))
+    dsirScore(tf.filter(!col("is_tgt")), dsirCoef(tf))
   }
 
   /** t38 — CORPUS-DRIFT monitoring: the population-stability report

@@ -1406,6 +1406,39 @@ object DocStreams extends Serializable {
     * over (maintained batch side, bootstrap side) — live and batch
     * can never disagree about what drift IS. State = two ≤ B-row
     * histograms, corpus-size-independent. */
+  /** DSIR selection's streaming half — the t29-model discipline
+    * applied to t37: the importance-weight MODEL (per-bucket integer
+    * coefficients, [[graft.ext.Text.dsirModel]]) trains in BATCH over
+    * the flagged reference corpus and is fixed at construction;
+    * each trigger scores the arriving pool docs against it with the
+    * ONE [[graft.ext.Text.dsirScoreOf]] statement (same
+    * `bucketRows` feature space, same exact-int64 Σ tf·c fold), so
+    * live weights ≡ the batch t37 weights on the same rows
+    * (StreamingSpec pins it). SELECTION stays batch — a per-trigger
+    * top-K answers a different question (the best of THIS trigger,
+    * not of the pool) and is documented as such, the t18
+    * admission-gate pattern: a live consumer thresholds the weights
+    * against the landed batch histogram's boundary instead. */
+  final class DsirScoreMaintenance(model: DataFrame) {
+    private val coef = graft.ops.Subplan.once(model)
+    @volatile private var scored: Option[DataFrame] = None
+
+    /** Score one microbatch of (doc_id, text) pool rows. */
+    def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
+      val b = batchDs.toDF().select(col("doc_id"), col("text"))
+      if (b.isEmpty) return
+      val qw = graft.ops.Subplan.once(
+        graft.ext.Text.dsirScoreOf(b, coef))
+      scored = Some(scored.map(_.unionByName(qw)).getOrElse(qw))
+    }
+
+    /** Every scored pool doc's live weight — None before the first
+      * trigger. Docs arrive once (the ingest premise), so the union
+      * is the answer; re-delivered docs would duplicate rows, which
+      * is the at-least-once caveat every twin states. */
+    def weights: Option[DataFrame] = scored
+  }
+
   final class CorpusDriftMaintenance {
     @volatile private var exHist: Option[DataFrame] = None
     @volatile private var batchHist: Option[DataFrame] = None

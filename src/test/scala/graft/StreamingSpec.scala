@@ -1271,6 +1271,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("live DSIR scores equal batch t37 weights on the same rows " +
+      "(fixed broadcast model, pool arrives over two triggers)") {
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), ext.Text.isTgtCol.as("is_tgt"), col("text"))
+    val model = ext.Text.dsirModel(d)
+    val dm = new graft.streaming.DocStreams.DsirScoreMaintenance(model)
+    val pool = d.filter(!col("is_tgt")).select(col("doc_id"), col("text"))
+    dm.fold(pool.filter(col("doc_id") % 2 === 0))
+    dm.fold(pool.filter(col("doc_id") % 2 =!= 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = rows(dm.weights.getOrElse(fail("no weights after replay")))
+    val batch = rows(ext.Text.dsirWeights(d))
+    assert(live.nonEmpty && live == batch,
+      s"live DSIR weights diverge from batch t37: " +
+        s"missing=${(batch -- live).take(3)} extra=${(live -- batch).take(3)}")
+  }
+
   test("live corpus drift equals batch t38 once the stream converges " +
       "(counts additive across triggers)") {
     val d = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
