@@ -135,11 +135,108 @@ object Hybrid {
         col("col.rrf").as("rrf"), (col("pos") + 1).cast("int").as("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // t40 — BM25 ranking over the SAME landed index (Robertson &
+  // Zaragoza 2009; the Lucene practical form), completing the lexical
+  // ranker family: t39's idf-weighted tf is the fusion-friendly
+  // integer ranker; BM25 adds tf saturation (k1) and document-length
+  // normalization (b) — the production default every retrieval stack
+  // ships. Exact-integer discipline: with k1 = 6/5 and b = 3/4 the
+  // per-term score is the rational
+  //   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  //     = idf · 44·A·tf / (20·tf·A + 6·A + 18·dl·N)
+  // (A = total corpus tokens, N = docs — both integers). To keep the
+  // int64 headroom corpus-independent, the relative length folds into
+  // ONE per-doc fixed-point quantity Ldq = (dl·N·2¹⁰) div A, and the
+  // per-term score is the quantized
+  //   s = (idf · 44·tf · 2¹⁰) div (20480·tf + 6144 + 18·Ldq)
+  // — every operation exact integer (Spark `div` ≡ DuckDB `//` on
+  // nonnegative operands), so scores hash-match; this is BM25 with a
+  // 2⁻¹⁰-quantized length norm, stated as such. idf is the Lucene
+  // log(1 + (N−df+½)/(df+½)) = log((2N+2)/(2df+1)), always positive,
+  // as the qlog2 difference ql(2N+2) − ql(2df+1). Query terms are
+  // DISTINCT (the short-query BM25 convention; qtf weighting is
+  // t39's ranker). dl comes from a landed doc-length table built
+  // FROM the stored postings (the s39_cellstats discipline — stats
+  // and index can never describe different corpora). Scale: query
+  // side broadcasts; candidates (docs sharing a query term) join the
+  // dl table by ONE linear doc_id shuffle — corpus-proportional at
+  // worst, deliberately not broadcast (the d20 rule).
+  // ---------------------------------------------------------------
+
+  /** BM25 length-norm quantization scale (2¹⁰). */
+  private[graft] val Bm25Scale = 1024L
+
+  /** The landed per-doc token-length table — built FROM [[t39Index]]
+    * (never from a second corpus scan), so index and lengths always
+    * describe the same corpus. */
+  private def t40DocLen(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SessionStore.storedOrBuild(s, "t40_dl", dir,
+      Seq("doc_id")) {
+      t39Index(s, dir)
+        .select(explode(col("entries")).as("e"))
+        .groupBy(col("e.doc_id").as("doc_id"))
+        .agg(sum(col("e.tf")).as("dl"))
+    }
+
+  private def bm25Query(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val d = Text.docs(s, dir)
+    val qterms = graft.ops.Subplan.once(
+      d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), explode(Text.toks).as("term"))
+        .distinct())
+    val idx = t39Index(s, dir)
+    val dl = t40DocLen(s, dir)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))
+      .withColumn("one", graft.ops.ConstKey.one(col("n")))
+    val df = idx
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(size(col("entries")).cast("long")).as("df"))
+    val w = df.withColumn("one", graft.ops.ConstKey.one(col("df")))
+      .join(broadcast(stats), "one")
+      .select(col("term"),
+        (qlog2(lit(2L) * col("n") + 2) - qlog2(lit(2L) * col("df") + 1))
+          .as("idfq"))
+    val qw = graft.ops.Subplan.once(qterms.join(w, Seq("term")))
+    // Candidate rows stream out of the postings scan through the
+    // broadcast query join; the per-doc quantized relative length
+    // attaches by ONE linear doc_id join against the landed lengths.
+    val ld = dl.withColumn("one", graft.ops.ConstKey.one(col("dl")))
+      .join(broadcast(stats), "one")
+      .select(col("doc_id").as("item_id"),
+        expr(s"(dl * n * $Bm25Scale) div a").as("ldq"))
+    val scored = idx.join(broadcast(qw), Seq("term"))
+      .select(col("qid"), explode(col("entries")).as("e"), col("idfq"))
+      .filter(col("e.doc_id") =!= col("qid"))
+      .select(col("qid"), col("e.doc_id").as("item_id"),
+        col("e.tf").as("tf"), col("idfq"))
+      .join(ld, Seq("item_id"))
+      .select(col("qid"), col("item_id"),
+        expr(s"(idfq * 44L * tf * $Bm25Scale) div " +
+          s"(${20 * Bm25Scale} * tf + ${6 * Bm25Scale} + 18L * ldq)")
+          .as("c"))
+      .groupBy(col("qid"), col("item_id")).agg(sum(col("c")).as("score"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("score"), (-col("item_id")).as("ni"), col("item_id")),
+        RrfTopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item_id").as("item_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HYBRID RETRIEVAL — RRF fusion of the inverted-index term top-5
     // and the landed trained-IVF vector top-5, per query; see the
     // object Scaladoc.
-    "t39_hybrid_rrf" -> ((s, dir) => hybridRrfQuery(s, dir))
+    "t39_hybrid_rrf" -> ((s, dir) => hybridRrfQuery(s, dir)),
+
+    // BM25 top-5 over the SAME landed index — tf saturation +
+    // quantized length normalization, exact integers end to end; see
+    // the t40 block comment.
+    "t40_bm25_topk" -> ((s, dir) => bm25Query(s, dir))
   )
 
   // The oracle: the lexical ranker restated naively (tokenize → tf →
@@ -150,6 +247,48 @@ object Hybrid {
   // and bounded-heap ranks must match the naive statements end to
   // end (storage topology is PlanSpec's to pin, never the oracle's).
   val oracle: Map[String, String] = Map(
+    // t40: the naive BM25 statement — tokenize → tf → doc lengths →
+    // corpus stats → the ONE qlog recurrence for the idf values →
+    // the SAME quantized per-term rational ( // ≡ div on nonnegative
+    // ints) → ROW_NUMBER top-5. The engine's landed index, landed
+    // lengths, and bounded-heap rank must match it end to end.
+    "t40_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tfq AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |  FROM tfq GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS a FROM dlt),
+         |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tok
+         |  WHERE doc_id < 10),
+         |qv AS (SELECT DISTINCT term FROM qt),
+         |dfx AS (SELECT t.term, COUNT(*) AS df FROM tfq t
+         |  JOIN qv ON qv.term = t.term GROUP BY 1),
+         |vals AS (SELECT DISTINCT x FROM (
+         |    SELECT 2 * df + 1 AS x FROM dfx
+         |    UNION ALL SELECT 2 * n + 2 FROM st)),
+         |${Text.qlogChainCte("vals")},
+         |w AS (SELECT d.term, qn.ql - qd.ql AS idfq
+         |  FROM dfx d CROSS JOIN st s
+         |  JOIN ql qd ON qd.x = 2 * d.df + 1
+         |  JOIN ql qn ON qn.x = 2 * s.n + 2),
+         |ld AS (SELECT dlt.doc_id AS item_id,
+         |    (dlt.dl * s.n * $Bm25Scale) // s.a AS ldq
+         |  FROM dlt CROSS JOIN st s),
+         |sc AS (SELECT q.qid, t.doc_id AS item_id,
+         |    CAST(SUM((w.idfq * 44 * t.tf * $Bm25Scale)
+         |      // (${20 * Bm25Scale} * t.tf + ${6 * Bm25Scale}
+         |          + 18 * l.ldq)) AS BIGINT) AS score
+         |  FROM qt q JOIN w ON w.term = q.term
+         |  JOIN tfq t ON t.term = q.term
+         |  JOIN ld l ON l.item_id = t.doc_id
+         |  WHERE t.doc_id <> q.qid GROUP BY 1, 2)
+         |SELECT qid, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT qid, item_id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM sc) WHERE rk <= 5""".stripMargin,
+
     "t39_hybrid_rrf" ->
       s"""WITH ${Similarity.kmeansChainCtes},
          |vcand AS (SELECT p.qid, g.vec_id AS nn_id

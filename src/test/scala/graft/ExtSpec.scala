@@ -3058,6 +3058,58 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t40 BM25: bit-exact JVM replay of the quantized scores; equal-tf " +
+      "docs rank by length (the normalization BM25 exists for)") {
+    val docsF = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def tk(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val tf: Map[(Long, String), Long] = docsF.flatMap { case (id, t) =>
+      tk(t).groupBy(identity).map { case (w, ws) => ((id, w), ws.size.toLong) }
+    }.toMap
+    val dl: Map[Long, Long] = docsF.map { case (id, t) =>
+      id -> tk(t).size.toLong }.toMap
+    val n = docsF.length.toLong
+    val a = dl.values.sum
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    def ql(x: Long): Long = graft.functions.QLog2.ref(x)
+    val sc = ext.Hybrid.Bm25Scale
+    def ldq(id: Long): Long = dl(id) * n * sc / a
+    def termScore(idfq: Long, tfv: Long, l: Long): Long =
+      (idfq * 44L * tfv * sc) / (20L * sc * tfv + 6L * sc + 18L * l)
+    val want: Map[Long, Seq[(Long, Long)]] = docsF.filter(_._1 < 10).map {
+      case (qid, qt) =>
+        val terms = tk(qt).distinct
+        val scores = docsF.filter(_._1 != qid).flatMap { case (id, _) =>
+          val s0 = terms.flatMap { w =>
+            tf.get((id, w)).map { tfv =>
+              termScore(ql(2 * n + 2) - ql(2 * dfm(w) + 1), tfv, ldq(id)) }
+          }
+          if (s0.isEmpty) None else Some(id -> s0.sum)
+        }
+        qid -> scores.sortBy { case (id, v) => (-v, id) }.take(5).toSeq
+    }.toMap
+    val got = SparkEntry.queries("t40_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    val gotBy = got.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    assert(gotBy == want, s"BM25 replay diverges: " +
+      s"${want.collect { case (k, w) if gotBy.get(k) != Some(w) =>
+        (k, w, gotBy.get(k)) }.take(2)}")
+    // The length-normalization pin, on the quantized arithmetic
+    // itself: same tf, same idf, longer doc ⇒ strictly lower term
+    // score (until quantization saturates — test well inside range).
+    val idfq = ql(2 * n + 2) - ql(2 * 1 + 1)
+    val short = termScore(idfq, 2, sc)      // dl = avgdl
+    val long = termScore(idfq, 2, 4 * sc)   // dl = 4·avgdl
+    assert(short > long,
+      s"longer doc must score lower at equal tf: $short vs $long")
+    // And tf saturation: doubling tf less than doubles the score.
+    assert(termScore(idfq, 8, sc) < 2 * termScore(idfq, 4, sc),
+      "BM25 tf saturation lost")
+  }
+
   test("s43 graph-family recall probe: truth is the exact int64 NN-1 over " +
       "the twin lattice (JVM replay); hit1 implies hit5; the draw over the " +
       "twin corpus is the row set") {
