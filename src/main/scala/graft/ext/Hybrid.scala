@@ -227,7 +227,76 @@ object Hybrid {
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
   }
 
+  // ---------------------------------------------------------------
+  // t41 — PHRASE MATCH over a POSITIONAL index, completing the
+  // inverted-index family (t19 build, t21 maintain, t39 fuse, t40
+  // BM25, t41 phrase): the contamination/provenance query shape that
+  // needs exact CONSECUTIVE-token evidence, not bag-of-words rank
+  // (quote detection, benchmark-leak tracing — d12/t13's question
+  // answered from a LANDED index instead of a corpus rescan).
+  // Positional postings land once ((term, block) rows carrying
+  // (doc_id, pos) entries — t19's blocked layout with positions);
+  // a phrase probe is pure relational alignment: each phrase term i
+  // joins the index, every occurrence votes for anchor = pos − i,
+  // and an anchor with ALL [[PhraseLen]] distinct-i votes is an
+  // exact occurrence. Per-query cost = Σ phrase-term postings — the
+  // t39/t40 probe economics; nothing rescans text.
+  // ---------------------------------------------------------------
+
+  /** Phrase length of the registered probe — each query doc's first
+    * 3 tokens (its own opening trigram; the planted PressPlant doc's
+    // opening trigram ties the fixture to guaranteed matches). */
+  private[graft] val PhraseLen = 3
+
+  /** The t41 corpus — d11/d21's PressPlant planting (doc_id % 20 == 4
+    * docs share one verbatim paragraph), so exact cross-doc phrase
+    * occurrences exist by construction. */
+  private def t41Corpus(s: SparkSession, dir: String): DataFrame =
+    Text.docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 20 === 4, lit(Dedup.PressPlant))
+        .otherwise(col("text")).as("text"))
+
+  /** The landed POSITIONAL postings — (term, block, entries:
+    * array<struct<doc_id, pos>>), t19's blocked row-size discipline
+    * with occurrence positions kept. */
+  private def t41Pos(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SessionStore.storedOrBuild(s, "t41_pos", dir,
+      Seq("term", "block")) {
+      t41Corpus(s, dir)
+        .select(col("doc_id"), posexplode(Text.toks).as(Seq("pos", "term")))
+        .withColumn("block", expr(s"doc_id div ${Text.PostingsBlock}"))
+        .groupBy(col("term"), col("block"))
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("entries"))
+    }
+
+  private def phraseMatchQuery(s: SparkSession, dir: String): DataFrame = {
+    val q0 = t41Corpus(s, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        posexplode(slice(Text.toks, 1, PhraseLen)).as(Seq("i", "term")))
+    // Only full-length phrases probe (a query doc with fewer tokens
+    // has no trigram to ask about — emitted nowhere, honestly).
+    val qn = q0.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === PhraseLen).select(col("qid"))
+    val q = graft.ops.Subplan.once(
+      q0.join(broadcast(qn), Seq("qid"), "left_semi"))
+    val votes = t41Pos(s, dir).join(broadcast(q), Seq("term"))
+      .select(col("qid"), col("i"), explode(col("entries")).as("e"))
+      .filter(col("e.doc_id") =!= col("qid"))
+      .select(col("qid"), col("i"), col("e.doc_id").as("doc_id"),
+        (col("e.pos") - col("i")).as("anchor"))
+    votes.groupBy(col("qid"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === PhraseLen && col("anchor") >= 0)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PHRASE MATCH over the landed positional index — every doc
+    // containing the query's exact opening trigram, with occurrence
+    // count and first position; see the t41 block comment.
+    "t41_phrase_match" -> ((s, dir) => phraseMatchQuery(s, dir)),
     // HYBRID RETRIEVAL — RRF fusion of the inverted-index term top-5
     // and the landed trained-IVF vector top-5, per query; see the
     // object Scaladoc.
@@ -247,6 +316,33 @@ object Hybrid {
   // and bounded-heap ranks must match the naive statements end to
   // end (storage topology is PlanSpec's to pin, never the oracle's).
   val oracle: Map[String, String] = Map(
+    // t41: the naive positional statement — tokenize with positions,
+    // the same planted corpus, every phrase-term occurrence votes for
+    // its anchor, HAVING all PhraseLen distinct-i votes = an exact
+    // occurrence (the engine's landed positional index and blocked
+    // probe must match the flat statement end to end).
+    "t41_phrase_match" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 4 THEN '${Dedup.PressPlant}'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term FROM (
+         |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |    FROM d), unnest(generate_series(1, len(tk))) g(i)),
+         |q AS (SELECT doc_id AS qid, pos AS i, term FROM tok
+         |  WHERE doc_id < 10 AND pos < $PhraseLen),
+         |qn AS (SELECT qid FROM q GROUP BY qid
+         |  HAVING COUNT(*) = $PhraseLen),
+         |m AS (SELECT q.qid, t.doc_id, t.pos - q.i AS anchor
+         |  FROM q JOIN qn USING (qid)
+         |  JOIN tok t ON t.term = q.term
+         |  WHERE t.doc_id <> q.qid),
+         |occ AS (SELECT qid, doc_id, anchor FROM m
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) = $PhraseLen)
+         |SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+         |FROM occ WHERE anchor >= 0 GROUP BY 1, 2""".stripMargin,
+
     // t40: the naive BM25 statement — tokenize → tf → doc lengths →
     // corpus stats → the ONE qlog recurrence for the idf values →
     // the SAME quantized per-term rational ( // ≡ div on nonnegative

@@ -3058,6 +3058,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("t41 phrase match: JVM replay of the positional alignment; the " +
+      "planted query matches every planted doc at position 0") {
+    val plant = ext.Dedup.PressPlant
+    val docsF = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        (id, if (id % 20 == 4) plant else r.getString(1)) }
+    def tk(t: String): Array[String] = t.trim.split("\\s+")
+    val want = docsF.filter(_._1 < 10).flatMap { case (qid, qt) =>
+      val toks = tk(qt)
+      if (toks.length < 3) Nil
+      else {
+        val ph = toks.take(3).toSeq
+        docsF.filter(_._1 != qid).flatMap { case (id, t) =>
+          val dt = tk(t)
+          val anchors = (0 to dt.length - 3)
+            .filter(a => dt.slice(a, a + 3).toSeq == ph)
+          if (anchors.isEmpty) None
+          else Some((qid, id) -> ((anchors.size.toLong, anchors.min.toLong)))
+        }
+      }
+    }.toMap
+    val got = SparkEntry.queries("t41_phrase_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == want, s"phrase replay diverges: " +
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+      s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // The planted pin: query 4 (the PressPlant doc) finds EVERY other
+    // planted doc, exactly once, at position 0.
+    val planted = docsF.map(_._1).filter(id => id % 20 == 4 && id != 4)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(got.get((4L, id)).contains((1L, 0L)),
+        s"planted doc $id not matched at (1, 0): ${got.get((4L, id))}") }
+  }
+
   test("t40 BM25: bit-exact JVM replay of the quantized scores; equal-tf " +
       "docs rank by length (the normalization BM25 exists for)") {
     val docsF = Tables(spark, sf, "documents")
