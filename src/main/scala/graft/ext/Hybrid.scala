@@ -245,7 +245,7 @@ object Hybrid {
 
   /** Phrase length of the registered probe — each query doc's first
     * 3 tokens (its own opening trigram; the planted PressPlant doc's
-    // opening trigram ties the fixture to guaranteed matches). */
+    * opening trigram ties the fixture to guaranteed matches). */
   private[graft] val PhraseLen = 3
 
   /** The t41 corpus — d11/d21's PressPlant planting (doc_id % 20 == 4
