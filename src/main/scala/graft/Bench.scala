@@ -39,14 +39,18 @@ object Bench {
     // never clobbered by a full-mode run. Known limit: xxhash64
     // rejects MAP-typed columns, so a future map-emitting query would
     // break in full mode only (none of the registered queries emit
-    // one). collect() on the single global-sum row forces the hash
-    // unambiguously — count() would leave the sum prunable in theory.
+    // one). collect() on the single global-fold row forces the hash
+    // unambiguously — count() would leave the fold prunable in
+    // theory. The fold is BIT_XOR, not SUM: summing uniform 64-bit
+    // hashes overflows almost immediately, and under ANSI mode
+    // (Spark 4's default) that is an ARITHMETIC_OVERFLOW error, not a
+    // wrap — XOR is order-free and cannot overflow.
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       if (full) {
-        import org.apache.spark.sql.functions.{col, sum, xxhash64}
+        import org.apache.spark.sql.functions.{col, expr, xxhash64}
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
-          .agg(sum(col("h"))).collect()
+          .agg(expr("bit_xor(h)")).collect()
       } else df.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to n).map { _ =>
