@@ -538,25 +538,7 @@ object Similarity {
     // same answer as s08 — the oracle is s08's — only the storage
     // topology differs; PlanSpec pins the dynamicpruning expression on
     // the read-back scan.
-    "s12_ivf_grid_stored" -> ((s, dir) => {
-      val postings = graft.sources.SessionStore.storedOrBuild(
-        s, "s12_postings", dir, Seq("vec_id"), Seq("c1", "c2")) {
-        emb(s, dir).select(col("vec_id"), col("v"),
-          gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
-      }
-      val probes = emb(s, dir).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          gridCell(col("v"), 1).as("qc1"), gridCell(col("v"), 2).as("qc2"))
-        .withColumn("d", explode(probeOffsets(Seq(1, 1))))
-        .select(col("qid"), col("qv"),
-          (col("qc1") + col("d.d1")).as("c1"),
-          (col("qc2") + col("d.d2")).as("c2"))
-      val scored = postings.join(broadcast(probes), Seq("c1", "c2"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          cosine(col("qv"), col("v")).as("cos_sim"))
-      topK(scored, col("qid"), 5)
-    }),
+    "s12_ivf_grid_stored" -> ((s, dir) => s12Probe(s, dir)),
 
     // IVF with a LEARNED coarse quantizer — exact-integer k-means
     // under the FULL cross-engine hash check (see the kmAssign block
@@ -887,6 +869,11 @@ object Similarity {
     // s36 ef-search body over the landed graph.
     "s43_recall_graph_probe" -> ((s, dir) => recallProbeKnnQuery(s, dir)),
 
+    // RECALL ESTIMATION for the grid family — the SAME draw and
+    // cosine truth, probe = THE s12 landed-store read path; all four
+    // index families now carry the monitor.
+    "s44_recall_grid_probe" -> ((s, dir) => recallProbeGridQuery(s, dir)),
+
     // SemDeDup — semantic dedup by trained-cell blocking: pairs
     // compared only within a k-means cell, each near-dup pair keeps
     // the member FARTHER from its centroid (exact int64 distance to
@@ -1025,6 +1012,32 @@ object Similarity {
     * a 2-axis grid saturates at ~10⁵ vectors), its VALUES the
     * per-axis probe widths (recall-vs-cost, non-decreasing in each
     * rᵢ by candidate-superset). */
+  /** THE s12 read path — the landed cell-partitioned grid store
+    * probed under dynamic partition pruning for a query filter: ONE
+    * body for the registered s12 (the 10-query frame) and s44's
+    * recall probe (the ':rq' draw), so the monitor measures exactly
+    * the production read path. */
+  private def s12Probe(s: SparkSession, dir: String,
+      qFilter: Column = col("vec_id") < 10): DataFrame = {
+    val postings = graft.sources.SessionStore.storedOrBuild(
+      s, "s12_postings", dir, Seq("vec_id"), Seq("c1", "c2")) {
+      emb(s, dir).select(col("vec_id"), col("v"),
+        gridCell(col("v"), 1).as("c1"), gridCell(col("v"), 2).as("c2"))
+    }
+    val probes = emb(s, dir).filter(qFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        gridCell(col("v"), 1).as("qc1"), gridCell(col("v"), 2).as("qc2"))
+      .withColumn("d", explode(probeOffsets(Seq(1, 1))))
+      .select(col("qid"), col("qv"),
+        (col("qc1") + col("d.d1")).as("c1"),
+        (col("qc2") + col("d.d2")).as("c2"))
+    val scored = postings.join(broadcast(probes), Seq("c1", "c2"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    topK(scored, col("qid"), 5)
+  }
+
   private def ivfGridQuery(s: SparkSession, dir: String,
       radii: Seq[Int]): DataFrame = {
     val n = radii.length
@@ -1645,6 +1658,21 @@ object Similarity {
     val probed = exactRerankTail(s, dir,
       adcScored(codes, qs, cents, pqc), recallDraw)
     recallFlags(exact, probed)
+  }
+
+  /** The s44 body — RECALL ESTIMATION for the GRID family,
+    * completing the monitor symmetry across ALL FOUR index families
+    * (s41 trained / s42 compressed / s43 graph / s44 grid): probe =
+    * THE s12 read path ([[s12Probe]] — the landed cell-partitioned
+    * store under dynamic partition pruning) on the ':rq' draw; truth
+    * = the ONE [[exactNn1Between]] cosine statement (the grid probe's
+    * own answer metric); hits by the ONE [[recallFlags]] fold. */
+  private def recallProbeGridQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val exact = exactNn1Between(
+      e.filter(recallDraw).select(col("vec_id"), col("v")), e)
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    recallFlags(exact, s12Probe(s, dir, recallDraw))
   }
 
   /** The s43 body — RECALL ESTIMATION for the GRAPH family, closing
@@ -3523,7 +3551,12 @@ object Similarity {
     * windows are the SQL statement of [[probeOffsets]]'s cartesian
     * explode, ONE generator for s08 ((1,1)), s10 ((2,2)), and s11
     * ((2,2,1)). */
-  private def ivfGridOracleSql(radii: Seq[Int]): String = {
+  /** The grid-probe CTE chain (e, g, q, cand, scored) — ONE text for
+    * the s08/s10/s11/s12 oracles and s44's recall probe (`probeWhere`
+    * re-points the query set at the draw, the kmeansChainCtesFrom
+    * discipline). */
+  private def ivfGridCtes(radii: Seq[Int],
+      probeWhere: String = "vec_id < 10"): String = {
     val n = radii.length
     val cells = (1 to n).map(i =>
       s"    CAST(floor(v[$i] / 0.125) AS BIGINT) AS c$i").mkString(",\n")
@@ -3532,12 +3565,12 @@ object Similarity {
       val i = i0 + 1
       s"g.c$i BETWEEN q.qc$i - $r AND q.qc$i + $r"
     }.mkString("\n   AND ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |g AS (SELECT vec_id, v,
        |$cells
        |  FROM e),
        |q AS (SELECT vec_id AS qid, v AS qv, $qcells
-       |  FROM g WHERE vec_id < 10),
+       |  FROM g WHERE $probeWhere),
        |cand AS (SELECT q.qid, q.qv, g.vec_id AS nn_id, g.v
        |  FROM q JOIN g
        |    ON $windows
@@ -3546,13 +3579,16 @@ object Similarity {
        |    list_dot_product(qv, v)
        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
        |      AS cos_sim
-       |  FROM cand),
+       |  FROM cand)""".stripMargin
+  }
+
+  private def ivfGridOracleSql(radii: Seq[Int]): String =
+    s"""WITH ${ivfGridCtes(radii)},
        |rk AS (SELECT qid, nn_id, cos_sim, ROW_NUMBER() OVER
        |    (PARTITION BY qid ORDER BY cos_sim DESC, nn_id ASC) AS rk
        |  FROM scored)
        |SELECT qid, nn_id, cos_sim, CAST(rk AS INTEGER) AS rk
        |FROM rk WHERE rk <= 5""".stripMargin
-  }
 
   /** The s13 oracle: the exact-integer Lloyd loop unrolled to
     * [[KmIters]] CTE rounds — every arithmetic step (fixed-point
@@ -4344,6 +4380,17 @@ object Similarity {
          |      t.vec_id ASC) AS rn
          |  FROM fx s JOIN fx t ON t.vec_id <> s.vec_id
          |  WHERE ${recallDrawSqlOn("s.vec_id")}) WHERE rn = 1)
+         |$recallHitsSql""".stripMargin,
+
+    // s44: the ONE grid-probe chain re-pointed at the draw + the
+    // shared cosine truth and hit statements.
+    "s44_recall_grid_probe" ->
+      s"""WITH ${ivfGridCtes(Seq(1, 1), recallDrawSqlOn("vec_id"))},
+         |top5 AS (SELECT qid, nn_id, rk FROM (
+         |  SELECT qid, nn_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nn_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 5),
+         |$recallExCosCte
          |$recallHitsSql""".stripMargin,
     // s39: the BRUTE-FORCE range statement — deliberately not the
     // pruned plan: the exact verify makes the Spark answer

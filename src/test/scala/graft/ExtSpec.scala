@@ -3058,6 +3058,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("s44 grid-family recall probe: the truth side IS s03's exact " +
+      "NN-1; hit1 implies hit5; the draw is the row set") {
+    val got = SparkEntry.queries("s44_recall_grid_probe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, h1, h5) =>
+      assert(!h1 || h5, s"query $q: hit1 without hit5") }
+    val s03 = SparkEntry.queries("s03_embedding_nn1")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (q, ex, _, _) =>
+      assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
+    val drawIds = Tables(spark, sf, "embeddings")
+      .filter(ext.Similarity.recallDraw)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == drawIds)
+  }
+
   test("t41 phrase match: JVM replay of the positional alignment; the " +
       "planted query matches every planted doc at position 0") {
     val plant = ext.Dedup.PressPlant
