@@ -44,13 +44,16 @@ object Bench {
     // theory. The fold is BIT_XOR, not SUM: summing uniform 64-bit
     // hashes overflows almost immediately, and under ANSI mode
     // (Spark 4's default) that is an ARITHMETIC_OVERFLOW error, not a
-    // wrap — XOR is order-free and cannot overflow.
+    // wrap — XOR is order-free and cannot overflow. XOR alone cancels
+    // even multiplicities (duplicating every row leaves it fixed), so
+    // the fold pairs it with count(*) — multiplicity changes move the
+    // count even when they cannot move the xor.
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       if (full) {
         import org.apache.spark.sql.functions.{col, expr, xxhash64}
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
-          .agg(expr("bit_xor(h)")).collect()
+          .agg(expr("bit_xor(h)"), expr("count(*)")).collect()
       } else df.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to n).map { _ =>

@@ -17,7 +17,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.CcdQueries.queries ++
       ext.Text.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Events.queries ++ ext.Multimodal.queries ++
-      ext.Hybrid.queries
+      ext.Hybrid.queries ++ ext.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.CcdQueries.oracle ++
       ext.Text.oracle ++ ext.Dedup.oracle ++
       ext.Similarity.oracle ++ ext.Events.oracle ++ ext.Multimodal.oracle ++
-      ext.Hybrid.oracle
+      ext.Hybrid.oracle ++ ext.Curation.oracle
 }

@@ -597,10 +597,21 @@ object Dedup {
       // definition), embedded as a literal because might_contain
       // requires a constant/scalar-subquery filter — exactly the
       // shape Spark's own runtime-filter injection produces.
-      val bf: Array[Byte] = batch
+      // The same head() also reports the batch's distinct key count:
+      // a batch beyond D21BloomItems SATURATES the filter (pruning
+      // degrades toward full verify traffic, answer unaffected), and
+      // that must be observable, not silent — the warning is the
+      // signal that the knob is undersized for the deployment.
+      val bfRow = batch
         .agg(graft.functions.Bloom.bloomAgg(
-          xxhash64(col("fp")), D21BloomItems, D21BloomBits).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+            xxhash64(col("fp")), D21BloomItems, D21BloomBits).as("bf"),
+          countDistinct(col("fp")).as("nk"))
+        .head()
+      val nk = bfRow.getAs[Long]("nk")
+      if (nk > D21BloomItems) System.err.println(
+        s"[d21] bloom saturated: $nk distinct batch keys > " +
+          s"D21BloomItems=$D21BloomItems — pruning degraded, resize the knob")
+      val bf: Array[Byte] = bfRow.getAs[Array[Byte]]("bf")
       val survivors = f.filter(!col("is_batch"))
         .filter(graft.functions.Bloom.mightContain(lit(bf),
           xxhash64(col("fp"))))

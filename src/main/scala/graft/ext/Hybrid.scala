@@ -167,57 +167,77 @@ object Hybrid {
   /** BM25 length-norm quantization scale (2¹⁰). */
   private[graft] val Bm25Scale = 1024L
 
+  /** The ONE per-doc length statement — [[t40DocLen]]'s build body and
+    * ExtSpec's synthetic-corpus twin. */
+  private[graft] def docLenOf(idx: DataFrame): DataFrame =
+    idx.select(explode(col("entries")).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(sum(col("e.tf")).as("dl"))
+
   /** The landed per-doc token-length table — built FROM [[t39Index]]
     * (never from a second corpus scan), so index and lengths always
     * describe the same corpus. */
   private def t40DocLen(s: SparkSession, dir: String): DataFrame =
     graft.sources.SessionStore.storedOrBuild(s, "t40_dl", dir,
-      Seq("doc_id")) {
-      t39Index(s, dir)
-        .select(explode(col("entries")).as("e"))
-        .groupBy(col("e.doc_id").as("doc_id"))
-        .agg(sum(col("e.tf")).as("dl"))
-    }
+      Seq("doc_id")) { docLenOf(t39Index(s, dir)) }
 
-  private def bm25Query(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.QLog2.qlog2
-    val d = Text.docs(s, dir)
-    val qterms = graft.ops.Subplan.once(
-      d.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("qid"), explode(Text.toks).as("term"))
-        .distinct())
-    val idx = t39Index(s, dir)
-    val dl = t40DocLen(s, dir)
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))
+  /** Corpus stats (n docs, a total tokens) as a ConstKey'd single row. */
+  private def bm25StatsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))
       .withColumn("one", graft.ops.ConstKey.one(col("n")))
-    val df = idx
-      .join(broadcast(qterms.select(col("term")).distinct()),
-        Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(sum(size(col("entries")).cast("long")).as("df"))
-    val w = df.withColumn("one", graft.ops.ConstKey.one(col("df")))
+
+  /** Per-term quantized Lucene idf — ql(2N+2) − ql(2df+1), always
+    * positive; df aggregated over the index, restricted to `vocab`
+    * when the caller only needs query terms (t40's probe), global
+    * when every term's weight is wanted (the t42 impacts build). */
+  private def bm25IdfOf(idx: DataFrame, stats: DataFrame,
+      vocab: Option[DataFrame]): DataFrame = {
+    import graft.functions.QLog2.qlog2
+    val base = vocab.map(v =>
+        idx.join(broadcast(v), Seq("term"), "left_semi"))
+      .getOrElse(idx)
+    base.groupBy(col("term"))
+      .agg(sum(size(col("entries")).cast("long")).as("df"))
+      .withColumn("one", graft.ops.ConstKey.one(col("df")))
       .join(broadcast(stats), "one")
       .select(col("term"),
         (qlog2(lit(2L) * col("n") + 2) - qlog2(lit(2L) * col("df") + 1))
           .as("idfq"))
-    val qw = graft.ops.Subplan.once(qterms.join(w, Seq("term")))
-    // Candidate rows stream out of the postings scan through the
-    // broadcast query join; the per-doc quantized relative length
-    // attaches by ONE linear doc_id join against the landed lengths.
-    val ld = dl.withColumn("one", graft.ops.ConstKey.one(col("dl")))
+  }
+
+  /** The 2⁻¹⁰-quantized relative doc length Ldq = (dl·N·2¹⁰) div A. */
+  private def bm25LdOf(dl: DataFrame, stats: DataFrame): DataFrame =
+    dl.withColumn("one", graft.ops.ConstKey.one(col("dl")))
       .join(broadcast(stats), "one")
       .select(col("doc_id").as("item_id"),
         expr(s"(dl * n * $Bm25Scale) div a").as("ldq"))
-    val scored = idx.join(broadcast(qw), Seq("term"))
+
+  /** THE quantized per-term BM25 contribution over (idfq, tf, ldq) —
+    * one text for t40's scoring, the t42 impacts build, and the t42
+    * probe, so the upper bounds and the scores can never drift. */
+  private[graft] val Bm25Contrib: String =
+    s"(idfq * 44L * tf * $Bm25Scale) div " +
+      s"(${20 * Bm25Scale} * tf + ${6 * Bm25Scale} + 18L * ldq)"
+
+  /** THE BM25 scoring statement: postings stream through the
+    * broadcast query-side join (keyed on term, or on (term, block)
+    * when the query side carries admitted blocks — t42), entries
+    * explode, self is excluded, the per-doc quantized length attaches
+    * by ONE linear doc_id join (deliberately not broadcast — the d20
+    * rule), contributions partial-aggregate on (qid, item). */
+  private def bm25ScoredOver(idx: DataFrame, qside: DataFrame,
+      ld: DataFrame, keys: Seq[String]): DataFrame =
+    idx.join(broadcast(qside), keys)
       .select(col("qid"), explode(col("entries")).as("e"), col("idfq"))
       .filter(col("e.doc_id") =!= col("qid"))
       .select(col("qid"), col("e.doc_id").as("item_id"),
         col("e.tf").as("tf"), col("idfq"))
       .join(ld, Seq("item_id"))
-      .select(col("qid"), col("item_id"),
-        expr(s"(idfq * 44L * tf * $Bm25Scale) div " +
-          s"(${20 * Bm25Scale} * tf + ${6 * Bm25Scale} + 18L * ldq)")
-          .as("c"))
+      .select(col("qid"), col("item_id"), expr(Bm25Contrib).as("c"))
       .groupBy(col("qid"), col("item_id")).agg(sum(col("c")).as("score"))
+
+  /** The bounded-heap top-[[RrfTopK]] tail under (score desc, id asc). */
+  private def bm25Top(scored: DataFrame): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
         struct(col("score"), (-col("item_id")).as("ni"), col("item_id")),
@@ -225,7 +245,136 @@ object Hybrid {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.item_id").as("item_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+
+  /** Distinct query terms of the registered 10-doc query frame. */
+  private def bm25QTerms(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Subplan.once(Text.docs(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), explode(Text.toks).as("term"))
+      .distinct())
+
+  /** The t40 probe over FRAME inputs — exposed so ExtSpec can drive
+    * the identical statement over a synthetic corpus beside the t42
+    * pruned probe. */
+  private[graft] def bm25Over(idx: DataFrame, dl: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val stats = bm25StatsOf(dl)
+    val w = bm25IdfOf(idx, stats,
+      Some(qterms.select(col("term")).distinct()))
+    val qw = graft.ops.Subplan.once(qterms.join(w, Seq("term")))
+    bm25Top(bm25ScoredOver(idx, qw, bm25LdOf(dl, stats), Seq("term")))
   }
+
+  private def bm25Query(s: SparkSession, dir: String): DataFrame =
+    bm25Over(t39Index(s, dir), t40DocLen(s, dir), bm25QTerms(s, dir))
+
+  // ---------------------------------------------------------------
+  // t42 — BLOCK-MAX WAND pruned BM25 top-k (Broder et al., CIKM 2003;
+  // Ding & Suel, SIGIR 2011 — Lucene's default since 8.0): t40 scores
+  // EVERY candidate sharing a query term; production lexical
+  // retrieval skips postings blocks whose score upper bounds cannot
+  // reach the running k-th score. Relational form, the t37 two-phase
+  // discipline:
+  //   stats : a per-(term, block) MAX-IMPACT table lands beside the
+  //     stored postings, built FROM the index + the landed lengths
+  //     (the s39_cellstats rule — bounds and postings can never
+  //     describe different corpora). BM25's per-term contribution is
+  //     query-INDEPENDENT (distinct query terms select terms, never
+  //     reweight them), so the stored bound is the exact max of the
+  //     [[Bm25Contrib]] values in the block — the tightest bound that
+  //     exists.
+  //   phase 1 (threshold): per (qid, term) the single highest-impact
+  //     block seeds; the seed blocks score EXACTLY through the ONE
+  //     scoring statement, and θ_q = the 5th-best seeded per-doc
+  //     score (0 when fewer) — a valid lower bound on the true 5th
+  //     best, because partial scores under-estimate and the seeded
+  //     docs are a subset.
+  //   phase 2 (admit + score): a block admits iff Σ_{t∈q} ub(t, b)
+  //     ≥ θ_q — a skipped block's every doc has full score ≤ ub < θ
+  //     ≤ the true 5th best, so the answer ≡ t40 unconditionally
+  //     (ONE oracle states both — the s39 verify-exact philosophy;
+  //     ExtSpec pins admitted < candidate blocks on a skewed corpus
+  //     while the answers stay equal).
+  // Scale: the admission pass touches (query-vocab × block) METADATA
+  // rows — 1/[[Text.PostingsBlock]] of the candidate entry volume,
+  // never exploding postings — and only admitted blocks explode and
+  // score (the join key carries block, PlanSpec pins it). The impacts
+  // build is one linear index pass, landed once.
+  // ---------------------------------------------------------------
+
+  /** The ONE impacts-build statement — per-(term, block) exact max of
+    * [[Bm25Contrib]]; the store's build body and ExtSpec's twin. The
+    * idf side is GLOBAL (every term gets its bound); the length join
+    * is the linear d20-rule join. */
+  private[graft] def impactsOf(idx: DataFrame, dl: DataFrame): DataFrame = {
+    val stats = bm25StatsOf(dl)
+    idx.join(bm25IdfOf(idx, stats, None), Seq("term"))
+      .select(col("term"), col("block"),
+        explode(col("entries")).as("e"), col("idfq"))
+      .select(col("term"), col("block"),
+        col("e.doc_id").as("item_id"), col("e.tf").as("tf"), col("idfq"))
+      .join(bm25LdOf(dl, stats), Seq("item_id"))
+      .select(col("term"), col("block"), expr(Bm25Contrib).as("c"))
+      .groupBy(col("term"), col("block")).agg(max(col("c")).as("ub"))
+  }
+
+  /** The landed max-impact table — built FROM the stored index and
+    * the stored lengths (never a second corpus scan). */
+  private def t42Impacts(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SessionStore.storedOrBuild(s, "t42_imp", dir,
+      Seq("term", "block")) {
+      impactsOf(t39Index(s, dir), t40DocLen(s, dir))
+    }
+
+  /** The t42 probe over FRAME inputs — returns (candidate (qid,
+    * block) pairs, admitted (qid, block) pairs, the top-5 answer) so
+    * ExtSpec can pin admitted < candidates while answer ≡ [[bm25Over]]
+    * on the same frames. */
+  private[graft] def bmwOver(idx: DataFrame, dl: DataFrame,
+      imp: DataFrame, qterms: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val stats = bm25StatsOf(dl)
+    val w = bm25IdfOf(idx, stats,
+      Some(qterms.select(col("term")).distinct()))
+    val qw = graft.ops.Subplan.once(qterms.join(w, Seq("term")))
+    val ld = bm25LdOf(dl, stats)
+    // Per-(qid, term, block) bounds: the impacts scan streams through
+    // the broadcast query-vocab join — metadata rows only.
+    val qimp = graft.ops.Subplan.once(
+      imp.join(broadcast(qw.select(col("qid"), col("term")).distinct()),
+        Seq("term")))
+    // Phase 1: per (qid, term) the highest-impact block (ties: lowest
+    // block), exact-scored through the ONE statement.
+    val seedBlocks = qimp.groupBy(col("qid"), col("term"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("ub"), (-col("block")).as("nb"), col("block")), 1)
+        .as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.block").as("block")).distinct()
+    val p1 = bm25ScoredOver(idx,
+      qw.join(seedBlocks, Seq("qid")), ld, Seq("term", "block"))
+    val theta = p1.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("score")), RrfTopK).as("top"))
+      .select(col("qid"),
+        when(size(col("top")) === RrfTopK,
+          element_at(col("top"), RrfTopK).getField("score"))
+          .otherwise(lit(0L)).as("theta"))
+    // Phase 2: admit blocks whose summed per-term bounds can reach θ.
+    val cand = qimp.select(col("qid"), col("block")).distinct()
+    val admitted = graft.ops.Subplan.once(
+      qimp.groupBy(col("qid"), col("block")).agg(sum(col("ub")).as("ub"))
+        .join(theta, Seq("qid"), "left")
+        .filter(col("ub") >= coalesce(col("theta"), lit(0L)))
+        .select(col("qid"), col("block")))
+    val answer = bm25Top(bm25ScoredOver(idx,
+      qw.join(admitted, Seq("qid")), ld, Seq("term", "block")))
+    (cand, admitted, answer)
+  }
+
+  private def bmwQuery(s: SparkSession, dir: String): DataFrame =
+    bmwOver(t39Index(s, dir), t40DocLen(s, dir), t42Impacts(s, dir),
+      bm25QTerms(s, dir))._3
 
   // ---------------------------------------------------------------
   // t41 — PHRASE MATCH over a POSITIONAL index, completing the
@@ -248,6 +397,12 @@ object Hybrid {
     * opening trigram ties the fixture to guaranteed matches). */
   private[graft] val PhraseLen = 3
 
+  /** The contamination-gram probe length — d09's repeated-span gram
+    * width, tying the positional index to the span-dedup family's
+    * gram discipline (t44 probes the SAME [[t41Pos]] store at this
+    * width: one store, two probes — the s15/s23 rule). */
+  private[graft] val PhraseLen5 = 5
+
   /** The t41 corpus — d11/d21's PressPlant planting (doc_id % 20 == 4
     * docs share one verbatim paragraph), so exact cross-doc phrase
     * occurrences exist by construction. */
@@ -269,14 +424,18 @@ object Hybrid {
         .agg(collect_list(struct(col("doc_id"), col("pos"))).as("entries"))
     }
 
-  private def phraseMatchQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The phrase probe, parameterized over the gram length — ONE body
+    * for the trigram t41 and the 5-gram t44, both over the SAME
+    * landed positional store. */
+  private def phraseMatchQuery(s: SparkSession, dir: String,
+      len: Int = PhraseLen): DataFrame = {
     val q0 = t41Corpus(s, dir).filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"),
-        posexplode(slice(Text.toks, 1, PhraseLen)).as(Seq("i", "term")))
+        posexplode(slice(Text.toks, 1, len)).as(Seq("i", "term")))
     // Only full-length phrases probe (a query doc with fewer tokens
-    // has no trigram to ask about — emitted nowhere, honestly).
+    // has no such gram to ask about — emitted nowhere, honestly).
     val qn = q0.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
-      .filter(col("nq") === PhraseLen).select(col("qid"))
+      .filter(col("nq") === len).select(col("qid"))
     val q = graft.ops.Subplan.once(
       q0.join(broadcast(qn), Seq("qid"), "left_semi"))
     val votes = t41Pos(s, dir).join(broadcast(q), Seq("term"))
@@ -286,7 +445,7 @@ object Hybrid {
         (col("e.pos") - col("i")).as("anchor"))
     votes.groupBy(col("qid"), col("doc_id"), col("anchor"))
       .agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === PhraseLen && col("anchor") >= 0)
+      .filter(col("hits") === len && col("anchor") >= 0)
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"),
         min(col("anchor")).cast("long").as("first_pos"))
@@ -297,6 +456,11 @@ object Hybrid {
     // containing the query's exact opening trigram, with occurrence
     // count and first position; see the t41 block comment.
     "t41_phrase_match" -> ((s, dir) => phraseMatchQuery(s, dir)),
+    // The 5-GRAM probe over the SAME positional store — the
+    // contamination gram width (d09's span discipline); one store,
+    // two probes (the s15/s23 rule), one parameterized body.
+    "t44_phrase_5gram" -> ((s, dir) =>
+      phraseMatchQuery(s, dir, PhraseLen5)),
     // HYBRID RETRIEVAL — RRF fusion of the inverted-index term top-5
     // and the landed trained-IVF vector top-5, per query; see the
     // object Scaladoc.
@@ -305,7 +469,12 @@ object Hybrid {
     // BM25 top-5 over the SAME landed index — tf saturation +
     // quantized length normalization, exact integers end to end; see
     // the t40 block comment.
-    "t40_bm25_topk" -> ((s, dir) => bm25Query(s, dir))
+    "t40_bm25_topk" -> ((s, dir) => bm25Query(s, dir)),
+
+    // BLOCK-MAX-WAND pruned BM25 top-5 — t40's exact answer from a
+    // bound-pruned probe over the landed max-impact table; see the
+    // t42 block comment.
+    "t42_bm25_wand" -> ((s, dir) => bmwQuery(s, dir))
   )
 
   // The oracle: the lexical ranker restated naively (tokenize → tf →
@@ -315,41 +484,37 @@ object Hybrid {
   // integer rational-sum + ROW_NUMBER — the engine's landed stores
   // and bounded-heap ranks must match the naive statements end to
   // end (storage topology is PlanSpec's to pin, never the oracle's).
-  val oracle: Map[String, String] = Map(
-    // t41: the naive positional statement — tokenize with positions,
-    // the same planted corpus, every phrase-term occurrence votes for
-    // its anchor, HAVING all PhraseLen distinct-i votes = an exact
-    // occurrence (the engine's landed positional index and blocked
-    // probe must match the flat statement end to end).
-    "t41_phrase_match" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 20 = 4 THEN '${Dedup.PressPlant}'
-         |         ELSE text END AS text
-         |  FROM documents),
-         |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term FROM (
-         |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |    FROM d), unnest(generate_series(1, len(tk))) g(i)),
-         |q AS (SELECT doc_id AS qid, pos AS i, term FROM tok
-         |  WHERE doc_id < 10 AND pos < $PhraseLen),
-         |qn AS (SELECT qid FROM q GROUP BY qid
-         |  HAVING COUNT(*) = $PhraseLen),
-         |m AS (SELECT q.qid, t.doc_id, t.pos - q.i AS anchor
-         |  FROM q JOIN qn USING (qid)
-         |  JOIN tok t ON t.term = q.term
-         |  WHERE t.doc_id <> q.qid),
-         |occ AS (SELECT qid, doc_id, anchor FROM m
-         |  GROUP BY 1, 2, 3 HAVING COUNT(*) = $PhraseLen)
-         |SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
-         |  CAST(MIN(anchor) AS BIGINT) AS first_pos
-         |FROM occ WHERE anchor >= 0 GROUP BY 1, 2""".stripMargin,
+  /** The ONE naive positional-phrase oracle text, parameterized over
+    * the gram length — tokenize with positions, the same planted
+    * corpus, every phrase-term occurrence votes for its anchor,
+    * HAVING all `len` distinct-i votes = an exact occurrence (the
+    * engine's landed positional index and blocked probe must match
+    * the flat statement end to end, at BOTH registered widths). */
+  private def phraseOracleOver(len: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 20 = 4 THEN '${Dedup.PressPlant}'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term FROM (
+       |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |    FROM d), unnest(generate_series(1, len(tk))) g(i)),
+       |q AS (SELECT doc_id AS qid, pos AS i, term FROM tok
+       |  WHERE doc_id < 10 AND pos < $len),
+       |qn AS (SELECT qid FROM q GROUP BY qid
+       |  HAVING COUNT(*) = $len),
+       |m AS (SELECT q.qid, t.doc_id, t.pos - q.i AS anchor
+       |  FROM q JOIN qn USING (qid)
+       |  JOIN tok t ON t.term = q.term
+       |  WHERE t.doc_id <> q.qid),
+       |occ AS (SELECT qid, doc_id, anchor FROM m
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) = $len)
+       |SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+       |FROM occ WHERE anchor >= 0 GROUP BY 1, 2""".stripMargin
 
-    // t40: the naive BM25 statement — tokenize → tf → doc lengths →
-    // corpus stats → the ONE qlog recurrence for the idf values →
-    // the SAME quantized per-term rational ( // ≡ div on nonnegative
-    // ints) → ROW_NUMBER top-5. The engine's landed index, landed
-    // lengths, and bounded-heap rank must match it end to end.
-    "t40_bm25_topk" ->
-      s"""WITH tok AS (SELECT doc_id,
+  /** The naive BM25 statement — ONE text for t40 and t42. */
+  private val bm25OracleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
          |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
          |  FROM documents),
          |tfq AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -383,7 +548,22 @@ object Hybrid {
          |SELECT qid, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT qid, item_id, score, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY score DESC, item_id ASC) AS rk
-         |  FROM sc) WHERE rk <= 5""".stripMargin,
+         |  FROM sc) WHERE rk <= 5""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t41_phrase_match" -> phraseOracleOver(PhraseLen),
+    "t44_phrase_5gram" -> phraseOracleOver(PhraseLen5),
+
+    // t40 AND t42 share ONE oracle text: the naive BM25 statement —
+    // tokenize → tf → doc lengths → corpus stats → the ONE qlog
+    // recurrence for the idf values → the SAME quantized per-term
+    // rational ( // ≡ div on nonnegative ints) → ROW_NUMBER top-5.
+    // The engine's landed index, landed lengths, and bounded-heap
+    // rank (t40) and the block-max-pruned probe (t42) must BOTH match
+    // the flat statement — the s39 verify-exact philosophy: the
+    // oracle never restates the engine's shortcut.
+    "t40_bm25_topk" -> bm25OracleSql,
+    "t42_bm25_wand" -> bm25OracleSql,
 
     "t39_hybrid_rrf" ->
       s"""WITH ${Similarity.kmeansChainCtes},

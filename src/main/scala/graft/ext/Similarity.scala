@@ -350,25 +350,9 @@ object Similarity {
     // planted-twin corpus: the md5 draw splits each (original, twin)
     // pair across eval/corpus with prob ~2·(1/8)·(7/8), giving a
     // planted cross-split match class (ExtSpec pins it).
-    "s09_semantic_decontam" -> ((s, dir) => {
-      val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
-      def bandsOf(df: DataFrame): DataFrame = df
-        .select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bandsOf(all.filter(!isEvalVec)).as("a")
-        .join(bandsOf(all.filter(isEvalVec)).as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
-        .select(col("a.vec_id").as("cvec"), col("b.vec_id").as("evec"))
-        .distinct()
-      cand
-        .join(all.as("sa"), col("cvec") === col("sa.vec_id"))
-        .join(all.as("sb"), col("evec") === col("sb.vec_id"))
-        .select(col("cvec"), cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.99)
-        .groupBy(col("cvec"))
-        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos_sim")).as("max_cos"))
-        .select(col("cvec").as("vec_id"), col("n_eval_matches"), col("max_cos"))
-    }),
+    "s09_semantic_decontam" -> ((s, dir) =>
+      semanticDecontam(
+        graft.ops.Subplan.once(withPlantedTwins(emb(s, dir))))),
 
     // Blocked NN-1 — the SCALE path for per-vector nearest neighbor
     // (s03 is the exact all-pairs baseline; its Scaladoc points here).
@@ -1516,6 +1500,31 @@ object Similarity {
     * replication factor B on the probe side buys per-task state
     * cell/B on the build side. */
   private val SemBlocks = 8
+
+  /** THE semantic-decontamination decision over a (vec_id, v) corpus
+    * — s09's body as ONE definition for the registered query and the
+    * t43 composed chain: corpus-side (non-eval) vectors whose 4×16-bit
+    * sign bands collide with a held-out eval vector's, verified at
+    * exact cosine ≥ 0.99. Emits one row per contaminated corpus
+    * vector: (vec_id, n_eval_matches, max_cos). */
+  private[graft] def semanticDecontam(all: DataFrame): DataFrame = {
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(signBandStructs(col("v"))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bandsOf(all.filter(!isEvalVec)).as("a")
+      .join(bandsOf(all.filter(isEvalVec)).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.vec_id").as("cvec"), col("b.vec_id").as("evec"))
+      .distinct()
+    cand
+      .join(all.as("sa"), col("cvec") === col("sa.vec_id"))
+      .join(all.as("sb"), col("evec") === col("sb.vec_id"))
+      .select(col("cvec"), cosine(col("sa.v"), col("sb.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .groupBy(col("cvec"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos_sim")).as("max_cos"))
+      .select(col("cvec").as("vec_id"), col("n_eval_matches"), col("max_cos"))
+  }
 
   /** THE SemDeDup decision over a (vec_id, v) corpus: assignment +
     * exact centroid distance, within-cell verified pairs, the
@@ -2827,12 +2836,24 @@ object Similarity {
       knnBands(all.join(bt, Seq("vec_id"), "left_semi")))
     val probeBands = corpusBands.map(_.unionByName(batchBands))
       .getOrElse(knnBands(all))
-    val bp = batchBands.as("a")
+    // bp materializes ONCE (it feeds both the stored-graph expansion
+    // and the seed union — without the checkpoint the corpus-band
+    // probe scan would run twice), and the count it makes cheap gates
+    // the expansion's broadcast (the t21 REAL-size gate): batchBands
+    // is batch-bounded but its COLLISION set is not — a hot band under
+    // heavy skew makes bp corpus-proportional, so above the gate the
+    // hint drops and the expansion re-plans as an ordinary u-keyed
+    // shuffle join (answer unchanged, no driver/broadcast limit risk).
+    val bp = graft.ops.Subplan.once(batchBands.as("a")
       .join(probeBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
-    val gx = broadcast(bp.select(col("v"), col("w").as("u")))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w")))
+    val gate: DataFrame => DataFrame =
+      if (bp.count() <= graft.ext.Text.T21BroadcastMaxKeys)
+        df => broadcast(df)
+      else identity
+    val gx = gate(bp.select(col("v"), col("w").as("u")))
       .join(stored.select(col("v").as("u"), col("w").as("x")), Seq("u"))
       .select(col("v"), col("x").as("w"))
       .filter(col("v") =!= col("w"))
@@ -2902,6 +2923,33 @@ object Similarity {
     nbr
   }
 
+  /** THE touched-partition upsert content — ONE merge statement for
+    * s34's insert and s35's delete-heal: the READ-ONLY base
+    * generation's touched partitions, minus retired owners (s35
+    * only), minus the replaced owners, ∪ the replacement lists. The
+    * source is the BASE store, never the mutated copy: the fold is a
+    * pure function of (base, batch), so merging from base yields the
+    * same content on every invocation (idempotent by construction)
+    * WITHOUT the checkpoint-before-overwrite a self-read-write would
+    * force — the round-15 store-mechanics decomposition's first
+    * action, removed. The scan prunes by the STATIC pt values
+    * (PlanSpec pins PartitionFilters + broadcast-only joins on this
+    * very definition). */
+  private[graft] def knnUpsertContent(s: SparkSession, basePath: String,
+      ptVals: Seq[Int], repl: DataFrame,
+      retired: Option[DataFrame] = None): DataFrame = {
+    val touched = broadcast(repl.select(col("v")).distinct())
+    val kept0 = s.read.parquet(basePath)
+      .filter(col("pt").isin(ptVals: _*))
+    val kept = retired.map(del => kept0.join(
+        broadcast(del.select(col("vec_id").as("v"))), Seq("v"), "left_anti"))
+      .getOrElse(kept0)
+    kept.join(touched, Seq("v"), "left_anti")
+      .select(col("v"), col("w"), col("d"))
+      .unionByName(repl)
+      .withColumn("pt", ptCol(col("v")))
+  }
+
   /** THE graph-delete heal — ONE definition for batch s35 and the
     * streaming twin's retire: owners that survive but reference a
     * retired id rebuild their lists from (their own surviving edges) ∪
@@ -2942,13 +2990,17 @@ object Similarity {
     * fold is context-SENSITIVE, unlike s18's assignment, so folding
     * against an already-mutated store would drift), and `s34_graph`,
     * initialized as its copy and MUTATED by the whole-key-group
-    * upsert: touched partitions' stored rows minus touched owners,
-    * plus the delta, rewritten under dynamic partition overwrite
-    * (untouched partitions' files are never opened). Emits the
-    * touched owners' ranked lists READ BACK from the upserted store
-    * (t30's touched-keys discipline; the bounded pt collect becomes a
-    * static partition filter, so the read-back scan opens only the
-    * touched partitions — PlanSpec pins it). */
+    * upsert: [[knnUpsertContent]] over the BASE store's touched
+    * partitions, rewritten under dynamic partition overwrite
+    * (untouched partitions' files are never opened; merging from the
+    * read-only base means no checkpoint-before-overwrite — round
+    * 16's store-mechanics cut). Emits the touched owners' ranked
+    * lists FROM THE CHECKPOINTED DELTA — the upserted store's
+    * touched-owner rows ARE the delta by the merge algebra
+    * ((stored − touched) ∪ delta restricted to touched = delta), so
+    * re-reading the store after the write bought a scan and nothing
+    * else; ExtSpec pins store read-back ≡ answer so the identity
+    * stays verified while the query no longer pays it. */
   private def knnGraphInsertQuery(s: SparkSession, dir: String): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val basePath = graft.sources.SessionStore.pathOrBuild(
@@ -2972,27 +3024,18 @@ object Similarity {
     val delta = graft.ops.Subplan.once(knnInsertDelta(
       base, all, all.filter(annBatchVec).select(col("vec_id")),
       corpusBands = Some(corpusBands)))
-    val touched = broadcast(delta.select(col("v")).distinct())
     // The touched partitions as STATIC pruning values — a bounded
     // ≤ [[KnnGraphParts]]-entry driver-side collect (deleteFromStore's
-    // metadata-op discipline): both the merge read and the answer
-    // read-back open ONLY those partitions' files (PlanSpec pins the
-    // PartitionFilters), which is the whole point of the partitioned
+    // metadata-op discipline): the merge read opens ONLY those
+    // partitions' files (PlanSpec pins the PartitionFilters on
+    // knnUpsertContent), which is the whole point of the partitioned
     // upsert layout.
     val ptVals = delta.select(ptCol(col("v")).as("pt")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val merged = graft.ops.Subplan.once(
-      s.read.parquet(gPath)
-        .filter(col("pt").isin(ptVals: _*))
-        .join(touched, Seq("v"), "left_anti")
-        .select(col("v"), col("w"), col("d"))
-        .unionByName(delta)
-        .withColumn("pt", ptCol(col("v"))))
-    graft.sources.Sink.write(merged, gPath, Seq("v", "w"), Seq("pt"))
-    knnRanked(s.read.parquet(gPath)
-      .filter(col("pt").isin(ptVals: _*))
-      .join(touched, Seq("v"), "left_semi")
-      .select(col("v"), col("w"), col("d")))
+    graft.sources.Sink.write(
+      knnUpsertContent(s, basePath, ptVals, delta),
+      gPath, Seq("v", "w"), Seq("pt"))
+    knnRanked(delta)
   }
 
   /** The s35 body — BATCH DELETE from the landed k-NN graph, s34's
@@ -3005,8 +3048,9 @@ object Similarity {
     * owners; a partition emptied of every owner is dropped explicitly
     * (the s24 bounded metadata op — degenerate here, possible at a
     * hot-spot 100 TB layout). Emits the healed owners' ranked lists
-    * read back from the post-delete store — by construction free of
-    * any retired id (ExtSpec pins it). */
+    * from the checkpointed heal — identical to the post-delete
+    * store's healed-owner rows by the merge algebra, and by
+    * construction free of any retired id (ExtSpec pins both). */
   private def knnGraphDeleteQuery(s: SparkSession, dir: String): DataFrame = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val basePath = graft.sources.SessionStore.pathOrBuild(
@@ -3021,8 +3065,6 @@ object Similarity {
     val fx = graft.ops.Subplan.once(knnFx(all))
     val delIds = all.filter(annDelVec).select(col("vec_id"))
     val healed = graft.ops.Subplan.once(knnDeleteHeal(base, fx, delIds))
-    val del = broadcast(delIds)
-    val touched = broadcast(healed.select(col("v")).distinct())
     // Touched partitions (healed owners' ∪ retired owners') as STATIC
     // pruning values — the bounded driver-side metadata op.
     val healedPt = healed.select(ptCol(col("v")).as("pt")).distinct()
@@ -3030,14 +3072,13 @@ object Similarity {
     val ptVals = (healedPt ++
       delIds.select(ptCol(col("vec_id")).as("pt")).distinct()
         .collect().map(_.getInt(0))).distinct
+    // The merged content rides the ONE [[knnUpsertContent]] statement
+    // FROM THE BASE store (s34's discipline — no self-read-write, no
+    // checkpoint for overwrite safety); the Subplan.once here exists
+    // because survivors is consumed TWICE (the emptied-partition
+    // collect and the write), not as an overwrite guard.
     val survivors = graft.ops.Subplan.once(
-      s.read.parquet(gPath)
-        .filter(col("pt").isin(ptVals: _*))
-        .join(broadcast(del.select(col("vec_id").as("v"))), Seq("v"), "left_anti")
-        .join(touched, Seq("v"), "left_anti")
-        .select(col("v"), col("w"), col("d"))
-        .unionByName(healed)
-        .withColumn("pt", ptCol(col("v"))))
+      knnUpsertContent(s, basePath, ptVals, healed, Some(delIds)))
     val emptied = ptVals.toSet --
       survivors.select(col("pt")).distinct().collect().map(_.getInt(0))
     if (emptied.nonEmpty) {
@@ -3049,10 +3090,10 @@ object Similarity {
     }
     if (!survivors.isEmpty)
       graft.sources.Sink.write(survivors, gPath, Seq("v", "w"), Seq("pt"))
-    knnRanked(s.read.parquet(gPath)
-      .filter(col("pt").isin(healedPt: _*))
-      .join(touched, Seq("v"), "left_semi")
-      .select(col("v"), col("w"), col("d")))
+    // The post-delete store's healed-owner rows ARE the healed frame
+    // (the s34 merge-algebra identity) — answer from the checkpoint;
+    // ExtSpec pins store read-back ≡ answer.
+    knnRanked(healed)
   }
 
   /** The POST-DELETE graph state assembled in lineage — (landed base
@@ -3629,7 +3670,7 @@ object Similarity {
     * the raw-corpus one can never state different arithmetic.
     * `probeWhere` names the probe set (default the registered
     * 10-query frame; s41 probes the recall draw instead). */
-  private def kmeansChainCtesFrom(head: String, eName: String,
+  private[graft] def kmeansChainCtesFrom(head: String, eName: String,
       trainPred: Option[String],
       probeWhere: String = "s.vec_id < 10"): String = {
     val src = if (trainPred.isDefined) "tr" else "fx"
@@ -3874,7 +3915,7 @@ object Similarity {
     * union) — ONE statement shared by [[signBaseCte]] (the sign-band
     * family) and the d20 oracle (which trains the coarse quantizer
     * over the same union). */
-  private val twinCorpusCte =
+  private[graft] val twinCorpusCte =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |pert AS (SELECT vec_id + 1000000000 AS vec_id,
       |    [CASE WHEN i = 1 THEN v[i] * 1.01 ELSE v[i] END
@@ -3886,6 +3927,64 @@ object Similarity {
   private val signBaseCte =
     s"""$twinCorpusCte,
       |${bandsCteOver("bands", "al")}""".stripMargin
+
+  /** s09's decision CTEs over an existing `al` corpus and `bands`
+    * banding — the eval flag, the corpus×eval band collisions, the
+    * exact cosine verify. ONE text for the s09 oracle (over
+    * [[signBaseCte]]) and the composed t43 chain (over the d20 Lloyd
+    * chain's `al` + a re-attached banding). */
+  private[graft] val s09TailCtes =
+    s"""fl AS (SELECT vec_id,
+       |    ('0x' || substr(md5(vec_id || ':eval'), 1, 8))::BIGINT % 8 = 0
+       |      AS is_eval
+       |  FROM al),
+       |cand AS (SELECT DISTINCT a.vec_id AS cvec, b.vec_id AS evec
+       |  FROM bands a
+       |  JOIN fl fa ON fa.vec_id = a.vec_id AND NOT fa.is_eval
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  JOIN fl fb ON fb.vec_id = b.vec_id AND fb.is_eval),
+       |scored AS (SELECT c.cvec,
+       |    list_dot_product(sa.v, sb.v)
+       |      / (sqrt(list_dot_product(sa.v, sa.v))
+       |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
+       |  FROM cand c
+       |  JOIN al sa ON sa.vec_id = c.cvec
+       |  JOIN al sb ON sb.vec_id = c.evec)""".stripMargin
+
+  /** s09's final flag statement over `scored` — the registered
+    * oracle's answer and t43's `semflag` CTE body. */
+  private[graft] val s09FlagSelect =
+    """SELECT cvec AS vec_id, COUNT(*) AS n_eval_matches,
+      |  MAX(cos_sim) AS max_cos
+      |FROM scored WHERE cos_sim >= 0.99 GROUP BY cvec""".stripMargin
+
+  /** d20's decision CTEs over the Lloyd chain's `post`/`cent`/`al` —
+    * own-centroid distances, within-cell verified pairs, the
+    * keep-farther losers. ONE text for the d20 oracle and the
+    * composed t43 chain. */
+  private[graft] val d20TailCtes =
+    s"""dc AS (SELECT p.vec_id, p.cid,
+       |    CAST(${sqlDist("p.x", "c.m")} AS BIGINT) AS dc2
+       |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid),
+       |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    a.dc2 AS dc2_a, b.dc2 AS dc2_b
+       |  FROM dc a JOIN dc b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |  JOIN al ea ON ea.vec_id = a.vec_id
+       |  JOIN al eb ON eb.vec_id = b.vec_id
+       |  WHERE list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v))
+       |         * sqrt(list_dot_product(eb.v, eb.v))) >= 0.99),
+       |losers AS (SELECT DISTINCT CASE
+       |    WHEN dc2_a < dc2_b THEN va
+       |    WHEN dc2_b < dc2_a THEN vb
+       |    ELSE greatest(va, vb) END AS vec_id
+       |  FROM prs)""".stripMargin
+
+  /** The banding CTE re-attachable to any corpus CTE — exposed for
+    * the t43 composed oracle (its `al` comes from the Lloyd chain,
+    * not [[signBaseCte]]). */
+  private[graft] def bandsCteFor(name: String, src: String): String =
+    bandsCteOver(name, src)
 
   /** The d05 pair-graph CTE skeleton (planted twins + 4×16-bit sign
     * bands + exact cosine verify) shared by the d05 and d13 oracles —
@@ -4417,47 +4516,15 @@ object Similarity {
     // keep-farther-from-centroid rule, one LEFT JOIN for the flag.
     "d20_semdedup" ->
       s"""WITH ${kmeansChainCtesFrom(twinCorpusCte, "al", None)},
-         |dc AS (SELECT p.vec_id, p.cid,
-         |    CAST(${sqlDist("p.x", "c.m")} AS BIGINT) AS dc2
-         |  FROM post p JOIN cent$KmIters c ON c.cid = p.cid),
-         |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-         |    a.dc2 AS dc2_a, b.dc2 AS dc2_b
-         |  FROM dc a JOIN dc b ON b.cid = a.cid AND a.vec_id < b.vec_id
-         |  JOIN al ea ON ea.vec_id = a.vec_id
-         |  JOIN al eb ON eb.vec_id = b.vec_id
-         |  WHERE list_dot_product(ea.v, eb.v)
-         |      / (sqrt(list_dot_product(ea.v, ea.v))
-         |         * sqrt(list_dot_product(eb.v, eb.v))) >= 0.99),
-         |losers AS (SELECT DISTINCT CASE
-         |    WHEN dc2_a < dc2_b THEN va
-         |    WHEN dc2_b < dc2_a THEN vb
-         |    ELSE greatest(va, vb) END AS vec_id
-         |  FROM prs)
+         |$d20TailCtes
          |SELECT d.vec_id, d.cid, d.dc2, l.vec_id IS NULL AS kept
          |FROM dc d LEFT JOIN losers l ON l.vec_id = d.vec_id""".stripMargin,
     // The corpus-side × eval-side restatement of the band join (same
     // signBaseCte banding; the eval flag is the t08/t13 md5 draw).
     "s09_semantic_decontam" ->
       s"""WITH $signBaseCte,
-         |fl AS (SELECT vec_id,
-         |    ('0x' || substr(md5(vec_id || ':eval'), 1, 8))::BIGINT % 8 = 0
-         |      AS is_eval
-         |  FROM al),
-         |cand AS (SELECT DISTINCT a.vec_id AS cvec, b.vec_id AS evec
-         |  FROM bands a
-         |  JOIN fl fa ON fa.vec_id = a.vec_id AND NOT fa.is_eval
-         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |  JOIN fl fb ON fb.vec_id = b.vec_id AND fb.is_eval),
-         |scored AS (SELECT c.cvec,
-         |    list_dot_product(sa.v, sb.v)
-         |      / (sqrt(list_dot_product(sa.v, sa.v))
-         |         * sqrt(list_dot_product(sb.v, sb.v))) AS cos_sim
-         |  FROM cand c
-         |  JOIN al sa ON sa.vec_id = c.cvec
-         |  JOIN al sb ON sb.vec_id = c.evec)
-         |SELECT cvec AS vec_id, COUNT(*) AS n_eval_matches,
-         |  MAX(cos_sim) AS max_cos
-         |FROM scored WHERE cos_sim >= 0.99 GROUP BY cvec""".stripMargin,
+         |$s09TailCtes
+         |$s09FlagSelect""".stripMargin,
     // d07's recursive min-label walk over d05's exhaustive pair graph,
     // then the max-norm canonical (ties to the smallest vec_id).
     "d13_embedding_clusters" ->

@@ -1327,7 +1327,7 @@ object Text {
     conv(substring(md5(concat(col("doc_id").cast("string"),
       lit(":tgt"))), 1, 8), 16, 10).cast("long") % 8 === 0
 
-  private val tgtDrawSql =
+  private[graft] val tgtDrawSql =
     "('0x' || substr(md5(doc_id || ':tgt'), 1, 8))::BIGINT % 8 = 0"
 
   /** Hashed-feature bucket count — DSIR's 10⁴ buckets scaled to the
@@ -2299,7 +2299,7 @@ object Text {
   }
 
   /** The t08/t13 md5 eval draw as DuckDB SQL (the doc_id form). */
-  private val evalDrawSql =
+  private[graft] val evalDrawSql =
     "('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 8 = 0"
 
   /** [[graft.functions.QLog2]]'s recurrence unrolled as chained DuckDB
@@ -2341,6 +2341,85 @@ object Text {
     (head +: steps).mkString(",\n") +
       s",\nql$sfx AS (SELECT x, m * ${1L << Q} + r AS ql FROM q${sfx}_$Q)"
   }
+
+  /** t37's oracle CTE chain — tokenize → hashed buckets → per-doc tf
+    * → per-bucket model counts → the ONE qlog recurrence → folded
+    * coefficients → pool weights → histogram-free exact ROW_NUMBER
+    * top quarter. Parameterized over the flagged-source CTE text
+    * (must define `d$sfx` with (doc_id, is_tgt, tk)) and a CTE
+    * suffix, because the composed t43 oracle runs this chain beside
+    * the t38 drift chain (both build histogram + qlog tables). Ends
+    * at kk$sfx (the k row) and rnk$sfx (doc_id, qw, rn). ONE text
+    * with the registered t37 oracle (sfx = ""). */
+  private[graft] def dsirOracleCtes(dCte: String, sfx: String): String =
+    s"""$dCte,
+       |tok$sfx AS (SELECT doc_id, is_tgt,
+       |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
+       |  FROM (SELECT doc_id, is_tgt, unnest(tk) AS w FROM d$sfx)),
+       |tf$sfx AS (SELECT doc_id, is_tgt, b, COUNT(*) AS tf
+       |  FROM tok$sfx GROUP BY 1, 2, 3),
+       |nb$sfx AS (SELECT b,
+       |    CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN NOT is_tgt THEN tf ELSE 0 END) AS BIGINT)
+       |      AS n_p
+       |  FROM tf$sfx GROUP BY b),
+       |tots$sfx AS (SELECT CAST(SUM(n_t) AS BIGINT) AS ntt,
+       |    CAST(SUM(n_p) AS BIGINT) AS npt FROM nb$sfx),
+       |vals$sfx AS (SELECT DISTINCT x FROM (
+       |    SELECT n_t + 1 AS x FROM nb$sfx
+       |    UNION ALL SELECT n_p + 1 FROM nb$sfx
+       |    UNION ALL SELECT ntt + $DsirB FROM tots$sfx
+       |    UNION ALL SELECT npt + $DsirB FROM tots$sfx)),
+       |${qlogChainCteNamed(s"vals$sfx", sfx)},
+       |coef$sfx AS (SELECT nb.b,
+       |    (SELECT ql FROM ql$sfx WHERE x = nb.n_t + 1)
+       |    - (SELECT ql FROM ql$sfx WHERE x = nb.n_p + 1)
+       |    + (SELECT ql FROM ql$sfx
+       |       WHERE x = (SELECT npt + $DsirB FROM tots$sfx))
+       |    - (SELECT ql FROM ql$sfx
+       |       WHERE x = (SELECT ntt + $DsirB FROM tots$sfx))
+       |      AS c
+       |  FROM nb$sfx nb),
+       |qw$sfx AS (SELECT tf.doc_id, CAST(SUM(tf.tf * coef.c) AS BIGINT) AS qw
+       |  FROM tf$sfx tf JOIN coef$sfx coef ON coef.b = tf.b
+       |  WHERE NOT tf.is_tgt GROUP BY 1),
+       |kk$sfx AS (SELECT COUNT(*) // 4 AS k FROM qw$sfx),
+       |rnk$sfx AS (SELECT doc_id, qw,
+       |    ROW_NUMBER() OVER (ORDER BY qw DESC, doc_id) AS rn FROM qw$sfx)"""
+      .stripMargin
+
+  /** t38's oracle CTE chain — the same hashed buckets counted per
+    * side, the ONE qlog recurrence, and the exact-integer qdiff =
+    * 2¹⁶·log₂(p/q). Same (dCte, sfx) parameterization as
+    * [[dsirOracleCtes]] (the source must define `d$sfx` with
+    * (doc_id, is_batch, tk)); ends at qd$sfx (b, n_new, n_old, ntn,
+    * nto, qdiff). ONE text with the registered t38 oracle (sfx = "")
+    * and the t43 drift gate. */
+  private[graft] def driftOracleCtes(dCte: String, sfx: String): String =
+    s"""$dCte,
+       |tok$sfx AS (SELECT doc_id, is_batch,
+       |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
+       |  FROM (SELECT doc_id, is_batch, unnest(tk) AS w FROM d$sfx)),
+       |nb$sfx AS (SELECT b,
+       |    CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_new,
+       |    CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_old
+       |  FROM tok$sfx GROUP BY b),
+       |tots$sfx AS (SELECT CAST(SUM(n_new) AS BIGINT) AS ntn,
+       |    CAST(SUM(n_old) AS BIGINT) AS nto FROM nb$sfx),
+       |vals$sfx AS (SELECT DISTINCT x FROM (
+       |    SELECT n_new + 1 AS x FROM nb$sfx
+       |    UNION ALL SELECT n_old + 1 FROM nb$sfx
+       |    UNION ALL SELECT ntn + $DsirB FROM tots$sfx
+       |    UNION ALL SELECT nto + $DsirB FROM tots$sfx)),
+       |${qlogChainCteNamed(s"vals$sfx", sfx)},
+       |qd$sfx AS (SELECT nb.b, nb.n_new, nb.n_old, t.ntn, t.nto,
+       |    (SELECT ql FROM ql$sfx WHERE x = nb.n_new + 1)
+       |    + (SELECT ql FROM ql$sfx WHERE x = t.nto + $DsirB)
+       |    - (SELECT ql FROM ql$sfx WHERE x = nb.n_old + 1)
+       |    - (SELECT ql FROM ql$sfx WHERE x = t.ntn + $DsirB) AS qdiff
+       |  FROM nb$sfx nb, tots$sfx t)""".stripMargin
 
   /** t29's oracle: the naive-Bayes scoring restated over the same
     * md5 train split, with every log₂ read from [[qlogChainCte]]'s
@@ -2545,40 +2624,10 @@ object Text {
     // exact top-K (ROW_NUMBER over (qw desc, doc_id)) — the engine's
     // two-phase histogram pick must equal it row for row.
     "t37_dsir_select" ->
-      s"""WITH d AS (SELECT doc_id, $tgtDrawSql AS is_tgt,
-         |    regexp_split_to_array(trim(text), '\\s+') AS tk
-         |  FROM documents),
-         |tok AS (SELECT doc_id, is_tgt,
-         |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
-         |  FROM (SELECT doc_id, is_tgt, unnest(tk) AS w FROM d)),
-         |tf AS (SELECT doc_id, is_tgt, b, COUNT(*) AS tf
-         |  FROM tok GROUP BY 1, 2, 3),
-         |nb AS (SELECT b,
-         |    CAST(SUM(CASE WHEN is_tgt THEN tf ELSE 0 END) AS BIGINT) AS n_t,
-         |    CAST(SUM(CASE WHEN NOT is_tgt THEN tf ELSE 0 END) AS BIGINT)
-         |      AS n_p
-         |  FROM tf GROUP BY b),
-         |tots AS (SELECT CAST(SUM(n_t) AS BIGINT) AS ntt,
-         |    CAST(SUM(n_p) AS BIGINT) AS npt FROM nb),
-         |vals AS (SELECT DISTINCT x FROM (
-         |    SELECT n_t + 1 AS x FROM nb
-         |    UNION ALL SELECT n_p + 1 FROM nb
-         |    UNION ALL SELECT ntt + $DsirB FROM tots
-         |    UNION ALL SELECT npt + $DsirB FROM tots)),
-         |${qlogChainCte("vals")},
-         |coef AS (SELECT nb.b,
-         |    (SELECT ql FROM ql WHERE x = nb.n_t + 1)
-         |    - (SELECT ql FROM ql WHERE x = nb.n_p + 1)
-         |    + (SELECT ql FROM ql WHERE x = (SELECT npt + $DsirB FROM tots))
-         |    - (SELECT ql FROM ql WHERE x = (SELECT ntt + $DsirB FROM tots))
-         |      AS c
-         |  FROM nb),
-         |qw AS (SELECT tf.doc_id, CAST(SUM(tf.tf * coef.c) AS BIGINT) AS qw
-         |  FROM tf JOIN coef ON coef.b = tf.b WHERE NOT tf.is_tgt
-         |  GROUP BY 1),
-         |kk AS (SELECT COUNT(*) // 4 AS k FROM qw),
-         |rnk AS (SELECT doc_id, qw,
-         |    ROW_NUMBER() OVER (ORDER BY qw DESC, doc_id) AS rn FROM qw)
+      s"""WITH ${dsirOracleCtes(
+             s"""d AS (SELECT doc_id, $tgtDrawSql AS is_tgt,
+                |    regexp_split_to_array(trim(text), '\\s+') AS tk
+                |  FROM documents)""".stripMargin, "")}
          |SELECT doc_id, qw, rn <= (SELECT k FROM kk) AS kept
          |FROM rnk""".stripMargin,
     // t38: the same bucket histograms with every log from the ONE
@@ -2586,32 +2635,10 @@ object Text {
     // (two exact-int divisions, subtract, multiply, power-of-two
     // scale — per row, never aggregated).
     "t38_corpus_drift" ->
-      s"""WITH d AS (SELECT doc_id, doc_id % 8 = 0 AS is_batch,
-         |    regexp_split_to_array(trim(text), '\\s+') AS tk
-         |  FROM documents),
-         |tok AS (SELECT doc_id, is_batch,
-         |    ('0x' || substr(md5(w), 1, 9))::BIGINT % $DsirB AS b
-         |  FROM (SELECT doc_id, is_batch, unnest(tk) AS w FROM d)),
-         |nb AS (SELECT b,
-         |    CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_new,
-         |    CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_old
-         |  FROM tok GROUP BY b),
-         |tots AS (SELECT CAST(SUM(n_new) AS BIGINT) AS ntn,
-         |    CAST(SUM(n_old) AS BIGINT) AS nto FROM nb),
-         |vals AS (SELECT DISTINCT x FROM (
-         |    SELECT n_new + 1 AS x FROM nb
-         |    UNION ALL SELECT n_old + 1 FROM nb
-         |    UNION ALL SELECT ntn + $DsirB FROM tots
-         |    UNION ALL SELECT nto + $DsirB FROM tots)),
-         |${qlogChainCte("vals")},
-         |qd AS (SELECT nb.b, nb.n_new, nb.n_old, t.ntn, t.nto,
-         |    (SELECT ql FROM ql WHERE x = nb.n_new + 1)
-         |    + (SELECT ql FROM ql WHERE x = t.nto + $DsirB)
-         |    - (SELECT ql FROM ql WHERE x = nb.n_old + 1)
-         |    - (SELECT ql FROM ql WHERE x = t.ntn + $DsirB) AS qdiff
-         |  FROM nb, tots t)
+      s"""WITH ${driftOracleCtes(
+             s"""d AS (SELECT doc_id, doc_id % 8 = 0 AS is_batch,
+                |    regexp_split_to_array(trim(text), '\\s+') AS tk
+                |  FROM documents)""".stripMargin, "")}
          |SELECT b, n_new, n_old, qdiff,
          |  (CAST(n_new + 1 AS DOUBLE) / CAST(ntn + $DsirB AS DOUBLE)
          |   - CAST(n_old + 1 AS DOUBLE) / CAST(nto + $DsirB AS DOUBLE))

@@ -1422,14 +1422,25 @@ object DocStreams extends Serializable {
   final class DsirScoreMaintenance(model: DataFrame) {
     private val coef = graft.ops.Subplan.once(model)
     @volatile private var scored: Option[DataFrame] = None
+    private var sinceCompact = 0
 
-    /** Score one microbatch of (doc_id, text) pool rows. */
+    /** Score one microbatch of (doc_id, text) pool rows. The
+      * accumulated union re-checkpoints every [[CompactEvery]]
+      * triggers (the other twins' state discipline) so the logical
+      * plan behind `weights` stays bounded on a long-running stream
+      * instead of growing one union leaf per trigger. */
     def fold(batchDs: Dataset[org.apache.spark.sql.Row]): Unit = {
       val b = batchDs.toDF().select(col("doc_id"), col("text"))
       if (b.isEmpty) return
       val qw = graft.ops.Subplan.once(
         graft.ext.Text.dsirScoreOf(b, coef))
-      scored = Some(scored.map(_.unionByName(qw)).getOrElse(qw))
+      val merged = scored.map(_.unionByName(qw)).getOrElse(qw)
+      sinceCompact += 1
+      scored = Some(
+        if (sinceCompact >= DsirScoreMaintenance.CompactEvery) {
+          sinceCompact = 0
+          graft.ops.Subplan.once(merged)
+        } else merged)
     }
 
     /** Every scored pool doc's live weight — None before the first
@@ -1437,6 +1448,13 @@ object DocStreams extends Serializable {
       * is the answer; re-delivered docs would duplicate rows, which
       * is the at-least-once caveat every twin states. */
     def weights: Option[DataFrame] = scored
+  }
+
+  object DsirScoreMaintenance {
+    /** Re-checkpoint cadence of the accumulated score union — each
+      * compaction collapses up to this many per-trigger leaves into
+      * one frame, bounding the live plan depth at CompactEvery. */
+    private[graft] val CompactEvery = 8
   }
 
   final class CorpusDriftMaintenance {

@@ -1004,6 +1004,24 @@ class ExtSpec extends AnyFunSuite {
     val run2 = SparkEntry.queries("s34_knn_graph_insert")(spark, sf)
       .collect().map(_.toSeq).toSet
     assert(run1.nonEmpty && run1 == run2)
+    // Store contract: the upserted store's touched-owner rows ARE the
+    // answer (the merge algebra the round-16 answer-from-checkpoint
+    // rests on) — read the mutated store back and compare, so the
+    // identity the registered query no longer pays for stays
+    // verified here.
+    val gPath = graft.sources.SessionStore.pathOrBuild(
+      spark, "s34_graph", sf, Seq("v", "w"), Seq("pt"))(
+      sys.error("s34_graph must already exist after the query ran"))
+    val owners = run1.map(_.head.asInstanceOf[Long])
+    val stored = spark.read.parquet(gPath)
+      .filter(col("v").isin(owners.toSeq: _*))
+      .select(col("v"), col("w"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val answer = run1.map(t => (t(0).asInstanceOf[Long],
+      t(1).asInstanceOf[Long], t(2).asInstanceOf[Long]))
+    assert(stored == answer,
+      s"store read-back diverged from the checkpointed answer: " +
+        s"missing=${(answer -- stored).take(5)} extra=${(stored -- answer).take(5)}")
   }
 
   test("s34 maintained graph equals the full s29 rebuild AND the exact k-NN " +
@@ -1127,6 +1145,22 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got == run2, "re-applying the delete changed the answer")
+    // Store contract (s34's pin for the delete half): the post-delete
+    // store's healed-owner rows ARE the answer, and no retired id
+    // survives ANYWHERE in the store, not just in the healed lists.
+    val gPath = graft.sources.SessionStore.pathOrBuild(
+      spark, "s35_graph", sf, Seq("v", "w"), Seq("pt"))(
+      sys.error("s35_graph must already exist after the query ran"))
+    val stored = spark.read.parquet(gPath)
+      .select(col("v"), col("w"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val owners = got.map(_._1)
+    val storedHealed = stored.filter(t => owners(t._1)).toSet
+    assert(storedHealed == got.map(t => (t._1, t._2, t._3)),
+      "store read-back diverged from the checkpointed heal")
+    stored.foreach { case (v, w, _) =>
+      assert(!del(v) && !del(w), s"retired id survives in store ($v, $w)")
+    }
   }
 
   test("s37 graph refine: converged at the registered rounds, improves " +
@@ -3112,6 +3146,170 @@ class ExtSpec extends AnyFunSuite {
     planted.foreach { id =>
       assert(got.get((4L, id)).contains((1L, 0L)),
         s"planted doc $id not matched at (1, 0): ${got.get((4L, id))}") }
+  }
+
+  test("t43 curation chain: every batch doc gets exactly one verdict; " +
+      "each stage agrees with its standalone query; the selected set is " +
+      "the exact top quarter of the pool") {
+    val rows = SparkEntry.queries("t43_curation_chain")(spark, sf)
+      .collect()
+    val batchDocs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id"), ext.Text.isEvalCol.as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.length == batchDocs.size)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val stageOf = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // The fixture's uniform 1/8 split is no-drift BY construction —
+    // the gate admits (its measured headroom is documented at the
+    // knob; the blocked branch is pinned on a planted corpus below).
+    assert(!stageOf.values.exists(_ == "drift_blocked"))
+    // Stage agreement with the standalone queries — each riding ONE
+    // shared definition, so disagreement = the composition forked.
+    val s09ids = SparkEntry.queries("s09_semantic_decontam")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val d20lost = SparkEntry.queries("d20_semdedup")(spark, sf)
+      .collect().filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    batchDocs.foreach { case (id, ev) =>
+      val want =
+        if (ev) "eval_holdout"
+        else if (s09ids(id)) "sem_contaminated"
+        else if (d20lost(id)) "sem_dup"
+        else null
+      if (want != null)
+        assert(stageOf(id) == want, s"doc $id: ${stageOf(id)} != $want")
+      else assert(Set("selected", "dsir_dropped")(stageOf(id)),
+        s"doc $id: pool doc got ${stageOf(id)}")
+    }
+    // The DSIR tail: pool rows carry weights and the selected set is
+    // the exact top ⌊n/4⌋ under (qw desc, doc_id asc) — t37's rule on
+    // the restricted pool.
+    val pool = rows.filter(r =>
+      r.getString(2) == "selected" || r.getString(2) == "dsir_dropped")
+    assert(pool.nonEmpty && pool.forall(!_.isNullAt(3)))
+    val k = pool.length / 4
+    val wantSel = pool.map(r => (r.getLong(0), r.getLong(3)))
+      .sortBy { case (id, qw) => (-qw, id) }.take(k).map(_._1).toSet
+    val gotSel = rows.filter(_.getString(2) == "selected")
+      .map(_.getLong(0)).toSet
+    assert(gotSel == wantSel,
+      s"selected set is not the top quarter: " +
+        s"missing=${(wantSel -- gotSel).take(3)} extra=${(gotSel -- wantSel).take(3)}")
+    assert(gotSel.size == k)
+    // Non-pool rows never carry a weight.
+    assert(rows.filter(r => !Set("selected", "dsir_dropped")(r.getString(2)))
+      .forall(_.isNullAt(3)))
+  }
+
+  test("t43 drift gate: a new-vocabulary batch is blocked wholesale") {
+    import spark.implicits._
+    // Existing corpus: a small old vocabulary, token mass >> B = 256
+    // (the t38 planting rule: size plants well past the add-one
+    // smoothing mass). Batch: entirely NEW vocabulary — whole buckets
+    // at add-one-vs-thousands ratios, |qdiff| far beyond the gate.
+    val docsF = (0L until 512L).map { i =>
+      val text =
+        if (i % 8 == 0)
+          (0 until 60).map(j => s"zz${i}w$j").mkString(" ")
+        else
+          (0 until 60).map(j => s"old${j % 4}").mkString(" ")
+      (i, text, "en", s"src${i % 5}", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("t43_fixture").toString
+    docsF.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rng = new scala.util.Random(7)
+    (0L until 16L).map(i =>
+        (i, (0 until 64).map(_ => rng.nextFloat()), i.toInt % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val staged = ext.Curation.stagedBatch(spark, tmp).collect()
+    assert(staged.nonEmpty)
+    staged.foreach { r =>
+      assert(r.getString(3) == "drift_blocked",
+        s"doc ${r.getLong(0)} passed a drifted gate: ${r.getString(3)}")
+    }
+  }
+
+  test("t44 5-gram phrase probe: JVM replay over the SAME positional " +
+      "store; the planted query matches every planted doc at position 0") {
+    val plant = ext.Dedup.PressPlant
+    val docsF = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        (id, if (id % 20 == 4) plant else r.getString(1)) }
+    def tk(t: String): Array[String] = t.trim.split("\\s+")
+    val len = ext.Hybrid.PhraseLen5
+    val want = docsF.filter(_._1 < 10).flatMap { case (qid, qt) =>
+      val toks = tk(qt)
+      if (toks.length < len) Nil
+      else {
+        val ph = toks.take(len).toSeq
+        docsF.filter(_._1 != qid).flatMap { case (id, t) =>
+          val dt = tk(t)
+          val anchors = (0 to dt.length - len)
+            .filter(a => dt.slice(a, a + len).toSeq == ph)
+          if (anchors.isEmpty) None
+          else Some((qid, id) -> ((anchors.size.toLong, anchors.min.toLong)))
+        }
+      }
+    }.toMap
+    val got = SparkEntry.queries("t44_phrase_5gram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == want, s"5-gram replay diverges: " +
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+      s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // The planted pin at the contamination gram width: query 4 finds
+    // EVERY other planted doc, exactly once, at position 0 — the same
+    // guarantee as t41's trigram, one store serving both widths.
+    val planted = docsF.map(_._1).filter(id => id % 20 == 4 && id != 4)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(got.get((4L, id)).contains((1L, 0L)),
+        s"planted doc $id not matched at (1, 0): ${got.get((4L, id))}") }
+  }
+
+  test("t42 block-max WAND: answer equals the exhaustive statement while " +
+      "admitting strictly fewer blocks on a skewed corpus") {
+    import spark.implicits._
+    // 2048 docs = 16 postings blocks. Background: a tiny common
+    // vocabulary everywhere (block-uniform, near-zero impacts); block
+    // 0's docs also carry a rare high-idf term at tf 4 — the skewed
+    // per-block impact distribution block-max WAND exists for.
+    val docsF = (0L until 2048L).map { i =>
+      val base = "the quick brown fox jumps"
+      (i, if (i < 128) base + " needle needle needle needle"
+          else base + s" filler${i % 7}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("t42_fixture").toString
+    docsF.toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val idx = graft.ops.Subplan.once(
+      ext.Text.blockedEntries(spark.read.parquet(tmp)))
+    val dl = graft.ops.Subplan.once(ext.Hybrid.docLenOf(idx))
+    val imp = graft.ops.Subplan.once(ext.Hybrid.impactsOf(idx, dl))
+    // One query holding the rare term + a ubiquitous term: the seed
+    // block's exact scores set θ far above every needle-free block's
+    // summed bounds.
+    val qterms = Seq((9999L, "needle"), (9999L, "the")).toDF("qid", "term")
+    val (cand, admitted, answer) =
+      ext.Hybrid.bmwOver(idx, dl, imp, qterms)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val got = rows(answer)
+    val want = rows(ext.Hybrid.bm25Over(idx, dl, qterms))
+    assert(got.nonEmpty && got == want,
+      s"pruned answer diverged from exhaustive: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    val nCand = cand.count()
+    val nAdm = admitted.count()
+    assert(nAdm < nCand,
+      s"no pruning happened: admitted $nAdm of $nCand candidate blocks")
+    // The top-5 lives in block 0 (needle docs dominate): the skip set
+    // should be nearly everything the ubiquitous term touches.
+    assert(nAdm <= 2, s"expected <=2 admitted blocks, got $nAdm of $nCand")
   }
 
   test("t40 BM25: bit-exact JVM replay of the quantized scores; equal-tf " +

@@ -452,27 +452,61 @@ class PlanSpec extends AnyFunSuite {
       s"stored postings must stream through the probe join, not shuffle:\n$p")
   }
 
-  test("s34/s35: the maintained-graph read-back prunes to the touched " +
-      "partitions and joins only by broadcast") {
-    // The maintenance answer reads the mutated store restricted to the
-    // touched owners: the bounded pt collect becomes a STATIC
-    // partition filter on the scan (untouched partitions' files never
-    // open — the upsert's locality carried through to the read), and
-    // the owner restriction is a broadcast semi-join of a
-    // batch-bounded frame.
+  test("s34/s35: the maintenance answer rides the checkpointed fold — " +
+      "no store re-read, no shuffle join") {
+    // Round 16's store-mechanics contract: the upserted store's
+    // touched-owner rows ARE the fold's output by the merge algebra,
+    // so the answer comes from the checkpointed delta/heal frame —
+    // a returned plan that re-scans parquet would mean the read-back
+    // cost crept back in (ExtSpec pins the store ≡ answer identity).
     Seq("s34_knn_graph_insert", "s35_knn_graph_delete").foreach { name =>
       val p = plan(name)
-      assert(p.split('\n').exists(l =>
-          l.contains("PartitionFilters:") && l.contains("pt#") &&
-            (l.contains(" IN ") || l.contains("INSET") || l.contains("="))),
-        s"$name: the maintained-graph scan must carry a static pt " +
-          s"partition filter:\n$p")
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name: the touched-owner restriction must broadcast:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$name: the answer must ride the checkpointed fold, not " +
+          s"re-read the store:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-        s"$name: the stored graph must stream through the read-back, " +
-          s"not shuffle:\n$p")
+        s"$name: the ranked answer must not shuffle-join:\n$p")
     }
+  }
+
+  test("t42: the pruned scoring join keys on (term, block) — skipped " +
+      "blocks never reach the entries explode") {
+    // Block-max WAND's plan contract: the final scoring join's key
+    // carries the admitted BLOCK, so a skipped block's postings row
+    // drops at the broadcast join, before its entries array explodes
+    // — the prune is in the plan, not a post-explode filter.
+    val p = plan("t42_bm25_wand")
+    assert(p.split('\n').exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("block#")),
+      s"t42's scoring join must be a broadcast join keyed on block:\n$p")
+  }
+
+  test("knnUpsertContent: the merge scan prunes to the touched " +
+      "partitions and joins only by broadcast") {
+    // The store-side half of the s34/s35 contract, pinned on THE
+    // shared merge definition: the bounded pt collect becomes a
+    // STATIC partition filter on the base-store scan (untouched
+    // partitions' files never open), and the owner/retired
+    // restrictions are broadcast anti-joins of batch-bounded frames.
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("upsert_plan").toString
+    Seq((1L, 2L, 10L, 0), (2L, 1L, 10L, 1), (3L, 1L, 20L, 2))
+      .toDF("v", "w", "d", "pt")
+      .write.partitionBy("pt").mode("overwrite").parquet(tmp)
+    val repl = Seq((1L, 3L, 5L)).toDF("v", "w", "d")
+    val del = Seq(2L).toDF("vec_id")
+    val p = ext.Similarity
+      .knnUpsertContent(spark, tmp, Seq(0, 1), repl, Some(del))
+      .queryExecution.executedPlan.toString
+    assert(p.split('\n').exists(l =>
+        l.contains("PartitionFilters:") && l.contains("pt#") &&
+          (l.contains(" IN ") || l.contains("INSET") || l.contains("="))),
+      s"the merge scan must carry a static pt partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the owner restriction must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the stored graph must stream through the merge, not shuffle:\n$p")
   }
 
   test("s21: the landed IVFADC probe dynamic-partition-prunes the " +
