@@ -1620,7 +1620,7 @@ object Similarity {
     * (s41 trained, s42 compressed, s43 graph), so they cannot
     * disagree about what a hit IS; the t38 report rule keeps the
     * rows hash-portable and the aggregation grain the consumer's. */
-  private def recallFlags(exact: DataFrame, probed: DataFrame): DataFrame =
+  private[graft] def recallFlags(exact: DataFrame, probed: DataFrame): DataFrame =
     exact.join(probed, Seq("qid"), "left")
       .groupBy(col("qid"), col("nn_exact"))
       .agg(
@@ -2314,7 +2314,15 @@ object Similarity {
     * `scored` carries (qid, nn_id, adc). */
   private def exactRerankTail(s: SparkSession, dir: String,
       scored: DataFrame,
-      qFilter: Column = col("vec_id") < 10): DataFrame = {
+      qFilter: Column = col("vec_id") < 10): DataFrame =
+    exactRerankTailOver(emb(s, dir), scored, qFilter)
+
+  /** The rerank tail over a FRAME corpus — the one s17/s28/s42 tail
+    * body, exposed at frame level so the compressed twin's live
+    * recall monitor (which holds codes, not raw vectors — the
+    * caller supplies the lake frame) rides the same statement. */
+  private[graft] def exactRerankTailOver(e: DataFrame,
+      scored: DataFrame, qFilter: Column): DataFrame = {
     val cand = scored
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(
@@ -2322,7 +2330,6 @@ object Similarity {
           col("nn_id")), RerankR).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.nn_id").as("nn_id"))
-    val e = emb(s, dir)
     val q = e.filter(qFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val rescored = e.join(broadcast(cand), e("vec_id") === cand("nn_id"))
@@ -2589,12 +2596,19 @@ object Similarity {
       qFilter: Column = col("vec_id") < 10): (DataFrame, DataFrame) = {
     val all = graft.ops.Subplan.once(withPlantedTwins(emb(s, dir)))
     val fx = graft.ops.Subplan.once(knnFx(all))
-    val q = graft.ops.Subplan.once(
-      fx.filter(qFilter)
-        .select(col("vec_id").as("qid"), col("x").as("qx"),
-          when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur")))
-    (fx, q)
+    (fx, graft.ops.Subplan.once(knnQ0(fx, qFilter)))
   }
+
+  /** The (qid, qx, cur) walk-entry frame of a lattice under a query
+    * predicate — fixed entry vertex 0 (vertex 1 for query 0, which
+    * cannot enter at itself). ONE construction for the dir-based
+    * [[knnQueryFrame]] and the graph twin's live recall probe, so
+    * the monitored walk enters exactly where the registered one
+    * does. */
+  private[graft] def knnQ0(fx: DataFrame, qFilter: Column): DataFrame =
+    fx.filter(qFilter)
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        when(col("vec_id") === 0, lit(1L)).otherwise(lit(0L)).as("cur"))
 
   /** s33's beam width — HNSW's ef knob: the frontier keeps the B
     * best visited vertices instead of one, trading B× hop work
@@ -2836,24 +2850,24 @@ object Similarity {
       knnBands(all.join(bt, Seq("vec_id"), "left_semi")))
     val probeBands = corpusBands.map(_.unionByName(batchBands))
       .getOrElse(knnBands(all))
-    // bp materializes ONCE (it feeds both the stored-graph expansion
-    // and the seed union — without the checkpoint the corpus-band
-    // probe scan would run twice), and the count it makes cheap gates
-    // the expansion's broadcast (the t21 REAL-size gate): batchBands
-    // is batch-bounded but its COLLISION set is not — a hot band under
-    // heavy skew makes bp corpus-proportional, so above the gate the
-    // hint drops and the expansion re-plans as an ordinary u-keyed
-    // shuffle join (answer unchanged, no driver/broadcast limit risk).
-    val bp = graft.ops.Subplan.once(batchBands.as("a")
+    // The bp broadcast's bound is the fold's stated batch-boundedness
+    // premise: collisions per batch band row are the band-bucket
+    // occupancy, which the 4×16-bit banding keeps at ~corpus/2¹⁶ per
+    // bucket — |bp| ≈ 4·|batch|·(N/2¹⁶), megabytes at any realistic
+    // batch and far under broadcast limits until a degenerate
+    // all-identical-vector corpus collapses the band space (SkewSpec's
+    // hub-batch fixture pins the margins). A runtime gate here was
+    // measured at ~+0.7 s/batch (a checkpoint + count job on the hot
+    // path — round-16 note in PLANS.md): the observable-safety trade
+    // goes the other way, so the bound is DOCUMENTED, not metered; if
+    // a deployment's band space degenerates, swap in the t21
+    // real-size gate (Text.T21BroadcastMaxKeys) at this hint.
+    val bp = batchBands.as("a")
       .join(probeBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w")))
-    val gate: DataFrame => DataFrame =
-      if (bp.count() <= graft.ext.Text.T21BroadcastMaxKeys)
-        df => broadcast(df)
-      else identity
-    val gx = gate(bp.select(col("v"), col("w").as("u")))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
+    val gx = broadcast(bp.select(col("v"), col("w").as("u")))
       .join(stored.select(col("v").as("u"), col("w").as("x")), Seq("u"))
       .select(col("v"), col("x").as("w"))
       .filter(col("v") =!= col("w"))

@@ -1200,6 +1200,28 @@ object DocStreams extends Serializable {
     def driftStats(basePred: org.apache.spark.sql.Column): Option[DataFrame] =
       for (cents <- centsDf; post <- postDf) yield
         graft.ext.Similarity.indexDriftStats(post, cents, basePred)
+
+    /** The live s41 — answer quality beside `driftStats`' model
+      * health (the round-16 monitor completion): the ONE
+      * [[graft.ext.Similarity.recallFlags]] fold; truth = the ONE
+      * exactNn1Between statement over the stream-accumulated corpus
+      * (the maintained postings carry (vec_id, v), surviving folds
+      * and retires); probe = this twin's own kmProbedTop5 read path
+      * on the ':rq' draw. StreamingSpec pins live ≡ the batch s41
+      * statements over the same folded corpus. None before
+      * bootstrap. */
+    def recallStats: Option[DataFrame] =
+      for (cents <- centsDf; post <- postDf) yield {
+        val corpus = post.select(col("vec_id"), col("v"))
+        val qs = graft.ops.Subplan.once(
+          fixed(corpus.filter(graft.ext.Similarity.recallDraw)))
+        val exact = graft.ext.Similarity.exactNn1Between(
+          qs.select(col("vec_id"), col("v")), corpus)
+          .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+        graft.ext.Similarity.recallFlags(exact,
+          graft.ext.Similarity.kmProbedTop5(post,
+            graft.ext.Similarity.kmProbeCells(qs, cents)))
+      }
   }
 
   /** Live maintenance of the COMPRESSED ANN index — the streaming
@@ -1290,6 +1312,29 @@ object DocStreams extends Serializable {
     def driftStats(basePred: org.apache.spark.sql.Column): Option[DataFrame] =
       for (pqc <- pqcDf; codes <- codesDf) yield
         graft.ext.Similarity.codeDriftStats(codes, pqc, basePred)
+
+    /** The live s42 — the compressed family's answer-quality monitor.
+      * Truth and the exact rerank need RAW vectors, which the
+      * compressed state deliberately does not keep (32× compression
+      * is the index's point), so the accumulated (vec_id, v) corpus
+      * arrives as the argument — at deploy, the lake the codes were
+      * encoded from. The probe is then s42's chain verbatim over the
+      * MAINTAINED codes: [[graft.ext.Similarity.adcScored]] shortlist
+      * → the ONE [[graft.ext.Similarity.exactRerankTailOver]]; hits
+      * by the ONE recallFlags fold. None before bootstrap. */
+    def recallStats(corpus: DataFrame): Option[DataFrame] =
+      for (cents <- centsDf; pqc <- pqcDf; codes <- codesDf) yield {
+        val e = corpus.select(col("vec_id"), col("v"))
+        val qs = graft.ops.Subplan.once(
+          fixed(e.filter(graft.ext.Similarity.recallDraw)))
+        val exact = graft.ext.Similarity.exactNn1Between(
+          qs.select(col("vec_id"), col("v")), e)
+          .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+        val probed = graft.ext.Similarity.exactRerankTailOver(e,
+          graft.ext.Similarity.adcScored(codes, qs, cents, pqc),
+          graft.ext.Similarity.recallDraw)
+        graft.ext.Similarity.recallFlags(exact, probed)
+      }
   }
 
   /** Live maintenance of the k-NN GRAPH index — the streaming twin of
@@ -1391,6 +1436,28 @@ object DocStreams extends Serializable {
     def driftStats: Option[DataFrame] =
       for (boot <- bootDf; g <- graphDf) yield
         graft.ext.Similarity.graphDriftStats(boot, g)
+
+    /** The live s43 — the graph family's answer-quality monitor:
+      * probe = the ONE [[graft.ext.Similarity.knnBeamWalkFull]] loop
+      * over the MAINTAINED lists (entry via the shared
+      * [[graft.ext.Similarity.knnQ0]] construction, visited set
+      * ranked by knnEfRank — s36's read semantics); truth = the
+      * walk's own exact-int64 metric
+      * ([[graft.ext.Similarity.exactNn1SqBetween]]) over the
+      * stream-accumulated lattice; hits by the ONE recallFlags fold.
+      * None before bootstrap. */
+    def recallStats: Option[DataFrame] =
+      for (all <- allDf; g <- graphDf) yield {
+        val fx = graft.ops.Subplan.once(graft.ext.Similarity.knnFx(all))
+        val (_, visited) = graft.ext.Similarity.knnBeamWalkFull(
+          graft.ext.Similarity.knnQ0(fx, graft.ext.Similarity.recallDraw),
+          fx, g, graft.ext.Similarity.KnnBeamWidth)
+        val exact = graft.ext.Similarity.exactNn1SqBetween(
+          fx.filter(graft.ext.Similarity.recallDraw), fx)
+          .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+        graft.ext.Similarity.recallFlags(exact,
+          graft.ext.Similarity.knnEfRank(visited))
+      }
   }
 
   /** Live ingest-drift monitoring — the streaming twin of batch t38,

@@ -521,6 +521,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(wantDrift.nonEmpty)
     assert(gotDrift == wantDrift,
       "live drift metric diverges from the batch s30 answer")
+    // Recall — the live s41: the twin's answer-quality monitor must
+    // equal the batch s41 statements (ONE exactNn1Between truth, ONE
+    // kmProbedTop5 probe, ONE recallFlags fold) over the SAME folded
+    // corpus and the SAME bootstrap-trained model.
+    val gotRec = cm.recallStats.getOrElse(fail("no recall after replay"))
+      .collect().map(_.toSeq).toSet
+    val qsR = graft.ops.Subplan.once(
+      fxAll.filter(ext.Similarity.recallDraw))
+    val exactR = ext.Similarity.exactNn1Between(
+        qsR.select(col("vec_id"), col("v")),
+        fxAll.select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    val wantRec = ext.Similarity.recallFlags(exactR,
+        ext.Similarity.kmProbedTop5(
+          ext.Similarity.kmAssign(fxAll, cents)
+            .select(col("vec_id"), col("v"), col("cid")),
+          ext.Similarity.kmProbeCells(qsR, cents)))
+      .collect().map(_.toSeq).toSet
+    assert(wantRec.nonEmpty)
+    assert(gotRec == wantRec,
+      s"live recall monitor diverges from the batch s41 statements: " +
+        s"missing=${(wantRec -- gotRec).take(3)} " +
+        s"extra=${(gotRec -- wantRec).take(3)}")
     // Retirement — the live s24: after retiring the ':del' draw, the
     // probe must equal the full assignment (same stored model) minus
     // the retired set, and a re-retire must change nothing.
@@ -615,6 +638,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(wantCDrift.nonEmpty)
     assert(gotCDrift == wantCDrift,
       "live compressed drift metric diverges from the batch recompute")
+    // Recall — the live s42: the twin's monitor (caller-supplied lake
+    // frame for the raw vectors) must equal the batch s42 statements
+    // — ONE exactNn1Between truth, ONE adcScored shortlist, ONE
+    // exactRerankTailOver, ONE recallFlags fold — over the same
+    // folded corpus and bootstrap-trained quantizers.
+    val gotRecC = cm.recallStats(ext.Similarity.emb(spark, sf)
+        .select(col("vec_id"), col("v")))
+      .getOrElse(fail("no recall after replay"))
+      .collect().map(_.toSeq).toSet
+    val qsC = graft.ops.Subplan.once(
+      fxAllD.filter(ext.Similarity.recallDraw))
+    val exactC = ext.Similarity.exactNn1Between(
+        qsC.select(col("vec_id"), col("v")),
+        fxAllD.select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    val wantRecC = ext.Similarity.recallFlags(exactC,
+        ext.Similarity.exactRerankTailOver(
+          fxAllD.select(col("vec_id"), col("v")),
+          ext.Similarity.adcScored(codesD, qsC, centsD, pqcD),
+          ext.Similarity.recallDraw))
+      .collect().map(_.toSeq).toSet
+    assert(wantRecC.nonEmpty)
+    assert(gotRecC == wantRecC,
+      s"live compressed recall monitor diverges from the batch s42 " +
+        s"statements: missing=${(wantRecC -- gotRecC).take(3)} " +
+        s"extra=${(gotRecC -- wantRecC).take(3)}")
     // Retirement — the live s25: retiring the ':del' draw must equal
     // filtering the full in-lineage scored frame (same stored model)
     // to surviving candidates before the rank.
@@ -685,6 +734,40 @@ class StreamingSpec extends AnyFunSuite {
       .filterNot(t => touched(t._1)).toSet
     assert(ranked.filterNot(t => touched(t._1)).toSet == baseRanked,
       "an untouched owner's list moved during the live fold")
+    // Recall — the live s43: the twin's monitor must equal the s43
+    // statements (ONE knnQ0 entry, ONE knnBeamWalkFull loop, the
+    // walk's own exact-int64 truth, ONE recallFlags fold) over an
+    // INDEPENDENT materialization of the maintained graph — the rows
+    // the s34/base pins above just proved correct.
+    val gotRecG = cm.recallStats.getOrElse(fail("no recall after replay"))
+      .collect().map(_.toSeq).toSet
+    val gBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ranked.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+          .toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType))))
+    val fxG = graft.ops.Subplan.once(ext.Similarity.knnFx(
+      graft.ops.Subplan.once(planted)))
+    val (_, visG) = ext.Similarity.knnBeamWalkFull(
+      ext.Similarity.knnQ0(fxG, ext.Similarity.recallDraw),
+      fxG, gBatch, ext.Similarity.KnnBeamWidth)
+    val exactG = ext.Similarity.exactNn1SqBetween(
+        fxG.filter(ext.Similarity.recallDraw), fxG)
+      .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
+    val wantRecG = ext.Similarity.recallFlags(exactG,
+        ext.Similarity.knnEfRank(visG))
+      .collect().map(_.toSeq).toSet
+    assert(wantRecG.nonEmpty)
+    assert(gotRecG == wantRecG,
+      s"live graph recall monitor diverges from the batch s43 " +
+        s"statements: missing=${(wantRecG -- gotRecG).take(3)} " +
+        s"extra=${(gotRecG -- wantRecG).take(3)}")
     // Retirement — the live s35, on a SECOND twin bootstrapped over
     // the full corpus (s35's base generation): the healed owners'
     // lists must equal the registered s35 output, and no retired id
