@@ -597,19 +597,23 @@ object Dedup {
       // definition), embedded as a literal because might_contain
       // requires a constant/scalar-subquery filter — exactly the
       // shape Spark's own runtime-filter injection produces.
-      // The same head() also reports the batch's distinct key count:
-      // a batch beyond D21BloomItems SATURATES the filter (pruning
-      // degrades toward full verify traffic, answer unaffected), and
-      // that must be observable, not silent — the warning is the
-      // signal that the knob is undersized for the deployment.
+      // The same head() also reports the batch's key count: a batch
+      // beyond D21BloomItems SATURATES the filter (pruning degrades
+      // toward full verify traffic, answer unaffected), and that must
+      // be observable, not silent. APPROX count deliberately — an
+      // exact countDistinct in the same agg forces an expand +
+      // two-phase plan that was measured at ~6× the whole query's
+      // cost (round-16 quiet bench: 0.26 → 1.53 s); a saturation
+      // warning needs magnitude, not exactness, and the HLL rides the
+      // existing single-pass agg for free.
       val bfRow = batch
         .agg(graft.functions.Bloom.bloomAgg(
             xxhash64(col("fp")), D21BloomItems, D21BloomBits).as("bf"),
-          countDistinct(col("fp")).as("nk"))
+          approx_count_distinct(col("fp")).as("nk"))
         .head()
       val nk = bfRow.getAs[Long]("nk")
       if (nk > D21BloomItems) System.err.println(
-        s"[d21] bloom saturated: $nk distinct batch keys > " +
+        s"[d21] bloom saturated: ~$nk distinct batch keys > " +
           s"D21BloomItems=$D21BloomItems — pruning degraded, resize the knob")
       val bf: Array[Byte] = bfRow.getAs[Array[Byte]]("bf")
       val survivors = f.filter(!col("is_batch"))
