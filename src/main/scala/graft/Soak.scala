@@ -417,6 +417,117 @@ object Soak {
       return
     }
 
+    // Block-max-WAND regime probe (`Soak <dir> --wand`): the
+    // registered t42 rides the fixture's LONG-query model (a query =
+    // a doc's ~75 distinct terms), where Σ-of-bounds is large
+    // everywhere and little skips — WAND's known degenerate regime.
+    // Production lexical queries are 2–10 terms; this measures THAT
+    // regime over this corpus's own landed pieces: 10 deterministic
+    // 3-term queries drawn from the df mid-tail (present in 20–200
+    // docs — high-idf but answerable), exhaustive bm25Over vs the
+    // pruned bmwOver (the registered bodies, frame-parameterized),
+    // best-of-3 wall + the admitted/candidate block counts.
+    if (args.contains("--wand")) {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val idx = graft.ops.Subplan.once(ext.Text.blockedEntries(docs))
+      val dl = graft.ops.Subplan.once(ext.Hybrid.docLenOf(idx))
+      val imp = graft.ops.Subplan.once(ext.Hybrid.impactsOf(idx, dl))
+      // The 30 rarest-but-answerable terms (df ≥ 20, lowest df first,
+      // md5 tie-break) — adaptive because fixture vocabularies differ
+      // by orders of magnitude (the zipf corpus is 1,000 hot words;
+      // the copy corpora carry a long synthetic tail).
+      val picks = idx.groupBy(col("term"))
+        .agg(sum(size(col("entries")).cast("long")).as("df"))
+        .filter(col("df") >= 20)
+        .select(col("term"), col("df"),
+          conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+            .as("h"))
+        .orderBy(col("df"), col("h"), col("term")).limit(30)
+        .collect().map(_.getString(0))
+      require(picks.length == 30,
+        s"corpus df tail too thin for the probe: ${picks.length}")
+      val qterms = picks.zipWithIndex
+        .map { case (t, i) => (9000L + i / 3, t) }.toSeq
+        .toDF("qid", "term")
+      val (exN, exBest) = (1 to 3)
+        .map(_ => timed(ext.Hybrid.bm25Over(idx, dl, qterms).count()))
+        .minBy(_._2)
+      val (prN, prBest) = (1 to 3)
+        .map(_ => timed(ext.Hybrid.bmwOver(idx, dl, imp, qterms)._3.count()))
+        .minBy(_._2)
+      require(exN == prN, s"pruned answer count $prN != exhaustive $exN")
+      val (cand, admitted, _) = ext.Hybrid.bmwOver(idx, dl, imp, qterms)
+      println(s"""{"dir":"$sfDir","mode":"wand","queries":10,""" +
+        s""""terms_per_query":3,"rows":$exN,""" +
+        s""""exhaustive_sec":$exBest,"pruned_sec":$prBest,""" +
+        s""""cand_blocks":${cand.count()},""" +
+        s""""admitted_blocks":${admitted.count()}}""")
+      spark.stop()
+      return
+    }
+
+    // Synthetic-regime WAND probe (`Soak <dir> --wand-syn`): every
+    // fixture corpus has a ≤ 1,000-word vocabulary (sf0.1's documents
+    // carry 31 DISTINCT WORDS — the rarest appears in 44% of docs),
+    // so no fixture HAS a selective term and block-max pruning cannot
+    // skip by construction (`--wand` above measures exactly that
+    // degenerate regime). This probe builds the corpus shape BMW
+    // exists for — web text: every doc carries the hot function-word
+    // head (20 tokens over 8 hot words) plus 2 long-tail content
+    // words (md5-drawn from a 10,000-word tail, df ≈ 13), 65,536 docs
+    // = 512 postings blocks — and queries it the way users do: 1 hot
+    // word + 2 tail words. The exhaustive scorer pays the hot term's
+    // corpus-wide postings per query; the pruned probe's θ (set by
+    // the tail terms' high-idf seed blocks) skips every hot-only
+    // block. Answers compared row-for-row, not just counted.
+    if (args.contains("--wand-syn")) {
+      val tailW = 10000L
+      def tailCol(salt: String) = concat(lit("t"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(salt))), 1, 6), 16, 10).cast("long") % tailW).cast("string"))
+      val hotText = lit((0 until 20).map(i => s"hot${i % 8}").mkString(" "))
+      val nDocs = 1048576L  // 8,192 blocks; hot postings ~2.6M entries
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", hotText, tailCol(":a"), tailCol(":b")).as("text"))
+      val idx = graft.ops.Subplan.once(ext.Text.blockedEntries(docs))
+      val dl = graft.ops.Subplan.once(ext.Hybrid.docLenOf(idx))
+      val imp = graft.ops.Subplan.once(ext.Hybrid.impactsOf(idx, dl))
+      // Query i = {hot_(i%8), doc (1000+i·37)'s two tail words} — the
+      // same md5 the corpus column computes, replayed driver-side.
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def tailOf(id: Long, salt: String): String =
+        "t" + (java.lang.Long.parseLong(md5hex(s"$id$salt").take(6), 16) %
+          tailW)
+      import spark.implicits._
+      val qterms = (0 until 10).flatMap { i =>
+        val src = 1000L + 37L * i
+        Seq((9000L + i, s"hot${i % 8}"),
+          (9000L + i, tailOf(src, ":a")), (9000L + i, tailOf(src, ":b")))
+      }.toDF("qid", "term")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val t0 = System.nanoTime()
+      val ex = rows(ext.Hybrid.bm25Over(idx, dl, qterms))
+      val exSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pr = rows(ext.Hybrid.bmwOver(idx, dl, imp, qterms)._3)
+      val prSec = (System.nanoTime() - t1) / 1e9
+      require(ex == pr, s"pruned != exhaustive: " +
+        s"missing=${(ex -- pr).take(3)} extra=${(pr -- ex).take(3)}")
+      val (cand, admitted, _) = ext.Hybrid.bmwOver(idx, dl, imp, qterms)
+      println(s"""{"mode":"wand_syn","docs":$nDocs,"blocks":${nDocs / 128},""" +
+        s""""queries":10,"rows":${ex.size},"exhaustive_sec":$exSec,""" +
+        s""""pruned_sec":$prSec,"cand_blocks":${cand.count()},""" +
+        s""""admitted_blocks":${admitted.count()}}""")
+      spark.stop()
+      return
+    }
+
     // BPE-depth mode (`Soak <dir> --bpe <rounds>`): wall time of the
     // t24 training loop at a REAL tokenizer depth (the registered
     // query trains BpeMergeRounds=10 so the oracle's unrolled CTE

@@ -302,6 +302,11 @@ object Hybrid {
   // build is one linear index pass, landed once.
   // ---------------------------------------------------------------
 
+  /** Phase-1 seed depth: the TopK highest-impact blocks per (query,
+    * term) score exactly to set θ — see the seed-site comment for why
+    * 1 is not enough and why deeper never hurts correctness. */
+  private[graft] val BmwSeedBlocks = RrfTopK
+
   /** The ONE impacts-build statement — per-(term, block) exact max of
     * [[Bm25Contrib]]; the store's build body and ExtSpec's twin. The
     * idf side is GLOBAL (every term gets its bound); the length join
@@ -343,12 +348,20 @@ object Hybrid {
     val qimp = graft.ops.Subplan.once(
       imp.join(broadcast(qw.select(col("qid"), col("term")).distinct()),
         Seq("term")))
-    // Phase 1: per (qid, term) the highest-impact block (ties: lowest
-    // block), exact-scored through the ONE statement.
+    // Phase 1: per (qid, term) the [[BmwSeedBlocks]] highest-impact
+    // blocks (ties: lowest block), exact-scored through the ONE
+    // statement. Seeding TopK blocks per term (not 1) matters: with a
+    // single seed, a query whose rare terms post ≤ 1 entry per block
+    // surfaces fewer than TopK real candidates and θ collapses to the
+    // hot-term noise floor (quantized idf of a ubiquitous term is ~1,
+    // never exactly 0), admitting everything — measured in the
+    // `Soak --wand-syn` regime probe. Deeper seeds only RAISE θ (the
+    // 5th best over a superset of true partial scores), so the
+    // admission bound stays valid and skipping only improves.
     val seedBlocks = qimp.groupBy(col("qid"), col("term"))
       .agg(graft.functions.TopKAgg.topK(
-        struct(col("ub"), (-col("block")).as("nb"), col("block")), 1)
-        .as("top"))
+        struct(col("ub"), (-col("block")).as("nb"), col("block")),
+        BmwSeedBlocks).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.block").as("block")).distinct()
     val p1 = bm25ScoredOver(idx,
