@@ -448,8 +448,14 @@ object Soak {
         .collect().map(_.getString(0))
       require(picks.length == 30,
         s"corpus df tail too thin for the probe: ${picks.length}")
+      // Probe qids live in the +10^9 twin-id space: a qid that
+      // collides with a real doc_id would silently drop that doc from
+      // its query's candidates through the self-exclusion (both sides
+      // identically, so the equality check stayed valid — but the
+      // absolute answers carried the artifact on corpora ≥ 9,010
+      // docs).
       val qterms = picks.zipWithIndex
-        .map { case (t, i) => (9000L + i / 3, t) }.toSeq
+        .map { case (t, i) => (1_000_000_000L + i / 3, t) }.toSeq
         .toDF("qid", "term")
       val (exN, exBest) = (1 to 3)
         .map(_ => timed(ext.Hybrid.bm25Over(idx, dl, qterms).count()))
@@ -476,9 +482,9 @@ object Soak {
     // degenerate regime). This probe builds the corpus shape BMW
     // exists for — web text: every doc carries the hot function-word
     // head (20 tokens over 8 hot words) plus 2 long-tail content
-    // words (md5-drawn from a 10,000-word tail, df ≈ 13), 65,536 docs
-    // = 512 postings blocks — and queries it the way users do: 1 hot
-    // word + 2 tail words. The exhaustive scorer pays the hot term's
+    // words (md5-drawn from a 10,000-word tail, df ≈ 210), 1,048,576
+    // docs = 8,192 postings blocks — and queries it the way users do:
+    // 1 hot word + 2 tail words. The exhaustive scorer pays the hot term's
     // corpus-wide postings per query; the pruned probe's θ (set by
     // the tail terms' high-idf seed blocks) skips every hot-only
     // block. Answers compared row-for-row, not just counted.
@@ -503,10 +509,13 @@ object Soak {
         "t" + (java.lang.Long.parseLong(md5hex(s"$id$salt").take(6), 16) %
           tailW)
       import spark.implicits._
+      // qids in the +10^9 twin-id space (the --wand rule): 9000-9009
+      // are real doc_ids at this corpus size and would self-exclude.
       val qterms = (0 until 10).flatMap { i =>
         val src = 1000L + 37L * i
-        Seq((9000L + i, s"hot${i % 8}"),
-          (9000L + i, tailOf(src, ":a")), (9000L + i, tailOf(src, ":b")))
+        Seq((1_000_000_000L + i, s"hot${i % 8}"),
+          (1_000_000_000L + i, tailOf(src, ":a")),
+          (1_000_000_000L + i, tailOf(src, ":b")))
       }.toDF("qid", "term")
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r =>

@@ -88,7 +88,8 @@ object Curation {
       Similarity.plantedTwinCorpus(Similarity.emb(s, dir)))
     val semc = Similarity.semanticDecontam(all)
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_hit"))
-    val semd = Similarity.semDedup(all)
+    val semd = Similarity.semDedup(all,
+        Similarity.semK(Similarity.corpusN(s, dir)))
       .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
     d.filter(col("is_batch"))
       .withColumn("one", graft.ops.ConstKey.one(col("doc_id")))
@@ -149,7 +150,7 @@ object Curation {
          |gate AS (SELECT MAX(ABS(qdiff)) <= $DriftGateMaxQ AS admit
          |  FROM qd38),
          |${Similarity.kmeansChainCtesFrom(Similarity.twinCorpusCte,
-              "al", None)},
+              "al", None, kSql = Similarity.semKSql)},
          |${Similarity.bandsCteFor("bands", "al")},
          |${Similarity.s09TailCtes},
          |semflag AS (${Similarity.s09FlagSelect}),

@@ -858,6 +858,20 @@ object Similarity {
     // index families now carry the monitor.
     "s44_recall_grid_probe" -> ((s, dir) => recallProbeGridQuery(s, dir)),
 
+    // REBUILD-THEN-RETIRE — s32's chain COMPLETED with the store-
+    // lifecycle verb it was missing: the drifted generation is read
+    // back, the new generation trains/lands alongside (the s32
+    // build-alongside-and-swap, own s45r_* namespaces), and ONLY THEN
+    // the superseded generation's directory is dropped
+    // (SessionStore.retire — a bounded driver-side metadata op on one
+    // path; without it the store root grows one dead generation per
+    // rebuild). Answer = the new generation's pruned probe; rebuild
+    // algebra makes it ≡ s13's full-corpus index, so the ONE kmeans
+    // oracle states it (no new oracle math). Repeats are idempotent
+    // by determinism: the retired generation rebuilds from the live
+    // corpus on next access and retires again to the same answer.
+    "s45_rebuild_retire" -> ((s, dir) => indexRebuildRetireQuery(s, dir)),
+
     // SemDeDup — semantic dedup by trained-cell blocking: pairs
     // compared only within a k-means cell, each near-dup pair keeps
     // the member FARTHER from its centroid (exact int64 distance to
@@ -865,7 +879,7 @@ object Similarity {
     // in d13's Scaladoc, dissolved by s13's lattice Lloyd). Same
     // planted-twin corpus as d05/d13.
     "d20_semdedup" -> ((s, dir) =>
-      semDedup(withPlantedTwins(emb(s, dir)))),
+      semDedup(withPlantedTwins(emb(s, dir)), semK(corpusN(s, dir)))),
 
     // Embedding near-dup: each vector's single nearest neighbor — the
     // building block of cosine-threshold dedup (threshold applied
@@ -1501,6 +1515,27 @@ object Similarity {
     * cell/B on the build side. */
   private val SemBlocks = 8
 
+  /** SemDeDup's scale knob made REAL (the paper's rule: K ~
+    * N/cellsize keeps the within-cell quadratic linear-in-N at fixed
+    * cell size): the target natural-corpus rows per cell. With the
+    * twin extension the cell holds ~2·SemCellSize vectors — the sf1
+    * geometry (N=20k, K=8, ~5k/cell) that every d20 measurement rode,
+    * now held CONSTANT across decades instead of letting cells grow
+    * 10× per decade (the round-16 reason d20/t43's sf10 soak row was
+    * skipped). */
+  private[graft] val SemCellSize = 2500L
+
+  /** THE SemDeDup cell count for a natural corpus of n rows —
+    * max([[KmK]], n div [[SemCellSize]]): every stock fixture through
+    * sf1 keeps the historical K=8 bit-for-bit (zero answer churn);
+    * sf10 trains 80 cells. The SQL twin [[semKSql]] states the same
+    * formula as a scalar subquery — change both or neither. */
+  private[graft] def semK(n: Long): Int =
+    math.max(KmK.toLong, n / SemCellSize).toInt
+
+  private[graft] val semKSql: String =
+    s"GREATEST($KmK, (SELECT count(*) FROM embeddings) // $SemCellSize)"
+
   /** THE semantic-decontamination decision over a (vec_id, v) corpus
     * — s09's body as ONE definition for the registered query and the
     * t43 composed chain: corpus-side (non-eval) vectors whose 4×16-bit
@@ -1530,10 +1565,10 @@ object Similarity {
     * exact centroid distance, within-cell verified pairs, the
     * keep-farther rule. One definition for the registered query and
     * ExtSpec's JVM replay. Emits (vec_id, cid, dc2, kept). */
-  private[graft] def semDedup(all: DataFrame): DataFrame = {
+  private[graft] def semDedup(all: DataFrame, k: Int = KmK): DataFrame = {
     val fx = graft.ops.Subplan.once(
       all.select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
-    val cents = kmeansCentroids(fx)
+    val cents = kmeansCentroids(fx, k)
     // Assignment + the keep rule's score in one pass: dc2 = exact
     // int64 distance to the OWN centroid (the K-row table broadcasts).
     val asg = graft.ops.Subplan.once(
@@ -1587,28 +1622,69 @@ object Similarity {
   // aggregate at its own grain — the t38 report discipline.
   // ---------------------------------------------------------------
 
-  /** s41's query sample — the md5 draw discipline under its own
-    * ':rq' salt: ~1/64 of vectors. THE rate is the scale knob, and it
-    * bounds TWO corpus-proportional costs downstream: the probe side
-    * broadcasts the sampled query frame (|sample| × nprobe rows, each
-    * carrying the full 64-dim vector) and the exact truth side scores
-    * |sample| × N pairs — so "affordable at any corpus" holds only
-    * while the proportional sample stays within broadcast/driver
-    * limits (~10⁶ sampled queries). A recall ESTIMATE needs dozens of
-    * queries, not a fixed fraction: at extreme scale tighten the
-    * modulus (the draw family supports any % m = 0) toward an
-    * absolute sample size instead of riding the 1/64 rate. The same
-    * draw (and the same bound) feeds s42/s43, the compressed- and
-    * graph-family recall probes. */
-  private[graft] def recallDraw: Column =
+  /** The recall monitors' ABSOLUTE-size query sample — the md5 draw
+    * discipline under its own ':rq' salt with a corpus-count-scaled
+    * modulus. Rounds 14–16 rode a fixed 1/64 RATE, and the sf10 soak
+    * measured the predicted quadratic arriving on schedule (10×
+    * queries × 10× corpus = 100× exact-truth pairs per decade; s43
+    * sf1→sf10 read 55×). A recall ESTIMATE needs dozens of queries,
+    * not a corpus fraction, so the modulus is
+    * max(64, N div [[RecallSampleTarget]]): below 64·target vectors
+    * the historical 1/64 rate holds bit-for-bit (every stock fixture
+    * through sf0.1 — zero answer churn there), above it the sample
+    * pins near [[RecallSampleTarget]] absolute and the truth side is
+    * sample·N — LINEAR per decade. N is the fixture's natural-corpus
+    * (embeddings) count — ONE convention across all four family
+    * monitors (s41 trained / s42 compressed / s43 graph / s44 grid),
+    * stated identically by the oracle twin's scalar subquery. The
+    * draw still bounds the same two downstream costs (the |sample| ×
+    * nprobe query-frame broadcast and the |sample|·N exact-truth
+    * side), now corpus-independently. */
+  private[graft] val RecallSampleTarget = 256L
+
+  /** THE modulus formula — Spark integer division on the
+    * non-negative count ≡ DuckDB `//`, so engine and oracle compute
+    * the same M from the same N. */
+  private[graft] def recallDrawModulus(n: Long): Long =
+    math.max(64L, n / RecallSampleTarget)
+
+  /** The ':rq' md5 draw over an explicit modulus. */
+  private[graft] def recallDrawOver(m: Long): Column =
     conv(substring(md5(concat(col("vec_id").cast("string"), lit(":rq"))),
-      1, 8), 16, 10).cast("long") % 64 === 0
+      1, 8), 16, 10).cast("long") % m === 0
+
+  /** The draw for a monitored corpus of `n` rows — the streaming
+    * twins pass their accumulated corpus count (a cheap count on an
+    * already-checkpointed state frame, off the fold hot path). */
+  private[graft] def recallDraw(n: Long): Column =
+    recallDrawOver(recallDrawModulus(n))
+
+  /** The batch-query form: N = the fixture's embeddings count via
+    * [[corpusN]], so the modulus is a plan LITERAL and the predicate
+    * stays pushable (the d21 constant discipline). */
+  private[graft] def recallDraw(s: SparkSession, dir: String): Column =
+    recallDraw(corpusN(s, dir))
+
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The fixture's natural-corpus size — a ONE-row bounded driver
+    * count (the d21 constant discipline: a filter modulus must be a
+    * literal/scalar, not a join-provided column), memoized per
+    * fixture per JVM. */
+  private[graft] def corpusN(s: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir,
+      _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue()
 
   /** [[recallDraw]] as SQL over a named id column — ONE text for the
     * s41/s42 probe predicate (`s.vec_id`), s43's walk entry
-    * (`vec_id` over the twin corpus) and its lattice truth side. */
+    * (`vec_id` over the twin corpus) and its lattice truth side. The
+    * modulus is the SAME max(64, N div target) formula as a scalar
+    * subquery over the embeddings table. */
   private def recallDrawSqlOn(idCol: String): String =
-    s"('0x' || substr(md5($idCol || ':rq'), 1, 8))::BIGINT % 64 = 0"
+    s"('0x' || substr(md5($idCol || ':rq'), 1, 8))::BIGINT % " +
+      s"GREATEST(64, (SELECT count(*) FROM embeddings) // " +
+      s"$RecallSampleTarget) = 0"
 
   private val recallDrawSql = recallDrawSqlOn("s.vec_id")
 
@@ -1637,7 +1713,7 @@ object Similarity {
         fixedPoint(col("v")).as("x")))
     val (cents, post) = s15Store(s, dir, fxOf)
     val e = emb(s, dir)
-    val qs = graft.ops.Subplan.once(e.filter(recallDraw)
+    val qs = graft.ops.Subplan.once(e.filter(recallDraw(s, dir))
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val exact = exactNn1Between(qs.select(col("vec_id"), col("v")), e)
       .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
@@ -1660,12 +1736,13 @@ object Similarity {
   private def recallProbeAdcQuery(s: SparkSession, dir: String): DataFrame = {
     val (cents, pqc, codes) = s21Store(s, dir)
     val e = emb(s, dir)
-    val qs = graft.ops.Subplan.once(e.filter(recallDraw)
+    val draw = recallDraw(s, dir)
+    val qs = graft.ops.Subplan.once(e.filter(draw)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
     val exact = exactNn1Between(qs.select(col("vec_id"), col("v")), e)
       .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
     val probed = exactRerankTail(s, dir,
-      adcScored(codes, qs, cents, pqc), recallDraw)
+      adcScored(codes, qs, cents, pqc), draw)
     recallFlags(exact, probed)
   }
 
@@ -1678,10 +1755,11 @@ object Similarity {
     * own answer metric); hits by the ONE [[recallFlags]] fold. */
   private def recallProbeGridQuery(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val draw = recallDraw(s, dir)
     val exact = exactNn1Between(
-      e.filter(recallDraw).select(col("vec_id"), col("v")), e)
+      e.filter(draw).select(col("vec_id"), col("v")), e)
       .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
-    recallFlags(exact, s12Probe(s, dir, recallDraw))
+    recallFlags(exact, s12Probe(s, dir, draw))
   }
 
   /** The s43 body — RECALL ESTIMATION for the GRAPH family, closing
@@ -1698,10 +1776,11 @@ object Similarity {
     * On the planted corpus the exact NN of every natural vector is
     * its twin, so hit1 is the operational twin_rank1 number. */
   private def recallProbeKnnQuery(s: SparkSession, dir: String): DataFrame = {
-    val (fx, q) = knnQueryFrame(s, dir, recallDraw)
+    val draw = recallDraw(s, dir)
+    val (fx, q) = knnQueryFrame(s, dir, draw)
     val (_, visited) =
       knnBeamWalkFull(q, fx, knnGraphStore(s, dir), KnnBeamWidth)
-    val exact = exactNn1SqBetween(fx.filter(recallDraw), fx)
+    val exact = exactNn1SqBetween(fx.filter(draw), fx)
       .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
     recallFlags(exact, knnEfRank(visited))
   }
@@ -2022,6 +2101,38 @@ object Similarity {
       s, "s32r_postings", dir, Seq("vec_id"), Seq("cid")) {
       kmAssign(stored, cents).select(col("vec_id"), col("v"), col("cid"))
     }
+    val q = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
+    kmProbedTop5(post, kmProbeCells(q, cents))
+  }
+
+  /** The s45 body — s32's rebuild with the CUT-OVER completed: after
+    * the new generation (s45r_*) is landed and referenced, the
+    * superseded drifted generation (s45's own namespaces — the
+    * mutating-query rule) is RETIRED via
+    * [[graft.sources.SessionStore.retire]]. Sequencing is ordinary
+    * statement order because the store builds are eager (first access
+    * lands via Sink.write); the retire never races the answer because
+    * the answer reads only the NEW generation. ExtSpec pins: answer ≡
+    * the registered s32 rebuild row-for-row, the superseded directory
+    * gone from disk, the new generation's directory alive, and a
+    * repeat invocation reaching the same answer. */
+  private def indexRebuildRetireQuery(s: SparkSession, dir: String): DataFrame = {
+    val (_, postPath) = upsertedPostings(s, dir, "s45")
+    lazy val stored = graft.ops.Subplan.once(
+      s.read.parquet(postPath)
+        .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    val cents = graft.sources.SessionStore.storedOrBuild(
+      s, "s45r_cents", dir, Seq("cid")) { kmeansCentroids(stored) }
+    val post = graft.sources.SessionStore.storedOrBuild(
+      s, "s45r_postings", dir, Seq("vec_id"), Seq("cid")) {
+      kmAssign(stored, cents).select(col("vec_id"), col("v"), col("cid"))
+    }
+    // Cut over: the new generation is landed (eager builds above), so
+    // the drifted generation is now superseded — drop its directory
+    // and its model row store. Bounded: two paths, driver-side.
+    graft.sources.SessionStore.retire(s, "s45_postings", dir)
+    graft.sources.SessionStore.retire(s, "s45_cents", dir)
     val q = emb(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x"))
     kmProbedTop5(post, kmProbeCells(q, cents))
@@ -3686,7 +3797,8 @@ object Similarity {
     * 10-query frame; s41 probes the recall draw instead). */
   private[graft] def kmeansChainCtesFrom(head: String, eName: String,
       trainPred: Option[String],
-      probeWhere: String = "s.vec_id < 10"): String = {
+      probeWhere: String = "s.vec_id < 10",
+      kSql: String = KmK.toString): String = {
     val src = if (trainPred.isDefined) "tr" else "fx"
     val trCte = trainPred
       .map(p => s"tr AS (SELECT * FROM fx WHERE $p),\n").getOrElse("")
@@ -3713,7 +3825,7 @@ object Similarity {
        |${trCte}cent0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, x AS m FROM (
        |  SELECT x, ROW_NUMBER() OVER (ORDER BY
        |      ('0x' || substr(md5(vec_id || ':seed'), 1, 8))::BIGINT, vec_id) AS rn
-       |  FROM $src) WHERE rn <= $KmK),
+       |  FROM $src) WHERE rn <= ($kSql)),
        |$rounds,
        |post AS (SELECT vec_id, x, cid FROM (
        |  SELECT s.vec_id, s.x, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -4529,7 +4641,8 @@ object Similarity {
     // relationally: within-cell pairs at exact cosine ≥ 0.99, the
     // keep-farther-from-centroid rule, one LEFT JOIN for the flag.
     "d20_semdedup" ->
-      s"""WITH ${kmeansChainCtesFrom(twinCorpusCte, "al", None)},
+      s"""WITH ${kmeansChainCtesFrom(twinCorpusCte, "al", None,
+              kSql = semKSql)},
          |$d20TailCtes
          |SELECT d.vec_id, d.cid, d.dc2, l.vec_id IS NULL AS kept
          |FROM dc d LEFT JOIN losers l ON l.vec_id = d.vec_id""".stripMargin,
@@ -4742,6 +4855,10 @@ object Similarity {
     // s32 rebuilds to exactly the full-corpus-trained index — s13's
     // oracle states it (generations are not oracle-visible).
     "s32_index_rebuild" -> kmeansOracleSql,
+    // s45 = s32's rebuild + the retire cut-over; generations are not
+    // oracle-visible (the s12/s15 rule), so the SAME kmeans text
+    // states the answer — no new oracle math.
+    "s45_rebuild_retire" -> kmeansOracleSql,
     // s30: the metric over the s18 oracle chain (train on NOT-batch,
     // assign everything — the upserted store's content); residual =
     // exact int64 distance of each posted lattice point to its cell

@@ -77,15 +77,49 @@ object SessionStore {
   def pathOrBuild(spark: SparkSession, name: String, dir: String,
       pk: Seq[String], partitionCols: Seq[String] = Nil)
       (build: => DataFrame): String = {
-    // md5 of the full path, not String.hashCode: a 32-bit hash
-    // collision between two fixture dirs in one JVM would silently
-    // serve one corpus's stored table to the other.
-    val key = s"${name}_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = keyOf(name, dir)
     built.computeIfAbsent(key, _ => {
       val p = s"$root/$key"
       Sink.write(build, p, pk, partitionCols)
       p
     })
+  }
+
+  // md5 of the full path, not String.hashCode: a 32-bit hash
+  // collision between two fixture dirs in one JVM would silently
+  // serve one corpus's stored table to the other.
+  private def keyOf(name: String, dir: String): String =
+    s"${name}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  /** The landed path of an already-built parquet store — None if this
+    * JVM has not built it (or has retired it). Diagnostics/spec
+    * accessor: answers never read through this. */
+  def livePath(name: String, dir: String): Option[String] =
+    Option(built.get(keyOf(name, dir)))
+
+  /** GENERATION GC — the store-lifecycle verb the rebuild arc was
+    * missing: rebuilds land NEW generation directories (s32's
+    * build-alongside-and-swap — in-place overwrite could strand stale
+    * rows in cells the new model empties), so without a retire the
+    * store root grows monotonically, one dead generation per rebuild.
+    * Drops the SUPERSEDED generation's directory and forgets its key,
+    * making the next access a fresh build from the live corpus. Call
+    * it only AFTER the superseding generation is landed and referenced
+    * (storedOrBuild/pathOrBuild are eager, so sequencing in a query
+    * body is ordinary statement order). A bounded driver-side metadata
+    * op on ONE path (the deleteFromStore emptied-partition
+    * discipline); retiring an unbuilt or already-retired store is a
+    * no-op returning false. Parquet-path stores only — bucketed
+    * catalog tables live under the Spark warehouse and are overwritten
+    * in place by their own rebuilds. */
+  def retire(spark: SparkSession, name: String, dir: String): Boolean = {
+    val p = Option(built.remove(keyOf(name, dir)))
+    p.foreach { path =>
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    p.isDefined
   }
 }

@@ -1213,8 +1213,10 @@ object DocStreams extends Serializable {
     def recallStats: Option[DataFrame] =
       for (cents <- centsDf; post <- postDf) yield {
         val corpus = post.select(col("vec_id"), col("v"))
-        val qs = graft.ops.Subplan.once(
-          fixed(corpus.filter(graft.ext.Similarity.recallDraw)))
+        // absolute-size draw: N = the accumulated corpus (a cheap
+        // count on the checkpointed state frame, off the fold path)
+        val draw = graft.ext.Similarity.recallDraw(corpus.count())
+        val qs = graft.ops.Subplan.once(fixed(corpus.filter(draw)))
         val exact = graft.ext.Similarity.exactNn1Between(
           qs.select(col("vec_id"), col("v")), corpus)
           .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
@@ -1325,14 +1327,15 @@ object DocStreams extends Serializable {
     def recallStats(corpus: DataFrame): Option[DataFrame] =
       for (cents <- centsDf; pqc <- pqcDf; codes <- codesDf) yield {
         val e = corpus.select(col("vec_id"), col("v"))
-        val qs = graft.ops.Subplan.once(
-          fixed(e.filter(graft.ext.Similarity.recallDraw)))
+        // absolute-size draw over the lake frame's own count
+        val draw = graft.ext.Similarity.recallDraw(e.count())
+        val qs = graft.ops.Subplan.once(fixed(e.filter(draw)))
         val exact = graft.ext.Similarity.exactNn1Between(
           qs.select(col("vec_id"), col("v")), e)
           .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
         val probed = graft.ext.Similarity.exactRerankTailOver(e,
           graft.ext.Similarity.adcScored(codes, qs, cents, pqc),
-          graft.ext.Similarity.recallDraw)
+          draw)
         graft.ext.Similarity.recallFlags(exact, probed)
       }
   }
@@ -1449,11 +1452,13 @@ object DocStreams extends Serializable {
     def recallStats: Option[DataFrame] =
       for (all <- allDf; g <- graphDf) yield {
         val fx = graft.ops.Subplan.once(graft.ext.Similarity.knnFx(all))
+        // absolute-size draw: N = the accumulated (checkpointed) corpus
+        val draw = graft.ext.Similarity.recallDraw(all.count())
         val (_, visited) = graft.ext.Similarity.knnBeamWalkFull(
-          graft.ext.Similarity.knnQ0(fx, graft.ext.Similarity.recallDraw),
+          graft.ext.Similarity.knnQ0(fx, draw),
           fx, g, graft.ext.Similarity.KnnBeamWidth)
         val exact = graft.ext.Similarity.exactNn1SqBetween(
-          fx.filter(graft.ext.Similarity.recallDraw), fx)
+          fx.filter(draw), fx)
           .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
         graft.ext.Similarity.recallFlags(exact,
           graft.ext.Similarity.knnEfRank(visited))

@@ -1385,6 +1385,66 @@ class ExtSpec extends AnyFunSuite {
     assert(s32.nonEmpty)
   }
 
+  test("s45 rebuild-then-retire: answer ≡ s32, the superseded generation's " +
+      "directory is gone, the new generation lives, repeats idempotent") {
+    // The completed lifecycle: after the cut-over, the live (new)
+    // generation serves exactly the rebuild answer (≡ s32 ≡ s13 by
+    // the rebuild algebra)...
+    val s32 = SparkEntry.queries("s32_index_rebuild")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val s45a = SparkEntry.queries("s45_rebuild_retire")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s45a.nonEmpty)
+    assert(s45a == s32,
+      "the new generation's probe diverges from the registered rebuild")
+    // ...the SUPERSEDED generation (s45's own drifted-store namespace)
+    // is retired — key forgotten AND directory deleted — while the new
+    // generation's directory is alive on disk...
+    assert(graft.sources.SessionStore.livePath("s45_postings", sf).isEmpty,
+      "the superseded generation is still registered after the cut-over")
+    val newGen = graft.sources.SessionStore.livePath("s45r_postings", sf)
+      .getOrElse(fail("the new generation is not registered"))
+    assert(new java.io.File(newGen).exists(),
+      "the new generation's directory is missing from disk")
+    // ...and a repeat invocation rebuilds the drifted generation from
+    // the live corpus, retires it again, and reaches the same answer.
+    val s45b = SparkEntry.queries("s45_rebuild_retire")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s45b == s45a, "a repeat rebuild-then-retire changed the answer")
+    assert(graft.sources.SessionStore.livePath("s45_postings", sf).isEmpty)
+  }
+
+  test("SessionStore.retire: drops the directory, forgets the key, next " +
+      "access rebuilds; unbuilt/already-retired retire is a false no-op") {
+    val name = "spec_gc_probe"
+    // retire before any build: no-op
+    assert(!graft.sources.SessionStore.retire(spark, name, sf))
+    var builds = 0
+    def stored() = graft.sources.SessionStore.storedOrBuild(
+      spark, name, sf, Seq("vec_id")) {
+      builds += 1
+      ext.Similarity.emb(spark, sf).select(col("vec_id"))
+        .filter(col("vec_id") < 5)
+    }
+    val first = stored().collect().map(_.getLong(0)).toSet
+    assert(builds == 1)
+    val p0 = graft.sources.SessionStore.livePath(name, sf)
+      .getOrElse(fail("store not registered after build"))
+    assert(new java.io.File(p0).exists())
+    stored()
+    assert(builds == 1, "a read-back triggered a rebuild")
+    // the GC verb: directory gone, key forgotten, second retire false
+    assert(graft.sources.SessionStore.retire(spark, name, sf))
+    assert(!new java.io.File(p0).exists(),
+      "the retired generation's directory survives on disk")
+    assert(graft.sources.SessionStore.livePath(name, sf).isEmpty)
+    assert(!graft.sources.SessionStore.retire(spark, name, sf))
+    // next access is a fresh build from the live corpus
+    val again = stored().collect().map(_.getLong(0)).toSet
+    assert(builds == 2, "the retired store was served from a stale cache")
+    assert(again == first, "the rebuilt store content diverged")
+  }
+
   test("s28 stored-index rerank returns exactly s17's answer") {
     // The deployment read path (landed s21 probe → ADC top-R → exact
     // rerank) must serve the in-lineage composition's answer
@@ -2994,7 +3054,7 @@ class ExtSpec extends AnyFunSuite {
       assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
     // The row set is exactly the ':rq' draw.
     val drawIds = Tables(spark, sf, "embeddings")
-      .filter(ext.Similarity.recallDraw)
+      .filter(ext.Similarity.recallDraw(spark, sf))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got.map(_._1).toSet == drawIds)
   }
@@ -3014,7 +3074,7 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (q, ex, _, _) =>
       assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
     val drawIds = Tables(spark, sf, "embeddings")
-      .filter(ext.Similarity.recallDraw)
+      .filter(ext.Similarity.recallDraw(spark, sf))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got.map(_._1).toSet == drawIds)
   }
@@ -3105,7 +3165,7 @@ class ExtSpec extends AnyFunSuite {
     got.foreach { case (q, ex, _, _) =>
       assert(s03(q) == ex, s"query $q: truth $ex != s03 ${s03(q)}") }
     val drawIds = Tables(spark, sf, "embeddings")
-      .filter(ext.Similarity.recallDraw)
+      .filter(ext.Similarity.recallDraw(spark, sf))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(got.map(_._1).toSet == drawIds)
   }

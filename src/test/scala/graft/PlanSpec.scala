@@ -606,6 +606,22 @@ class PlanSpec extends AnyFunSuite {
       s"the rebuilt postings must stream through the probe join:\n$p")
   }
 
+  test("s45: the rebuild-then-retire answer keeps s32's probe pin on the " +
+      "NEW generation") {
+    // The retire is a driver-side metadata op that happens at query
+    // CONSTRUCTION; the answer plan must be exactly the s32 shape —
+    // the new generation's cell-partitioned scan pruned to the probed
+    // cells, nothing shuffling through the probe join.
+    val p = plan("s45_rebuild_retire")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the new generation's posting scan must carry a dynamic " +
+        s"partition-pruning filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2-cell probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the new generation's postings must stream through the probe join:\n$p")
+  }
+
   test("s29: every NN-descent join is keyed — no cartesian shapes, and the " +
       "corpus count rides a ConstKey broadcast") {
     // The graph's whole scale story is that candidates come from

@@ -528,7 +528,7 @@ class StreamingSpec extends AnyFunSuite {
     val gotRec = cm.recallStats.getOrElse(fail("no recall after replay"))
       .collect().map(_.toSeq).toSet
     val qsR = graft.ops.Subplan.once(
-      fxAll.filter(ext.Similarity.recallDraw))
+      fxAll.filter(ext.Similarity.recallDraw(fxAll.count())))
     val exactR = ext.Similarity.exactNn1Between(
         qsR.select(col("vec_id"), col("v")),
         fxAll.select(col("vec_id"), col("v")))
@@ -647,8 +647,8 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("vec_id"), col("v")))
       .getOrElse(fail("no recall after replay"))
       .collect().map(_.toSeq).toSet
-    val qsC = graft.ops.Subplan.once(
-      fxAllD.filter(ext.Similarity.recallDraw))
+    val drawC = ext.Similarity.recallDraw(fxAllD.count())
+    val qsC = graft.ops.Subplan.once(fxAllD.filter(drawC))
     val exactC = ext.Similarity.exactNn1Between(
         qsC.select(col("vec_id"), col("v")),
         fxAllD.select(col("vec_id"), col("v")))
@@ -657,7 +657,7 @@ class StreamingSpec extends AnyFunSuite {
         ext.Similarity.exactRerankTailOver(
           fxAllD.select(col("vec_id"), col("v")),
           ext.Similarity.adcScored(codesD, qsC, centsD, pqcD),
-          ext.Similarity.recallDraw))
+          drawC))
       .collect().map(_.toSeq).toSet
     assert(wantRecC.nonEmpty)
     assert(gotRecC == wantRecC,
@@ -754,11 +754,12 @@ class StreamingSpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType))))
     val fxG = graft.ops.Subplan.once(ext.Similarity.knnFx(
       graft.ops.Subplan.once(planted)))
+    val drawG = ext.Similarity.recallDraw(fxG.count())
     val (_, visG) = ext.Similarity.knnBeamWalkFull(
-      ext.Similarity.knnQ0(fxG, ext.Similarity.recallDraw),
+      ext.Similarity.knnQ0(fxG, drawG),
       fxG, gBatch, ext.Similarity.KnnBeamWidth)
     val exactG = ext.Similarity.exactNn1SqBetween(
-        fxG.filter(ext.Similarity.recallDraw), fxG)
+        fxG.filter(drawG), fxG)
       .select(col("vec_id").as("qid"), col("nn_id").as("nn_exact"))
     val wantRecG = ext.Similarity.recallFlags(exactG,
         ext.Similarity.knnEfRank(visG))

@@ -29,7 +29,17 @@ from check import TABLES, frame_key  # noqa: E402
 
 def split_ctes(sql):
     """Split 'WITH a AS (...), b AS (...), ... SELECT ...' into
-    ([(name, body)...], final_select), respecting quotes/parens."""
+    ([(name, body)...], final_select), respecting quotes/parens.
+
+    Known limits (dev-only tool, fails LOUDLY rather than wrongly):
+    no SQL-comment or double-quoted-identifier awareness — the
+    engine's generated oracle texts use neither. Malformed or
+    unanticipated text raises a clear 'unparseable CTE chain' error
+    instead of an IndexError deep in the scan."""
+    def bail(why, pos):
+        raise ValueError(
+            f"unparseable CTE chain: {why} (at offset {pos}): "
+            f"...{sql[max(0, pos - 40):pos + 40]!r}...")
     s = sql.strip()
     assert s.upper().startswith("WITH "), "oracle is not a WITH chain"
     assert not s.upper().startswith("WITH RECURSIVE"), \
@@ -39,13 +49,17 @@ def split_ctes(sql):
     n = len(s)
     while True:
         # parse: name AS ( body )
-        while s[i].isspace():
+        while i < n and s[i].isspace():
             i += 1
+        if i >= n:
+            bail("expected a CTE name, hit end of text", i)
         j = i
-        while s[j] not in " \t\n(":
+        while j < n and s[j] not in " \t\n(":
             j += 1
         name = s[i:j]
-        k = s.index("(", j)
+        k = s.find("(", j)
+        if k < 0:
+            bail(f"no '(' after CTE name {name!r}", j)
         depth, m = 0, k
         in_str = False
         while m < n:
@@ -66,12 +80,16 @@ def split_ctes(sql):
                 if depth == 0:
                     break
             m += 1
+        if m >= n:
+            bail(f"unbalanced parens in CTE {name!r} body", k)
         body = s[k + 1:m]
         ctes.append((name, body))
         # after ')': either ',' (next CTE) or the final SELECT
         p = m + 1
         while p < n and s[p].isspace():
             p += 1
+        if p >= n:
+            bail(f"no final SELECT after CTE {name!r}", p)
         if s[p] == ",":
             i = p + 1
             continue
