@@ -1046,41 +1046,59 @@ object Dedup {
     * collect_list, so a hot node (a million-duplicate cluster) never
     * materializes its neighbor list in one row. The driver carries
     * only a converged? boolean per round — never data. */
-  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // Canonical undirected form: oriented (u > v), self-loops dropped,
-    // distinct — round-over-round equality of this form is convergence.
-    def canon(df: DataFrame): DataFrame =
-      df.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct()
+  /** Canonical undirected edge form: oriented (u > v), self-loops
+    * dropped, distinct — round-over-round equality of this form is
+    * convergence. */
+  private[graft] def ccCanon(df: DataFrame): DataFrame =
+    df.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
 
+  /** ONE contraction-round statement (the d07/d08/delta-fold loop body
+    * and [[graft.ExplainRound]]'s plan artifact):
+    * LARGE-STAR — for each node u, link every LARGER neighbor v to
+    * m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps the output canonical and
+    * self-loop-free by construction (canon() dedups). Then
+    * SMALL-STAR — edges now oriented (u > v); for each node u, link
+    * every smaller neighbor (and u itself) to m(u) = min(N<(u)). The
+    * large-star half is checkpointed mid-round: small-star references
+    * it twice (groupBy + join), and the round-over-round discipline
+    * (CLAUDE.md: contraction rounds read rows, not replanned trees)
+    * applies to the half-round frontier too. */
+  private[graft] def ccRound(e: DataFrame): DataFrame = {
+    val dir = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val lsMin = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    val ls = graft.ops.Subplan.once(ccCanon(
+      dir.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))))
+    val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+    ccCanon(
+      ls.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionAll(ssMin.select(col("u"), col("m").as("v"))))
+  }
+
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     var e = graft.ops.Subplan.once(
-      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+      ccCanon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    // Round r's e.count() IS round r−1's next.count() (both run on the
+    // same checkpointed rows), so the count is carried across rounds
+    // instead of re-submitted — one fewer driver job per round on a
+    // loop whose per-round cost is job floors, not data (guide §1.2).
+    var eCount = e.count()
     var rounds = 0
     var converged = false
     while (!converged) {
       rounds += 1
-      // LARGE-STAR: for each node u, link every LARGER neighbor v to
-      // m(u) = min(N(u) ∪ {u}). m ≤ u < v, so output is canonical and
-      // self-loop-free by construction; canon() dedups.
-      val dir = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = graft.ops.Subplan.once(canon(
-        dir.join(lsMin, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))))
-      // SMALL-STAR: edges now oriented (u > v); for each node u, link
-      // every smaller neighbor (and u itself) to m(u) = min(N<(u)).
-      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = graft.ops.Subplan.once(canon(
-        ls.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
-          .unionAll(ssMin.select(col("u"), col("m").as("v")))))
+      val next = graft.ops.Subplan.once(ccRound(e))
+      val nextCount = next.count()
       // Fixpoint test over two materialized distinct sets: equal counts
       // plus an empty one-sided difference ⟺ set equality.
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
     }
     // At the fixpoint every edge is (child, component-min root); roots
     // label themselves. The groupBy-min is a no-op safety net (each

@@ -2567,13 +2567,18 @@ object Similarity {
         graft.functions.SqDistLong.sqDist(col("xv"), col("xw")).as("d"))
 
   /** Ascending top-k by (d, w) per source — the bounded-heap partial
-    * agg ([[pqAdcTop5]]'s shape). Callers feed DISTINCT (v, w, d)
-    * rows (distances are exact longs, so duplicates are identical and
-    * a plain distinct removes them) — a duplicate surviving here
-    * would occupy two of the k slots. */
+    * agg ([[pqAdcTop5]]'s shape), under SET semantics
+    * ([[graft.functions.TopKAgg.topKDistinct]]): distances are exact
+    * longs, so a pair reaching the aggregate twice (current list ∪
+    * rescored candidate, forward ∪ reverse) carries an IDENTICAL
+    * (d, w) struct, and the k-row in-heap equality scan collapses it
+    * into one slot — callers no longer pre-`.distinct()` their unions
+    * (that exchange was one of the stages on the descent round's
+    * floor; round-17 cut, FunctionsSpec pins the set≡multiset
+    * identity). */
   private[graft] def knnTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("v"))
-      .agg(graft.functions.TopKAgg.topK(
+      .agg(graft.functions.TopKAgg.topKDistinct(
         struct((-col("d")).as("nd"), (-col("w")).as("nw"),
           col("w"), col("d")), k).as("top"))
       .select(col("v"), explode(col("top")).as("t"))
@@ -2623,15 +2628,22 @@ object Similarity {
       .filter(col("v") =!= col("w"))
   }
 
+  /** ONE descent-round statement — the loop body of the full build
+    * (s29), the restricted insert fold (s34, via `restrict`), and the
+    * warm-start refine (s37), plus [[graft.ExplainRound]]'s plan
+    * artifact: current lists ∪ exactly-scored neighbor-of-neighbor
+    * candidates, k-best per owner. */
+  private[graft] def knnRound(nbr: DataFrame, fx: DataFrame, k: Int,
+      restrict: Option[DataFrame] = None): DataFrame =
+    knnTopK(nbr.unionAll(knnScore(knnRoundCand(nbr, k, restrict), fx)), k)
+
   private[graft] def knnDescentGraph(all: DataFrame, k: Int = KnnK,
       rounds: Int = KnnRounds): DataFrame = {
     val fx = graft.ops.Subplan.once(knnFx(all))
     var nbr = graft.ops.Subplan.once(
       knnTopK(knnScore(knnInit(all), fx), k))
-    for (_ <- 1 to rounds) {
-      val merged = nbr.unionAll(knnScore(knnRoundCand(nbr, k), fx)).distinct()
-      nbr = graft.ops.Subplan.once(knnTopK(merged, k))
-    }
+    for (_ <- 1 to rounds)
+      nbr = graft.ops.Subplan.once(knnRound(nbr, fx, k))
     nbr
   }
 
@@ -3039,12 +3051,9 @@ object Similarity {
     // one more per-batch job.
     var nbr = graft.ops.Subplan.once(knnTopK(
       stored.join(touched, Seq("v"), "left_semi")
-        .unionAll(knnScore(seed, fx)).distinct(), k))
-    for (_ <- 1 to rounds) {
-      val cand = knnRoundCand(nbr, k, Some(touched))
-      nbr = graft.ops.Subplan.once(
-        knnTopK(nbr.unionAll(knnScore(cand, fx)).distinct(), k))
-    }
+        .unionAll(knnScore(seed, fx)), k))
+    for (_ <- 1 to rounds)
+      nbr = graft.ops.Subplan.once(knnRound(nbr, fx, k, Some(touched)))
     nbr
   }
 
@@ -3269,8 +3278,7 @@ object Similarity {
       rounds: Int = KnnRefineRounds, k: Int = KnnK): DataFrame = {
     var nbr = g0
     for (_ <- 1 to rounds)
-      nbr = graft.ops.Subplan.once(
-        knnTopK(nbr.unionAll(knnScore(knnRoundCand(nbr, k), fx)).distinct(), k))
+      nbr = graft.ops.Subplan.once(knnRound(nbr, fx, k))
     nbr
   }
 

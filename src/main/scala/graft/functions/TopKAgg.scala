@@ -23,8 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *
   * Deterministic: ties resolve by the struct's own total order, so
   * callers encode tie-breaks as struct fields (e.g. negated id).
+  *
+  * `distinct = true` gives SET semantics: a struct value equal (under
+  * the same total order) to one already retained is skipped, so
+  * `top_k_distinct(s, k)` over a multiset ≡ `top_k(s, k)` over its
+  * distinct form (FunctionsSpec pins the identity). Scanning only the
+  * ≤ k RETAINED rows suffices: the heap's minimum never decreases
+  * once the buffer is full, so a duplicate of an EVICTED value always
+  * fails the `> head` admission test (head ≥ the evicted minimum),
+  * and a duplicate of a RETAINED value is caught by the scan. This is
+  * what lets the k-NN descent rounds feed `current lists ∪ rescored
+  * candidates` straight into the aggregate — the whole-frame
+  * `.distinct()` exchange that guarded slot duplication becomes the
+  * k-row scan here, one fewer shuffle per round (guide §2.3/§2.4).
   */
-case class TopKAgg(child: Expression, k: Int,
+case class TopKAgg(child: Expression, k: Int, distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
 
@@ -41,27 +54,30 @@ case class TopKAgg(child: Expression, k: Int,
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty(heapOrdering)
 
+  // Under `distinct`, values equal to a RETAINED row are skipped; see
+  // the class doc for why scanning the ≤ k retained rows is enough.
+  private def retained(buf: mutable.PriorityQueue[InternalRow],
+      row: InternalRow): Boolean =
+    distinct && buf.exists(r => ordering.compare(r, row) == 0)
+
+  private def offer(buf: mutable.PriorityQueue[InternalRow],
+      row: InternalRow): Unit =
+    if (buf.size < k) {
+      if (!retained(buf, row)) buf.enqueue(row)
+    } else if (ordering.compare(row, buf.head) > 0 && !retained(buf, row)) {
+      buf.dequeue(); buf.enqueue(row)
+    }
+
   override def update(buf: mutable.PriorityQueue[InternalRow],
       input: InternalRow): mutable.PriorityQueue[InternalRow] = {
     val v = child.eval(input)
-    if (v != null) {
-      val row = projector(v.asInstanceOf[InternalRow]).copy()
-      if (buf.size < k) buf.enqueue(row)
-      else if (ordering.compare(row, buf.head) > 0) {
-        buf.dequeue(); buf.enqueue(row)
-      }
-    }
+    if (v != null) offer(buf, projector(v.asInstanceOf[InternalRow]).copy())
     buf
   }
 
   override def merge(buf: mutable.PriorityQueue[InternalRow],
       other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
-    other.foreach { row =>
-      if (buf.size < k) buf.enqueue(row)
-      else if (ordering.compare(row, buf.head) > 0) {
-        buf.dequeue(); buf.enqueue(row)
-      }
-    }
+    other.foreach(row => offer(buf, row))
     buf
   }
 
@@ -130,4 +146,12 @@ object TopKAgg {
   def topK(e: Column, k: Int): Column =
     GraftColumnBridge.toColumn(
       TopKAgg(GraftColumnBridge.toExpression(e), k).toAggregateExpression())
+
+  /** Set-semantics variant: equal struct values occupy ONE slot —
+    * `topKDistinct(s, k)` over a multiset ≡ `topK(s, k)` over its
+    * distinct form, without the upstream dedup exchange. */
+  def topKDistinct(e: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(
+      TopKAgg(GraftColumnBridge.toExpression(e), k, distinct = true)
+        .toAggregateExpression())
 }

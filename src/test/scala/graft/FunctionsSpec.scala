@@ -121,6 +121,44 @@ class FunctionsSpec extends AnyFunSuite {
       "kmv buffer dedup must reproduce the distinct+heap sketch exactly")
   }
 
+  test("top_k_distinct over a multiset equals top_k over its distinct form") {
+    // The identity that lets the k-NN descent rounds drop the
+    // whole-frame `.distinct()` exchange before knnTopK: a duplicate
+    // struct (same (v, w) ⇒ same exact-long d ⇒ identical struct)
+    // must occupy ONE slot. Build a frame with heavy, slot-critical
+    // duplication: every row twice, plus the per-key top row a third
+    // time (a duplicate that would win a slot if double-counted).
+    val base = Tables(spark, sf, "embeddings")
+      .select((col("vec_id") % 7).as("v"), col("vec_id").as("w"),
+        (col("vec_id") * 37 % 101).as("d"))
+    val tops = base.groupBy(col("v")).agg(min(col("d")).as("d"))
+      .join(base, Seq("v", "d"))
+    val multiset = base.unionAll(base).unionAll(tops)
+    def lists(df: org.apache.spark.sql.DataFrame, distinctAgg: Boolean) = {
+      val agg =
+        if (distinctAgg) graft.functions.TopKAgg.topKDistinct(
+          struct((-col("d")).as("nd"), (-col("w")).as("nw"),
+            col("w"), col("d")), 4)
+        else graft.functions.TopKAgg.topK(
+          struct((-col("d")).as("nd"), (-col("w")).as("nw"),
+            col("w"), col("d")), 4)
+      df.groupBy(col("v")).agg(agg.as("top"))
+        .select(col("v"), posexplode(col("top")))
+        .select(col("v"), col("pos"), col("col.w").as("w"), col("col.d").as("d"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    val viaDistinctAgg = lists(multiset, distinctAgg = true)
+    val viaDedupThenTopK = lists(multiset.distinct(), distinctAgg = false)
+    assert(viaDistinctAgg.nonEmpty && viaDistinctAgg == viaDedupThenTopK,
+      "top_k_distinct must reproduce distinct-then-top_k exactly")
+    // And the multiset path WITHOUT set semantics must differ (the
+    // duplicate really is slot-critical), so the pin cannot pass
+    // vacuously on a duplicate-free frame.
+    assert(lists(multiset, distinctAgg = false) != viaDedupThenTopK,
+      "fixture carries no slot-critical duplicate - the pin is vacuous")
+  }
+
   test("sq_dist_long and nearest_id match their composable fold forms " +
       "and break ties to the lowest cid") {
     GraftExtensions.register(spark)
