@@ -112,6 +112,26 @@ object Dedup {
     array_min(transform(xs,
       x => (lit(minhashA(i)) * x + lit(minhashB(i))) % lit(P)))
 
+  /** All [[NumHashes]] minhashes in ONE native pass
+    * ([[graft.functions.MinHashAll]] — round 17): the 32 composable
+    * [[minhashExpr]] columns cost 32 transform allocations + 64 array
+    * traversals per doc and a near-64KB fused method; the native form
+    * is one loop, 32 running minima. Same (a, b, p) family — the
+    * constants keep their one definition HERE — and NULL on an empty
+    * set exactly as each array_min is (FunctionsSpec pins the
+    * equality, empty case included; minhashExpr stays as the pinned
+    * reference form). */
+  private[graft] def minhashAllCol(xs: Column): Column =
+    graft.functions.MinHashAll.minhashAll(xs,
+      (0 until NumHashes).map(minhashA), (0 until NumHashes).map(minhashB), P)
+
+  /** [[bandSigs]] restated over the ONE [[minhashAllCol]] array — the
+    * banding text is unchanged (same structs, same '_'-joined 4-row
+    * sigs, null-skipping concat_ws), only the 32 hash inputs now read
+    * one materialized array column. */
+  private[graft] def bandSigsOfArray(mha: Column): Column =
+    bandSigs((0 until NumHashes).map(i => element_at(mha, i + 1)))
+
   /** The banded signature array for 32 minhash columns: 8 structs of
     * (band, sig) with sig = "_"-joined 4-row band. Shared batch +
     * streaming for the same reason as [[minhashExpr]]. */
@@ -455,15 +475,12 @@ object Dedup {
     gatherShingleSets(shingles(s, dir))
       .select(col("doc_id"), col("raw").as("xs"), size(col("raw")).as("n"))
 
-  private[graft] def minhashBands(sets: DataFrame): DataFrame = {
-    val withMh = (0 until NumHashes).foldLeft(sets) { (df, i) =>
-      df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
-    }
-    withMh.select(col("doc_id"),
-      explode(bandSigs((0 until NumHashes).map(i => col(s"mh$i")))).as("bs"))
+  private[graft] def minhashBands(sets: DataFrame): DataFrame =
+    sets.withColumn("mha", minhashAllCol(col("xs")))
+      .select(col("doc_id"),
+        explode(bandSigsOfArray(col("mha"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
-  }
 
   private[graft] def bandCollisionCands(bands: DataFrame): DataFrame =
     bands.as("a")
@@ -811,13 +828,11 @@ object Dedup {
       val exact = sets.filter(!col("is_batch")).select(col("fp"))
         .join(broadcast(batchFp), Seq("fp"))
         .select(col("batch_id")).distinct()
-      val withMh = (0 until NumHashes).foldLeft(
-        sets.filter(col("n") > 0)
-          .select(col("doc_id"), col("is_batch"), col("xs"))) { (df, i) =>
-        df.withColumn(s"mh$i", minhashExpr(col("xs"), i))
-      }
+      val withMh = sets.filter(col("n") > 0)
+        .select(col("doc_id"), col("is_batch"), col("xs"))
+        .withColumn("mha", minhashAllCol(col("xs")))
       val bands = withMh.select(col("doc_id"), col("is_batch"),
-        explode(bandSigs((0 until NumHashes).map(i => col(s"mh$i")))).as("bs"))
+        explode(bandSigsOfArray(col("mha"))).as("bs"))
         .select(col("doc_id"), col("is_batch"),
           col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.filter(!col("is_batch")).as("c")
@@ -1067,6 +1082,12 @@ object Dedup {
     * (CLAUDE.md: contraction rounds read rows, not replanned trees)
     * applies to the half-round frontier too. */
   private[graft] def ccRound(e: DataFrame): DataFrame = {
+    // Shape note (round-17 audit): stating the star steps as a window
+    // min over partitionBy(u) — one exchange + sort instead of
+    // groupBy-min + self-join — measured WORSE (d07 2.8 → 3.4 s
+    // paired): the min side is per-node tiny, AQE broadcasts it, so
+    // the join's exchanges are already local reads and the window
+    // only added a per-half-round sort. The groupBy+join form stays.
     val dir = e.select(col("u"), col("v"))
       .unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val lsMin = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))

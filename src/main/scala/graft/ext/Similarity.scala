@@ -384,17 +384,20 @@ object Similarity {
     // row-sorts in pandas, which can't hash array cells (same
     // discipline as m01).
     "s04_random_projection" -> ((s, dir) => {
-      // The sign matrix is a CONSTANT — fold it at plan-build time
-      // (JVM md5 of the same "i:j" strings the oracle hashes in SQL,
-      // so parity is by construction) instead of re-hashing 64×16
-      // md5s per row: the projection becomes 1,024 codegen'd
-      // multiply-adds per vector. Round-4 soak: 20.8 s → ~1 s at sf1.
+      // The sign matrix is a CONSTANT (JVM md5 of the same "i:j"
+      // strings the oracle hashes in SQL — parity by construction),
+      // and the whole 16×64 projection is ONE native expression
+      // ([[graft.functions.RpProject]], round 17): the previous
+      // 1,024-term composed tree cost seconds of Catalyst planning
+      // per action and overflowed the 64 KB method limit when the
+      // full-output write fused into its stage (interpreted
+      // fallback). Bit-identical accumulation order; FunctionsSpec
+      // pins native ≡ composed. Round-4 soak context: 20.8 s → ~1 s
+      // at sf1 for the constant fold; round 17 takes the remaining
+      // plan-size tax to ~zero.
       val e = emb(s, dir)
-      val cols = (0 until 16).map { j =>
-        (1 to 64).map(i => element_at(col("v"), i) * lit(rpSign(i, j)))
-          .reduce(_ + _) / lit(4.0)
-      }
-      e.select(col("vec_id"), posexplode(array(cols: _*)))
+      e.select(col("vec_id"),
+          posexplode(graft.functions.RpProject.rpProject(col("v"))))
         .select(col("vec_id"), col("pos").cast("int").as("j"),
           col("col").as("val"))
     }),
@@ -1225,11 +1228,18 @@ object Similarity {
     * deterministic empty-cluster rule, stated identically in the
     * oracle's LEFT JOIN + COALESCE). */
   private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    // ONE vec_sum aggregate + ONE transform for the truncating mean —
+    // the 64 separate sum(element_at) aggregates cost a ~300-node
+    // plan re-optimized on every Lloyd action (round-17 cut, the
+    // RpProject lesson; FunctionsSpec pins vec_sum ≡ the column
+    // sums). Arithmetic unchanged: exact long sums, then
+    // (Σx + 2²⁰n) div n − 2²⁰ per coordinate.
     val sums = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("cnt"),
-        (1 to 64).map(i => sum(element_at(col("x"), i)).as(s"s$i")): _*)
-    val mNew = sums.select(col("cid"), array((1 to 64).map(i =>
-      expr(s"((s$i + $KmShift * cnt) div cnt) - $KmShift")): _*).as("mn"))
+        graft.functions.VecSumAgg.vecSum(col("x"), 64).as("sx"))
+    val mNew = sums.select(col("cid"),
+      expr(s"transform(sx, s -> ((s + $KmShift * cnt) div cnt) - $KmShift)")
+        .as("mn"))
     prev.select(col("cid"), col("m").as("pm"))
       .join(mNew, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("mn"), col("pm")).as("m"))
@@ -2223,6 +2233,11 @@ object Similarity {
       .select(col("vec_id"), posexplode(arrays_zip(col("codes"), col("subs"))))
       .select(col("pos").cast("int").as("sub"),
         col("col.codes").as("cid"), col("col.subs").as("xs"))
+    // Stays on the per-coordinate column sums (NOT kmUpdate's
+    // vec_sum): the tree is only PqSubDim=8 wide, and this agg's 128
+    // (sub, cid) groups sit exactly at ObjectHashAggregate's
+    // sort-based fallback threshold — the codegen'd HashAggregate
+    // form has no such cliff (round-17 audit).
     val sums = long.groupBy(col("sub"), col("cid"))
       .agg(count(lit(1)).as("cnt"),
         (1 to PqSubDim).map(i => sum(element_at(col("xs"), i)).as(s"s$i")): _*)
@@ -3669,15 +3684,9 @@ object Similarity {
     * parallelism. */
   private val Nn1Blocks = 32
 
-  /** JL ±1 sign for projection output dim `j` (0-based) and input dim
-    * `i` (1-based): parity of the first hex char of md5("i:j") — the
-    * exact value the s04 oracle derives in SQL. */
-  private def rpSign(i: Int, j: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
-  }
+  // The JL ±1 sign matrix lives in [[graft.functions.RpProject.signs]]
+  // (ONE definition for the native expression, the FunctionsSpec
+  // composed-form pin, and this file's s04 registration).
 
   /** Per-vector int8 scalar quantization: [min,max] of each vector maps
     * linearly onto 0..255 (stored with its scale/offset). 4× smaller

@@ -80,17 +80,16 @@ object DocStreams extends Serializable {
 
   /** (band, sig, doc_id, ts, xs) rows for a (doc_id, ts, text) stream —
     * entirely row-local except the band explode (8 rows per doc). */
-  private[graft] def banded(docs: DataFrame): DataFrame = {
-    val mhs: Seq[Column] = (0 until 32).map(i => Dedup.minhashExpr(col("xs"), i))
+  private[graft] def banded(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("ts"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), col("ts"), Dedup.shingleSetCol.as("xs"))
+      .withColumn("mha", Dedup.minhashAllCol(col("xs")))
       .select(col("doc_id"), col("ts"), col("xs"),
-        explode(Dedup.bandSigs(mhs)).as("bs"))
+        explode(Dedup.bandSigsOfArray(col("mha"))).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
         col("doc_id"), col("ts"), col("xs"))
-  }
 
   /** Near-dup pairs (jaccard ≥ `threshold`) between documents arriving
     * within `ttl` of each other, per LSH band bucket. See object doc

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity}
 import graft.functions.{CosineSimilarity, GraftExtensions}
 
 class FunctionsSpec extends AnyFunSuite {
@@ -157,6 +157,70 @@ class FunctionsSpec extends AnyFunSuite {
     // vacuously on a duplicate-free frame.
     assert(lists(multiset, distinctAgg = false) != viaDedupThenTopK,
       "fixture carries no slot-critical duplicate - the pin is vacuous")
+  }
+
+  test("minhash_all equals the 32 array_min(transform) folds, " +
+      "empty set included") {
+    // d03/d11/d19 + the streaming filter ride the ONE native pass;
+    // minhashExpr stays the pinned reference form. The empty-set row
+    // must be NULL exactly as each array_min is (concat_ws downstream
+    // treats the two identically).
+    val sets = Dedup.minhashSets(spark, sf)
+      .unionByName(spark.range(1).select(lit(-1L).as("doc_id"),
+        array().cast("array<bigint>").as("xs"), lit(0).as("n")))
+    val native = sets.select(col("doc_id"),
+      Dedup.minhashAllCol(col("xs")).as("mha"))
+    val folded = sets.select(col("doc_id"),
+      when(size(col("xs")) > 0,
+        array((0 until 32).map(i => Dedup.minhashExpr(col("xs"), i)): _*))
+        .as("mha"))
+    val joined = native.as("a").join(folded.as("b"), "doc_id")
+    assert(joined.count() > 1 &&
+      joined.filter(not(col("a.mha") <=> col("b.mha"))).count() == 0,
+      "minhash_all drifted from the array_min(transform) family")
+    assert(native.filter(col("doc_id") === -1L && col("mha").isNull)
+      .count() == 1, "empty shingle set must yield NULL")
+  }
+
+  test("vec_sum equals the per-coordinate sum(element_at) columns") {
+    // The Lloyd update's arithmetic pin: ONE vec_sum buffer must
+    // reproduce the 64 separate column sums exactly (exact long
+    // addition — no order sensitivity, so plain equality).
+    val e = Tables(spark, sf, "embeddings")
+      .select((col("vec_id") % 5).as("cid"),
+        Similarity.fixedPoint(col("embedding").cast("array<double>")).as("x"))
+    val viaCols = e.groupBy(col("cid"))
+      .agg((1 to 64).map(i => sum(element_at(col("x"), i)).as(s"s$i")).head,
+        (1 to 64).map(i => sum(element_at(col("x"), i)).as(s"s$i")).tail: _*)
+      .select(col("cid"), array((1 to 64).map(i => col(s"s$i")): _*).as("sx"))
+    val viaVec = e.groupBy(col("cid"))
+      .agg(graft.functions.VecSumAgg.vecSum(col("x"), 64).as("sx"))
+    val joined = viaCols.as("a").join(viaVec.as("b"), "cid")
+      .filter(col("a.sx") =!= col("b.sx"))
+    assert(viaVec.count() == 5 && joined.count() == 0,
+      "vec_sum drifted from the column-sum form")
+  }
+
+  test("rp_project is bit-identical to the composed 1,024-term form") {
+    // The s04 projection as it was stated through round 16: 16 columns
+    // of reduce(_ + _) over element_at(v, i) * sign(i, j). The native
+    // expression must reproduce every IEEE rounding step (accumulator
+    // starts from the FIRST term, ascending i), so the comparison is
+    // exact ===, not a tolerance.
+    val signs = graft.functions.RpProject.signs
+    val composed = (0 until 16).map { j =>
+      (1 to 64).map(i => element_at(col("v"), i) * lit(signs(j)(i - 1)))
+        .reduce(_ + _) / lit(4.0)
+    }
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.select(col("vec_id"),
+        graft.functions.RpProject.rpProject(col("v")).as("native"),
+        array(composed: _*).as("folded"))
+      .select(col("vec_id"), posexplode(arrays_zip(col("native"), col("folded"))))
+    assert(both.count() > 0 &&
+      both.filter(col("col.native") =!= col("col.folded")).count() == 0,
+      "rp_project drifted from the composed reduce form")
   }
 
   test("sq_dist_long and nearest_id match their composable fold forms " +
