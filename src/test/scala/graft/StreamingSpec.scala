@@ -1300,10 +1300,16 @@ class StreamingSpec extends AnyFunSuite {
     val schema = org.apache.spark.sql.types.StructType(
       EventStreams.eventSchema.filterNot(_.name == "props"))
     val srcDir = Files.createTempDirectory("graft_recohort").toString
+    // coalesce(1): the query is already polling when the first append
+    // lands, and a 2-partition write surfaces as two part files the file
+    // source may split across microbatches (day-1 file alone cohorts the
+    // user at day 1; the ts=0 file then drops as late). One file per
+    // logical batch keeps each append atomic to the source's listing.
     def batch(secs: Long*) = secs.toSeq.zipWithIndex
       .map { case (s, i) => (i.toLong, new java.sql.Timestamp(s * 1000L),
         7L, "click", 1.0) }
       .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1)
     val hits = EventStreams.cohortRetention(
       spark.readStream.schema(schema).parquet(srcDir)
         .as[EventStreams.EventIn])
