@@ -70,19 +70,27 @@ object Bench {
     val mode = if (full) ",\"mode\":\"full\"" else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$n$mode,"sf":"$sfDir"}"""
-    println(line)
-    // Also land the JSON line as a file: the driver recovers `parsed`
-    // from a truncated stdout tail, so the machine-readable record must
-    // never depend on tail capture (VERDICT r4 #3). Best-effort — a
-    // read-only CWD must not fail the bench itself.
+    // Land the JSON line as files FIRST, then print it as the last
+    // stdout line: the one-line JSON is ~7 KB at 162 queries, so a
+    // truncated stdout tail can never recover it (VERDICT r17 #1b) —
+    // the machine-readable record must never depend on tail capture
+    // (VERDICT r4 #3). Two files per run: the historical mode file
+    // (last.json / last_full.json) AND a per-core-count file
+    // (last_c<cpus>.json), so the driver's second invocation at a
+    // lower core count stops clobbering the 32-core record (VERDICT
+    // r17 "Next round" #2). Best-effort — a read-only CWD must not
+    // fail the bench itself.
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
       val out = if (full) "last_full.json" else "last.json"
       java.nio.file.Files.writeString(dir.resolve(out), line + "\n")
+      val perCore = if (full) s"last_full_c$cpus.json" else s"last_c$cpus.json"
+      java.nio.file.Files.writeString(dir.resolve(perCore), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench/last.json: ${e.getMessage}")
     }
+    println(line)
     spark.stop()
   }
 }
