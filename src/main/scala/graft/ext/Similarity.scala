@@ -1234,6 +1234,14 @@ object Similarity {
     // RpProject lesson; FunctionsSpec pins vec_sum ≡ the column
     // sums). Arithmetic unchanged: exact long sums, then
     // (Σx + 2²⁰n) div n − 2²⁰ per coordinate.
+    // ASSUMES group count (K cells) < 128, the ObjectHashAggregate
+    // sort-based fallback threshold: every current trainer has K ≤ 8
+    // and semK reaches 80 at sf10, but ~800 cells (the sf100 decade
+    // under SemDeDup's K ~ N/2500 scaling) would cross the cliff on
+    // every Lloyd action — re-measure against
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold before
+    // scaling K past 128 (ADVICE r17; the pqUpdate exemption is the
+    // same cliff from the other side).
     val sums = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("cnt"),
         graft.functions.VecSumAgg.vecSum(col("x"), 64).as("sx"))

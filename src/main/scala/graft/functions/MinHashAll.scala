@@ -50,22 +50,35 @@ case class MinHashAll(child: Expression, as: Seq[Long], bs: Seq[Long],
   @transient private lazy val aArr: Array[Long] = as.toArray
   @transient private lazy val bArr: Array[Long] = bs.toArray
 
+  // Null elements are SKIPPED, matching the composed
+  // array_min(transform(...))'s null-skipping (ADVICE r17 — a bare
+  // getLong on a null slot reads an undefined value and can wrongly
+  // lower a minimum). Unreachable corner recorded: an all-null
+  // non-empty input yields NULL here, where the composed form emits an
+  // array of 32 per-slot nulls (unrepresentable in this output's
+  // containsNull=false type); no caller can produce one (shingle sets
+  // come from collect_set).
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n == 0) return null
     val out = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < n) {
-      val x = xs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val v = (aArr(i) * x + bArr(i)) % p
-        if (v < out(i)) out(i) = v
-        i += 1
+      if (!xs.isNullAt(j)) {
+        seen = true
+        val x = xs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (aArr(i) * x + bArr(i)) % p
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
       }
       j += 1
     }
+    if (!seen) return null
     new GenericArrayData(out)
   }
 
@@ -79,20 +92,26 @@ case class MinHashAll(child: Expression, as: Seq[Long], bs: Seq[Long],
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
       val v = ctx.freshName("v")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |  long[] $out = new long[$k];
          |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  boolean $seen = false;
          |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($a.isNullAt($j)) continue;
+         |    $seen = true;
          |    long $x = $a.getLong($j);
          |    for (int $i = 0; $i < $k; $i++) {
          |      long $v = ($aRef[$i] * $x + $bRef[$i]) % ${p}L;
          |      if ($v < $out[$i]) $out[$i] = $v;
          |    }
          |  }
-         |  ${ev.value} =
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  if (!$seen) { ${ev.isNull} = true; } else {
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
          |}
        """.stripMargin
     })

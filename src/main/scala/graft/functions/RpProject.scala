@@ -43,13 +43,19 @@ case class RpProject(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    // Composed-form semantics on short input: element_at past the array
+    // end made every composed sum NULL, so an input narrower than the
+    // 64-dim domain yields NULL here too — never a silently-partial sum
+    // (ADVICE r17). Longer arrays read their first 64 dims, exactly as
+    // the composed element_at(1..64) terms did.
+    if (v.numElements() < RpProject.InDims) return null
     val signs = RpProject.signs
     val out = new Array[Double](RpProject.OutDims)
-    val n = math.min(RpProject.InDims, v.numElements())
+    val n = RpProject.InDims
     var j = 0
     while (j < RpProject.OutDims) {
       val sj = signs(j)
-      var acc = if (n > 0) v.getDouble(0) * sj(0) else 0.0
+      var acc = v.getDouble(0) * sj(0)
       var i = 1
       while (i < n) {
         acc += v.getDouble(i) * sj(i)
@@ -72,18 +78,22 @@ case class RpProject(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val sj = ctx.freshName("sj")
       s"""
-         |double[] $out = new double[${RpProject.OutDims}];
-         |int $n = java.lang.Math.min(${RpProject.InDims}, $a.numElements());
-         |for (int $j = 0; $j < ${RpProject.OutDims}; $j++) {
-         |  double[] $sj = $signs[$j];
-         |  double $acc = $n > 0 ? $a.getDouble(0) * $sj[0] : 0.0;
-         |  for (int $i = 1; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $sj[$i];
+         |if ($a.numElements() < ${RpProject.InDims}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[${RpProject.OutDims}];
+         |  int $n = ${RpProject.InDims};
+         |  for (int $j = 0; $j < ${RpProject.OutDims}; $j++) {
+         |    double[] $sj = $signs[$j];
+         |    double $acc = $a.getDouble(0) * $sj[0];
+         |    for (int $i = 1; $i < $n; $i++) {
+         |      $acc += $a.getDouble($i) * $sj[$i];
+         |    }
+         |    $out[$j] = $acc / 4.0;
          |  }
-         |  $out[$j] = $acc / 4.0;
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

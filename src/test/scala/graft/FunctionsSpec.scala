@@ -201,6 +201,38 @@ class FunctionsSpec extends AnyFunSuite {
       "vec_sum drifted from the column-sum form")
   }
 
+  test("rp_project yields NULL on input narrower than 64 dims " +
+      "(composed element_at semantics) and minhash_all skips null " +
+      "elements (array_min semantics)") {
+    // ADVICE r17 guards. Short input: the composed form's
+    // element_at(v, i) past the array end made every sum NULL — the
+    // native loop must never emit a silently-partial sum.
+    val short = spark.range(1).select(
+      expr("array(1.0d, 2.0d)").as("v"))
+    val projected = short.select(
+      graft.functions.RpProject.rpProject(col("v")).as("p"))
+    assert(projected.filter(col("p").isNull).count() == 1 &&
+      projected.filter(col("p").isNotNull).count() == 0,
+      "rp_project must be NULL on short input, not a partial sum")
+    // Null elements must be SKIPPED exactly as each composed
+    // array_min(transform) skips them — never read as an undefined
+    // long that could wrongly lower a minimum; an all-null input has
+    // no minima at all (NULL, the empty-set rule).
+    val mixed = spark.range(1).select(
+      expr("array(7L, cast(null as bigint))").as("xs"))
+      .select(Dedup.minhashAllCol(col("xs")).as("mha"))
+    val clean = spark.range(1).select(expr("array(7L)").as("xs"))
+      .select(Dedup.minhashAllCol(col("xs")).as("mha"))
+    assert(mixed.collect().head.getSeq[Long](0) ==
+      clean.collect().head.getSeq[Long](0),
+      "a null element must not perturb any minimum")
+    val allNull = spark.range(1).select(
+      expr("array(cast(null as bigint))").as("xs"))
+      .select(Dedup.minhashAllCol(col("xs")).as("mha"))
+    assert(allNull.filter(col("mha").isNull).count() == 1,
+      "an all-null input has no minima (NULL, the empty-set rule)")
+  }
+
   test("rp_project is bit-identical to the composed 1,024-term form") {
     // The s04 projection as it was stated through round 16: 16 columns
     // of reduce(_ + _) over element_at(v, i) * sign(i, j). The native
