@@ -2788,36 +2788,68 @@ object Similarity {
     * SCORED candidate frame; the frontier derives from it lazily), so
     * accumulating the per-hop scored frames costs NO extra scoring.
     * Returns (final ranked frontier — [[knnBeamWalk]]'s contract
-    * verbatim, visited (qid, cand, d) rows — duplicates across hops
-    * carry identical exact distances, so a plain distinct dedups
-    * them). s36 (ef-search) ranks the visited union; s31/s33 keep the
-    * frontier-only form. ONE loop for all three (and the `Soak --knn`
-    * sweeps), so measured recall is the registered operators'. */
+    * verbatim, visited (qid, cand, d) rows — a MULTISET whose
+    * duplicates, within and across hops, carry identical exact
+    * distances, so every consumer dedups in its bounded set-semantics
+    * heap — [[knnEfRank]]). s36 (ef-search) ranks the visited union;
+    * s31/s33 keep the frontier-only form. ONE loop for all three (and
+    * the `Soak --knn` sweeps), so measured recall is the registered
+    * operators'. */
+  /** One hop's SCORED candidate frame: frontier ∪ its graph
+    * neighbors (≤ B(k+1) rows per query counting duplicates — the
+    * frontier row itself plus ≤ k neighbors per beam slot), scored
+    * exactly against the lattice. ONE statement for the
+    * [[knnBeamWalkFull]] loop body and [[graft.ExplainRound]]'s hop
+    * plan artifact.
+    *
+    * Deliberately a MULTISET (round-18 cut, the knnRoundCand rule):
+    * the `.distinct()` that stood here was a full exchange of the
+    * widest hop frame (it shuffles the 64-dim qx per candidate row),
+    * once per hop × 8 hops × 5 walk queries, and the per-query bound
+    * is ≤ B(k+1) rows EITHER way — the distinct only shrank below a
+    * constant. Duplicates carry IDENTICAL (qid, qx, cand) rows and
+    * hence identical exact distances, so every consumer dedups in
+    * the bounded heap instead: the frontier agg ([[knnHopFrontier]])
+    * and the visited-set rank ([[knnEfRank]]) ride
+    * `topKDistinct` (the O1 set-semantics aggregate, FunctionsSpec-
+    * pinned set ≡ multiset). */
+  private[graft] def knnHopScored(cur: DataFrame, fx: DataFrame,
+      g: DataFrame): DataFrame =
+    cur.select(col("qid"), col("qx"), col("cur").as("cand"))
+      .unionAll(cur.join(g, cur("cur") === g("v"))
+        .select(col("qid"), col("qx"), g("w").as("cand")))
+      .filter(col("cand") =!= col("qid"))
+      .join(fx.select(col("vec_id").as("cand"), col("x")), "cand")
+      .select(col("qid"), col("qx"), col("cand"),
+        graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d"))
+
+  /** One hop's next frontier off the scored frame: top-B per query
+    * by bounded-heap partial agg, under SET semantics — a candidate
+    * reached both as a frontier row and as a neighbor (or by two
+    * beam slots) carries an identical struct and must occupy ONE
+    * beam slot, exactly as the pre-hop `.distinct()` guaranteed.
+    * The [[knnHopScored]] twin half of the loop body / plan
+    * artifact. */
+  private[graft] def knnHopFrontier(scored: DataFrame,
+      beam: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(max(col("qx")).as("qx"),
+        graft.functions.TopKAgg.topKDistinct(
+          struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
+            col("cand")), beam).as("top"))
+      .select(col("qid"), col("qx"), explode(col("top")).as("t"))
+      .select(col("qid"), col("qx"), col("t.cand").as("cur"))
+
   private[graft] def knnBeamWalkFull(q0: DataFrame, fx: DataFrame,
       g: DataFrame, beam: Int = 1, hops: Int = KnnSearchHops)
       : (DataFrame, DataFrame) = {
     var cur = q0
     var visited: Option[DataFrame] = None
     for (_ <- 1 to hops) {
-      val cand = cur.select(col("qid"), col("qx"), col("cur").as("cand"))
-        .unionAll(cur.join(g, cur("cur") === g("v"))
-          .select(col("qid"), col("qx"), g("w").as("cand")))
-        .filter(col("cand") =!= col("qid"))
-        .distinct()
-      val scored = graft.ops.Subplan.once(cand
-        .join(fx.select(col("vec_id").as("cand"), col("x")), "cand")
-        .select(col("qid"), col("qx"), col("cand"),
-          graft.functions.SqDistLong.sqDist(col("qx"), col("x")).as("d")))
+      val scored = graft.ops.Subplan.once(knnHopScored(cur, fx, g))
       val hopRows = scored.select(col("qid"), col("cand"), col("d"))
       visited = Some(visited.map(_.unionAll(hopRows)).getOrElse(hopRows))
-      cur = scored
-        .groupBy(col("qid"))
-        .agg(max(col("qx")).as("qx"),
-          graft.functions.TopKAgg.topK(
-            struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
-              col("cand")), beam).as("top"))
-        .select(col("qid"), col("qx"), explode(col("top")).as("t"))
-        .select(col("qid"), col("qx"), col("t.cand").as("cur"))
+      cur = knnHopFrontier(scored, beam)
     }
     val frontier = cur
       .join(fx.select(col("vec_id").as("cur"), col("x")), "cur")
@@ -2884,7 +2916,11 @@ object Similarity {
       (col("vec_id") + lit(1000000000L)).as("vec_id"), col("label")))
     val qlab = broadcast(labOf.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("label").as("qlabel")))
-    val want = visited.distinct().join(qlab, Seq("qid"))
+    // Multiset visited straight into the bounded broadcast (round-18
+    // cut with the hop fusion): the pre-`.distinct()` exchange only
+    // shrank below the ≤ hops·B(k+1) rows-per-query constant, and
+    // knnEfRank's set-semantics heap dedups the matched rows.
+    val want = visited.join(qlab, Seq("qid"))
       .select(col("qid"), col("cand").as("vec_id"), col("d"),
         col("qlabel"))
     val matched = lab.join(broadcast(want), Seq("vec_id"))
@@ -2899,9 +2935,14 @@ object Similarity {
     * operator's. */
   private[graft] def knnEfRank(visited: DataFrame,
       k: Int = KnnEfTopK): DataFrame =
-    visited.distinct()
+    // In-heap dedup (round-18 cut): the pre-`.distinct()` was a full
+    // exchange of the accumulated visited union; duplicates — across
+    // hops AND, since the hop fusion, within one — carry identical
+    // (qid, cand, d) rows (exact int64 distances of the same pair),
+    // so `topKDistinct` collapses them in the bounded heap instead.
+    visited
       .groupBy(col("qid"))
-      .agg(graft.functions.TopKAgg.topK(
+      .agg(graft.functions.TopKAgg.topKDistinct(
         struct((-col("d")).as("nd"), (-col("cand")).as("nc"),
           col("cand"), col("d")), k).as("top"))
       .select(col("qid"), posexplode(col("top")))

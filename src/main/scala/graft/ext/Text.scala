@@ -1658,37 +1658,57 @@ object Text {
         .select(col("w"),
           regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
           col("cnt")))
-    val merged = (1 to rounds).map { r =>
-      // Exact-integer adjacent-pair counts: each in-word occurrence
-      // weighted by the word's corpus frequency (the t22 bigram zip —
-      // no per-position row explosion survives past the partial agg).
-      val pairs = vocab.filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(arrays_zip(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("z"))
-        .groupBy(col("z.0").as("lhs"), col("z.1").as("rhs"))
-        .agg(sum(col("cnt")).as("pair_count"))
-      // Total deterministic winner: count desc, then (lhs, rhs) asc —
-      // binary UTF-8 string order on both engines. Materialized once;
-      // both the merge table and the application join read these rows.
-      val best = Subplan.once(
-        pairs.orderBy(col("pair_count").desc, col("lhs").asc,
-          col("rhs").asc).limit(1))
-      vocab = Subplan.once(
-        vocab.withColumn("k", ConstKey.one(col("cnt")))
-          .join(broadcast(best.select(
-            ConstKey.one(col("pair_count")).as("k"),
-            col("lhs"), col("rhs"))), Seq("k"), "left")
-          .select(col("w"),
-            when(col("lhs").isNull, col("syms"))
-              .otherwise(bpeMergeFold(col("syms"), col("lhs"), col("rhs")))
-              .as("syms"),
-            col("cnt")))
-      best.select(lit(r).as("merge_rank"), col("lhs"), col("rhs"),
-        col("pair_count"))
+    // The winner is collected, not checkpointed (round-18 cut): ONE
+    // bounded row per round — the t28/d21 driver-side-constant
+    // discipline — and folding it as literals makes the vocab update
+    // a pure map over the checkpointed frontier, dropping the
+    // winner's localCheckpoint job AND the 1-row broadcast build per
+    // round (2 of the 4 per-round job units; the pair-count action
+    // and the frontier checkpoint are the sequential minimum). The
+    // selection semantics are bpeBestPair's verbatim.
+    val spark = d.sparkSession
+    import spark.implicits._
+    val merged = (1 to rounds).flatMap { r =>
+      val bestRow = bpeBestPair(vocab).collect()
+      bestRow.headOption.map { b =>
+        val (lhs, rhs, cnt) =
+          (b.getString(0), b.getString(1), b.getLong(2))
+        vocab = Subplan.once(bpeApplyWinner(vocab, lhs, rhs))
+        (r, lhs, rhs, cnt)
+      }
     }
-    (merged.reduce(_ unionByName _), vocab)
+    (merged.toDF("merge_rank", "lhs", "rhs", "pair_count"), vocab)
   }
+
+  /** One merge round's winner off the current vocab frontier:
+    * exact-integer adjacent-pair counts — each in-word occurrence
+    * weighted by the word's corpus frequency (the t22 bigram zip —
+    * no per-position row explosion survives past the partial agg) —
+    * then the total deterministic winner: count desc, (lhs, rhs) asc
+    * (binary UTF-8 string order on both engines). Materialized once
+    * by the caller; both the merge table and the application join
+    * read those rows. ONE statement for [[bpeTrainFull]]'s round and
+    * [[graft.ExplainRound]]'s plan artifact. */
+  private[graft] def bpeBestPair(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("z"))
+      .groupBy(col("z.0").as("lhs"), col("z.1").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+
+  /** One merge round's vocab update: fold the collected winner —
+    * literal (lhs, rhs) — into every word's symbol sequence, a pure
+    * map over the checkpointed frontier. The [[bpeBestPair]] twin
+    * half of the round body / plan artifact; [[bpeMergeFold]] stays
+    * the one merge definition. */
+  private[graft] def bpeApplyWinner(vocab: DataFrame, lhs: String,
+      rhs: String): DataFrame =
+    vocab.select(col("w"),
+      bpeMergeFold(col("syms"), lit(lhs), lit(rhs)).as("syms"),
+      col("cnt"))
 
   /** t28's knobs: rounds × batch size. The registered fixture keeps
     * the oracle's unrolled chain readable (2 × 5 ≈ t24's 10-merge
@@ -2016,21 +2036,34 @@ object Text {
       uniSeedMultis(wf)
         .orderBy(col("pcnt").desc, col("p").asc).limit(seedK)))
     for (_ <- 1 to rounds) {
-      val model = uniModel(vocab)
-      val segCounts = Subplan.once(
-        uniSegmentWords(wf.select(col("w")), model)
-          .join(wf, Seq("w"))
-          .select(col("cnt"), explode(col("seg")).as("p"))
-          .groupBy(col("p")).agg(sum(col("cnt")).as("pcnt")))
-      vocab = Subplan.once(
-        chars.select(col("p"))
-          .join(segCounts, Seq("p"), "left")
-          .select(col("p"), coalesce(col("pcnt"), lit(0L)).as("pcnt"))
-          .unionByName(segCounts.filter(length(col("p")) >= 2)
-            .orderBy(col("pcnt").desc, col("p").asc).limit(UniPruneK)))
+      val segCounts = Subplan.once(uniSegCounts(wf, vocab))
+      vocab = Subplan.once(uniVocabUpdate(chars, segCounts))
     }
     (vocab, uniModel(vocab))
   }
+
+  /** One EM round's E-step + recount: Viterbi-segment the word
+    * frontier under the current vocab's model, then piece counts
+    * from the segmentations. ONE statement for [[uniTrainFull]]'s
+    * round and [[graft.ExplainRound]]'s plan artifact. */
+  private[graft] def uniSegCounts(wf: DataFrame,
+      vocab: DataFrame): DataFrame =
+    uniSegmentWords(wf.select(col("w")), uniModel(vocab))
+      .join(wf, Seq("w"))
+      .select(col("cnt"), explode(col("seg")).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("pcnt"))
+
+  /** One EM round's M-step vocab: every character (count 0 if now
+    * unused) plus the top [[UniPruneK]] multi-char pieces by
+    * (count, piece) — the [[uniSegCounts]] twin half of the round
+    * body / plan artifact. */
+  private[graft] def uniVocabUpdate(chars: DataFrame,
+      segCounts: DataFrame): DataFrame =
+    chars.select(col("p"))
+      .join(segCounts, Seq("p"), "left")
+      .select(col("p"), coalesce(col("pcnt"), lit(0L)).as("pcnt"))
+      .unionByName(segCounts.filter(length(col("p")) >= 2)
+        .orderBy(col("pcnt").desc, col("p").asc).limit(UniPruneK))
 
   /** [[uniDpChain]] restated for DuckDB — the same nested reduce
     * (outer: positions via dummy fold, DuckDB's list_reduce seeds

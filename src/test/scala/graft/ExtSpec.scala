@@ -945,6 +945,38 @@ class ExtSpec extends AnyFunSuite {
     assert(s31 == beam1, "width-1 beam diverges from the greedy walk")
   }
 
+  test("walk hop fusion: the visited frame is a true multiset and " +
+      "in-heap ef ranking equals distinct-then-rank") {
+    // Round-18 pin for dropping the per-hop cand.distinct(): the
+    // fused loop's visited union must actually CARRY duplicates (else
+    // the set-semantics consumers are pinned vacuously), and ranking
+    // the multiset in the topKDistinct heap must equal ranking its
+    // distinct form.
+    val all = graft.ops.Subplan.once(
+      ext.Similarity.plantedTwinCorpus(
+        Tables(spark, sf, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))))
+    val fx = graft.ops.Subplan.once(ext.Similarity.knnFx(all))
+    val g = graft.ops.Subplan.once(ext.Similarity.knnDescentGraph(all))
+    val q0 = graft.ops.Subplan.once(
+      ext.Similarity.knnQ0(fx, col("vec_id") < 10))
+    val (_, visited) = ext.Similarity.knnBeamWalkFull(
+      q0, fx, g, ext.Similarity.KnnBeamWidth)
+    val vis = graft.ops.Subplan.once(visited)
+    val total = vis.count()
+    val unique = vis.distinct().count()
+    assert(total > unique,
+      s"visited carries no duplicates ($total rows) - the pin is vacuous")
+    val inHeap = ext.Similarity.knnEfRank(vis)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val viaDistinct = ext.Similarity.knnEfRank(vis.distinct())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(inHeap.nonEmpty && inHeap == viaDistinct,
+      "in-heap ef ranking diverges from distinct-then-rank")
+  }
+
   test("d17 knn-graph clusters equal d13's band-collision clusters on the " +
       "planted fixture") {
     // On the planted corpus the verified (cos ≥ 0.99) edge sets
