@@ -34,6 +34,11 @@ object Soak {
       val n = f
       (n, (System.nanoTime() - t0) / 1e9)
     }
+    def timedv[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val v = f
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
 
     // ANN-recall mode (`Soak <dir> --ann`): recall@1 of the two
     // approximate NN paths against s03's exact block-grid answer, on
@@ -467,6 +472,70 @@ object Soak {
       val (cand, admitted, _) = ext.Hybrid.bmwOver(idx, dl, imp, qterms)
       println(s"""{"dir":"$sfDir","mode":"wand","queries":10,""" +
         s""""terms_per_query":3,"rows":$exN,""" +
+        s""""exhaustive_sec":$exBest,"pruned_sec":$prBest,""" +
+        s""""cand_blocks":${cand.count()},""" +
+        s""""admitted_blocks":${admitted.count()}}""")
+      spark.stop()
+      return
+    }
+
+    // Web-shaped WAND probe over a LANDED corpus (`Soak <dir>
+    // --wand-web`, round 18): `--wand` above draws rare-only queries
+    // — the regime where exhaustive is already cheap (few postings)
+    // and the pruned path's extra phases can only lose. Block-max
+    // exists for the web shape: ONE hot function word (its postings
+    // are corpus-wide — the exhaustive scorer pays them in full) plus
+    // rare content words (their high-idf seed blocks set θ high
+    // enough that hot-only blocks skip). This probe states that
+    // regime over the fixture's OWN landed pieces: query i = the
+    // df-max term + 2 mid-tail terms (the --wand picks), same
+    // registered bodies, same +10^9 qid rule, answers equality-
+    // checked row-for-row. Needs a corpus with a real hot head
+    // (df-max ≥ 20% of docs — the `--lex` fixture; stock fixtures'
+    // 31-word vocabulary has no tail and fails the require in
+    // `--wand`'s picks instead).
+    if (args.contains("--wand-web")) {
+      import spark.implicits._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val idx = graft.ops.Subplan.once(ext.Text.blockedEntries(docs))
+      val dl = graft.ops.Subplan.once(ext.Hybrid.docLenOf(idx))
+      val imp = graft.ops.Subplan.once(ext.Hybrid.impactsOf(idx, dl))
+      val nDocs = docs.count()
+      val byDf = idx.groupBy(col("term"))
+        .agg(sum(size(col("entries")).cast("long")).as("df"))
+      val hot = byDf.orderBy(col("df").desc, col("term").asc).limit(1)
+        .collect().head
+      require(hot.getLong(1) * 5 >= nDocs,
+        s"no hot head: df-max ${hot.getLong(1)} of $nDocs docs")
+      val hotTerm = hot.getString(0)
+      val tail = byDf.filter(col("df") >= 20 && col("term") =!= hotTerm)
+        .select(col("term"), col("df"),
+          conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+            .as("h"))
+        .orderBy(col("df"), col("h"), col("term")).limit(20)
+        .collect().map(_.getString(0))
+      require(tail.length == 20,
+        s"corpus df tail too thin for the probe: ${tail.length}")
+      val qterms = (0 until 10).flatMap { i =>
+        Seq((1_000_000_000L + i, hotTerm),
+          (1_000_000_000L + i, tail(2 * i)),
+          (1_000_000_000L + i, tail(2 * i + 1)))
+      }.toDF("qid", "term")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val (exR, exBest) = (1 to 3)
+        .map(_ => timedv(rows(ext.Hybrid.bm25Over(idx, dl, qterms))))
+        .minBy(_._2)
+      val (prR, prBest) = (1 to 3)
+        .map(_ => timedv(rows(ext.Hybrid.bmwOver(idx, dl, imp, qterms)._3)))
+        .minBy(_._2)
+      require(exR == prR, s"pruned != exhaustive: " +
+        s"missing=${(exR -- prR).take(3)} extra=${(prR -- exR).take(3)}")
+      val (cand, admitted, _) = ext.Hybrid.bmwOver(idx, dl, imp, qterms)
+      println(s"""{"dir":"$sfDir","mode":"wand_web","queries":10,""" +
+        s""""hot_term":"$hotTerm","rows":${exR.size},""" +
         s""""exhaustive_sec":$exBest,"pruned_sec":$prBest,""" +
         s""""cand_blocks":${cand.count()},""" +
         s""""admitted_blocks":${admitted.count()}}""")
