@@ -2136,10 +2136,30 @@ object Similarity {
     * gone from disk, the new generation's directory alive, and a
     * repeat invocation reaching the same answer. */
   private def indexRebuildRetireQuery(s: SparkSession, dir: String): DataFrame = {
-    val (_, postPath) = upsertedPostings(s, dir, "s45")
-    lazy val stored = graft.ops.Subplan.once(
-      s.read.parquet(postPath)
-        .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    // The drifted generation exists only to TRAIN the new one (and to
+    // be retired). Once the new generation is landed, a repeat
+    // invocation used to REBUILD the superseded store just to delete
+    // it again — a full upsert-store build (~90% of the repeat's
+    // wall, round-18 decomposition in PLANS.md) whose output nothing
+    // reads. Gate the build on the new generation's liveness,
+    // checked DRIVER-SIDE BEFORE the s45r builds (hoisted, never
+    // inside their closures — the s37 nested-computeIfAbsent lock
+    // rule): cold path unchanged (full cycle: build drifted → train
+    // → land → retire), warm path = probe only + no-op retires. This
+    // is the same repeat-measures-the-delta discipline every other
+    // store query follows; answers are identical either way (ExtSpec
+    // pins repeat ≡ first, and the retire pins hold: the superseded
+    // directory stays gone).
+    val warm =
+      graft.sources.SessionStore.livePath("s45r_cents", dir).isDefined &&
+      graft.sources.SessionStore.livePath("s45r_postings", dir).isDefined
+    val stored0 = if (warm) None else Some {
+      val (_, postPath) = upsertedPostings(s, dir, "s45")
+      graft.ops.Subplan.once(
+        s.read.parquet(postPath)
+          .select(col("vec_id"), col("v"), fixedPoint(col("v")).as("x")))
+    }
+    def stored = stored0.get
     val cents = graft.sources.SessionStore.storedOrBuild(
       s, "s45r_cents", dir, Seq("cid")) { kmeansCentroids(stored) }
     val post = graft.sources.SessionStore.storedOrBuild(
@@ -2148,7 +2168,8 @@ object Similarity {
     }
     // Cut over: the new generation is landed (eager builds above), so
     // the drifted generation is now superseded — drop its directory
-    // and its model row store. Bounded: two paths, driver-side.
+    // and its model row store. Bounded: two paths, driver-side;
+    // no-ops on the warm path (already retired).
     graft.sources.SessionStore.retire(s, "s45_postings", dir)
     graft.sources.SessionStore.retire(s, "s45_cents", dir)
     val q = emb(s, dir).filter(col("vec_id") < 10)
