@@ -2599,12 +2599,24 @@ object Similarity {
   private[graft] def knnFx(all: DataFrame): DataFrame =
     all.select(col("vec_id"), fixedPoint(col("v")).as("x"))
 
-  /** Exact scoring of a directed candidate edge set (v, w): distinct,
-    * then two id-keyed equi-joins onto the fixed-point corpus and the
-    * native codegen [[graft.functions.SqDistLong]] — never an
-    * all-pairs shape; candidate volume is the caller's bound. */
+  /** Exact scoring of a directed candidate edge set (v, w): two
+    * id-keyed equi-joins onto the fixed-point corpus and the native
+    * codegen [[graft.functions.SqDistLong]] — never an all-pairs
+    * shape; candidate volume is the caller's bound.
+    *
+    * Deliberately NO pre-`.distinct()` (round-18 cut): every caller
+    * feeds the set-semantics [[knnTopK]] heap, which absorbs a
+    * duplicate (v, w) — identical exact struct — map-side, so the
+    * dedup exchange (+ its two HashAggregates, once per descent
+    * round) bought only fewer scored rows. Measured multiplicity of
+    * the round-candidate multiset is 1.38× at sf0.1 (duplicates cost
+    * ~38% more 64-dim sqdist flops and join rows, map-side in the
+    * restricted folds where fx broadcasts), vs a FULL exchange of
+    * the candidate frame — paired A/B: s29 −4..12%, s34 −7..20%,
+    * s37 −10%. The multiplicity is bounded by the ≤ 2k adjacency
+    * fan-in (knnRoundCand's multiset-union bound). */
   private[graft] def knnScore(cand: DataFrame, fx: DataFrame): DataFrame =
-    cand.distinct()
+    cand
       .join(fx.select(col("vec_id").as("v"), col("x").as("xv")), "v")
       .join(fx.select(col("vec_id").as("w"), col("x").as("xw")), "w")
       .select(col("v"), col("w"),
